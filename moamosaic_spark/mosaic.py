@@ -1,0 +1,282 @@
+"""do_mosaic — the end-to-end mosaic dataflow (the reference's doMosaic,
+mosaic.py:111-224, re-planned as one declarative Spark job).
+
+Reference phases -> Spark stages:
+
+  imginfodict (serial metadata scan)   -> footprints dim table (given)
+  projection (agreement check)         -> validate_projections()
+  analysis (grid/tiles/join/worklist)  -> Catalyst logical plan:
+                                          extent agg + tile relation +
+                                          cell-keyed/broadcast spatial join
+  domosaic (threads + queue + cache)   -> ONE shuffle into
+                                          groupBy(band, tile).applyInPandas
+  stats / pyramids (single pass)       -> emitted by the same kernel
+  ordered write                        -> repartitionByRange + sorted sink
+
+The reader threads, block queue, block cache and per-file countdown of
+the reference (structures.py:141-242) all dissolve into the shuffle: the
+groupBy IS the rendezvous that the reference's BlockCache polls for
+(mosaic.py:364-366).
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass, field
+
+from pyspark.sql import DataFrame, SparkSession, functions as F
+
+from .plans import grid as gridmod
+from .plans.grid import OutputGrid, make_output_grid, make_tile_relation, overview_levels
+from .plans.spatial_join import assign_inputs
+from .operators.stitch import make_stitch_fn
+from .operators.stats import finalize_stats
+from .schema import STITCH_SCHEMA
+
+
+class MoaProjectionError(Exception):
+    """Input rasters disagree on projection / resolution / alignment
+    (reference reproj.py:274-275)."""
+
+
+@dataclass
+class MosaicConfig:
+    blocksize: int = 1024
+    src_blocksize: int = 256           # chunk size of the blocks fact table
+    min_overview_size: int = 1024
+    nullval: float | None = None       # default: from priority-0 input
+    strategy: str = "broadcast"        # 'broadcast' | 'cell'
+    cell_size_px: int = 4096
+    salt: int = 1
+    check_projections: bool = True
+    check_blocks: bool = False         # integrity prepass over the blocks table
+    with_overviews: bool = True
+
+
+@dataclass
+class MosaicResult:
+    grid: OutputGrid
+    levels: list
+    tiles: DataFrame        # level-0 mosaic tiles with stat partials
+    overviews: DataFrame    # pyramid fragments (level > 0)
+    stats: DataFrame        # per-band finalized stats
+    assignments: DataFrame  # the spatial-join output (J1 relation)
+    stitched: DataFrame = field(repr=False, default=None)
+
+
+def validate_projections(footprints: DataFrame) -> None:
+    """P6/P7 — all inputs must agree on projection and pixel size, and be
+    grid-aligned to the first input (reference reproj.py:72-127).
+    One tiny aggregate over the dim table; raises MoaProjectionError.
+    """
+    first = F.min_by(F.struct("projection", "x_res", "y_res", "x0", "y0"), F.col("priority"))
+    row = footprints.agg(
+        F.countDistinct("projection").alias("n_proj"),
+        F.countDistinct("x_res").alias("n_xres"),
+        F.countDistinct("y_res").alias("n_yres"),
+        first.alias("first"),
+    ).collect()[0]
+    if row["first"] is None:
+        raise ValueError(
+            "no media footprints found — the documents table has no media "
+            "spans (or the footprints table is empty)"
+        )
+    if row["n_proj"] > 1:
+        raise MoaProjectionError("Projection mis-match between inputs")
+    if row["n_xres"] > 1 or row["n_yres"] > 1:
+        raise MoaProjectionError("Pixel size mis-match between inputs")
+    f = row["first"]
+    # isAligned (reproj.py:117-127): |round(d/res) - d/res| < 1e-4
+    def misaligned(coord, origin, res):
+        factor = F.abs(F.col(coord) - F.lit(origin)) / F.lit(res)
+        return F.abs(F.round(factor) - factor) >= 0.0001
+
+    bad = footprints.where(
+        misaligned("x0", f["x0"], f["x_res"]) | misaligned("y0", f["y0"], f["y_res"])
+    ).limit(1).count()
+    if bad:
+        raise MoaProjectionError("Grid mis-alignment between inputs")
+
+
+def validate_blocks(footprints: DataFrame, blocks: DataFrame) -> None:
+    """Optional integrity prepass: every (media_ref, band) a footprint
+    declares must have pixel rows in the blocks table. Without this, a
+    missing source silently drops its tiles from the output (the
+    single-node reference would instead fail opening the file,
+    mosaic.py:253). One aggregate scan of the blocks table's key columns
+    — column pruning keeps the pixel payload unread."""
+    expected = footprints.select(
+        "media_ref",
+        F.explode(F.sequence(F.lit(1), F.col("n_bands"))).alias("band"),
+    )
+    missing = expected.join(
+        blocks.select("media_ref", "band").distinct(),
+        on=["media_ref", "band"],
+        how="left_anti",
+    )
+    got = missing.limit(5).collect()
+    if got:
+        refs = ", ".join(f"{r.media_ref}/b{r.band}" for r in got)
+        raise ValueError(f"blocks table missing pixel data for: {refs} ...")
+
+
+def _contributor_chunks(assignments: DataFrame, blocks: DataFrame, src_bs: int) -> DataFrame:
+    """Explode each (tile, contributor) to its covering source chunks and
+    join the pixel payloads.
+
+    The clamp (mosaic.py:258-263) happens here in column math so only
+    chunks inside the source extent are pulled; this is the engine's
+    partition-pruning analog — the join keys (media_ref, b_row, b_col)
+    push down to the blocks table's partitioning at scale.
+    """
+    a = assignments.select(
+        "*",
+        F.greatest(F.col("in_top"), F.lit(0)).alias("top1"),
+        F.greatest(F.col("in_left"), F.lit(0)).alias("left1"),
+        F.least(F.col("in_top") + F.col("in_ysize"), F.col("src_nrows")).alias("bottom1"),
+        F.least(F.col("in_left") + F.col("in_xsize"), F.col("src_ncols")).alias("right1"),
+    ).where((F.col("bottom1") > F.col("top1")) & (F.col("right1") > F.col("left1")))
+    a = a.select(
+        "*",
+        F.explode(
+            F.sequence(
+                (F.col("top1") / src_bs).cast("int"),
+                ((F.col("bottom1") - 1) / src_bs).cast("int"),
+            )
+        ).alias("b_row"),
+    ).select(
+        "*",
+        F.explode(
+            F.sequence(
+                (F.col("left1") / src_bs).cast("int"),
+                ((F.col("right1") - 1) / src_bs).cast("int"),
+            )
+        ).alias("b_col"),
+    ).drop("top1", "left1", "bottom1", "right1")
+    return a.join(blocks, on=["media_ref", "b_row", "b_col"], how="inner")
+
+
+def _null_tile_rows(
+    spark: SparkSession,
+    gap_tiles: DataFrame,
+    grid: OutputGrid,
+    levels: list,
+    with_overviews: bool,
+) -> DataFrame:
+    """Tiles intersecting no input: pure-null fill, written without any
+    read or merge (reference mosaic.py:351-359) — synthesized JVM-side
+    (array_repeat), never touching Python."""
+    nullval = int(grid.nullval)
+    bands = spark.range(1, grid.n_bands + 1).select(F.col("id").cast("int").alias("band"))
+    g = gap_tiles.crossJoin(bands)
+
+    def null_rows(sel_level, y_off, x_off, nr, nc):
+        return [
+            F.lit(sel_level).cast("int").alias("level"),
+            F.col("band"),
+            F.col("tile_row"),
+            F.col("tile_col"),
+            y_off.cast("int").alias("y_off"),
+            x_off.cast("int").alias("x_off"),
+            nr.cast("int").alias("ysize"),
+            nc.cast("int").alias("xsize"),
+            F.array_repeat(F.lit(nullval), (nr * nc).cast("int")).alias("pixels"),
+            F.lit(0).cast("long").alias("px_count"),
+            F.lit(0.0).alias("px_sum"),
+            F.lit(0.0).alias("px_ssq"),
+            F.lit(None).cast("double").alias("px_min"),
+            F.lit(None).cast("double").alias("px_max"),
+        ]
+
+    out = g.select(*null_rows(0, F.col("top"), F.col("left"), F.col("ysize"), F.col("xsize")))
+    if with_overviews:
+        for lvl in levels:
+            o = lvl // 2
+            ov_nr, ov_nc = gridmod.overview_shape(grid.nrows, grid.ncols, lvl)
+            frag_nr = F.when(F.col("ysize") > o, ((F.col("ysize") - 1 - o) / lvl + 1).cast("int")).otherwise(F.lit(0))
+            frag_nc = F.when(F.col("xsize") > o, ((F.col("xsize") - 1 - o) / lvl + 1).cast("int")).otherwise(F.lit(0))
+            y_off = (F.col("top") / lvl).cast("int")
+            x_off = (F.col("left") / lvl).cast("int")
+            nr = F.least(frag_nr, F.lit(ov_nr) - y_off)
+            nc = F.least(frag_nc, F.lit(ov_nc) - x_off)
+            frag = g.where((nr > 0) & (nc > 0)).select(*null_rows(lvl, y_off, x_off, nr, nc))
+            out = out.unionByName(frag)
+    return out
+
+
+def do_mosaic(
+    spark: SparkSession,
+    footprints: DataFrame,
+    blocks: DataFrame,
+    config: MosaicConfig | None = None,
+) -> MosaicResult:
+    """Run the full mosaic dataflow. Returns lazy DataFrames — callers
+    trigger execution by writing or collecting."""
+    config = config or MosaicConfig()
+    if config.check_projections:
+        validate_projections(footprints)
+    if config.check_blocks:
+        validate_blocks(footprints, blocks)
+
+    grid = make_output_grid(footprints, config.nullval)
+    levels = (
+        overview_levels(grid.nrows, grid.ncols, config.min_overview_size)
+        if config.with_overviews
+        else []
+    )
+    tiles = make_tile_relation(spark, grid, config.blocksize)
+    assignments = assign_inputs(
+        tiles,
+        footprints,
+        grid,
+        strategy=config.strategy,
+        **({"cell_size_px": config.cell_size_px, "salt": config.salt}
+           if config.strategy == "cell" else {}),
+    )
+
+    work = _contributor_chunks(assignments, blocks, config.src_blocksize)
+    stitch = make_stitch_fn(grid, levels)
+    stitched = work.groupBy("band", "tile_row", "tile_col").applyInPandas(
+        stitch, STITCH_SCHEMA
+    )
+
+    gap_tiles = tiles.join(
+        assignments.select("tile_row", "tile_col").distinct(),
+        on=["tile_row", "tile_col"],
+        how="left_anti",
+    )
+    stitched = stitched.unionByName(
+        _null_tile_rows(spark, gap_tiles, grid, levels, config.with_overviews)
+    )
+
+    tiles_out = stitched.where(F.col("level") == 0)
+    overviews = stitched.where(F.col("level") > 0)
+    stats = finalize_stats(stitched)
+    return MosaicResult(
+        grid=grid,
+        levels=levels,
+        tiles=tiles_out,
+        overviews=overviews,
+        stats=stats,
+        assignments=assignments,
+        stitched=stitched,
+    )
+
+
+def write_mosaic(result: MosaicResult, path: str, partitions: int | None = None) -> None:
+    """Ordered sink (O2/S6): deterministic row-major tile order via range
+    partitioning + in-partition sort — the distributed form of the
+    reference's strictly ordered single-writer loop (mosaic.py:337-375)."""
+    t = result.tiles
+    if partitions:
+        t = t.repartitionByRange(partitions, "band", "tile_row", "tile_col")
+    else:
+        t = t.repartitionByRange("band", "tile_row", "tile_col")
+    t.sortWithinPartitions("band", "tile_row", "tile_col").write.mode("overwrite").parquet(
+        f"{path}/tiles"
+    )
+    if result.levels:
+        o = result.overviews.repartitionByRange("level", "band", "tile_row", "tile_col")
+        o.sortWithinPartitions("level", "band", "tile_row", "tile_col").write.mode(
+            "overwrite"
+        ).parquet(f"{path}/overviews")
+    result.stats.coalesce(1).write.mode("overwrite").parquet(f"{path}/stats")

@@ -1,0 +1,47 @@
+"""SparkSession builder with the engine's required and tuned configs.
+
+Required: Arrow execution (the stitch kernel and all corpus builders move
+pixel arrays across the Python<->JVM boundary as Arrow batches — numpy
+values are rejected by the legacy row path).
+
+Tuned for the stitch workload: tile rows are ~64KB-4MB each, so Arrow
+batches are capped at a small record count to bound executor memory
+(SURVEY.md §7.5), and AQE is on for skew splitting and shuffle
+coalescing.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import SparkSession
+
+ENGINE_CONF = {
+    "spark.sql.execution.arrow.pyspark.enabled": "true",
+    "spark.sql.execution.arrow.maxRecordsPerBatch": "64",
+    "spark.sql.adaptive.enabled": "true",
+    "spark.sql.adaptive.coalescePartitions.enabled": "true",
+    "spark.sql.adaptive.skewJoin.enabled": "true",
+    "spark.serializer": "org.apache.spark.serializer.KryoSerializer",
+}
+
+
+def get_spark(
+    master: str | None = None,
+    app_name: str = "moamosaic-spark",
+    shuffle_partitions: int | None = None,
+    extra_conf: dict | None = None,
+) -> SparkSession:
+    """Build (or reuse) a SparkSession with the engine conf applied.
+
+    ``master=None`` leaves the master to spark-submit / the environment
+    (the cluster path); tests and local tools pass ``local[N]``.
+    """
+    b = SparkSession.builder.appName(app_name)
+    if master:
+        b = b.master(master)
+    for k, v in ENGINE_CONF.items():
+        b = b.config(k, v)
+    if shuffle_partitions is not None:
+        b = b.config("spark.sql.shuffle.partitions", str(shuffle_partitions))
+    for k, v in (extra_conf or {}).items():
+        b = b.config(k, v)
+    return b.getOrCreate()
