@@ -1,0 +1,365 @@
+#!/usr/bin/env python
+"""Benchmark driver: headline queries + two-parallelism scaling evidence.
+
+Prints ONE JSON line:
+  {"metric": "...", "value": <total sec>, "unit": "sec",
+   "queries": {name: sec, ...}, "sf": <sf>,
+   "mosaic": {"tiles": N, "tiles_per_sec": X, "px_per_sec": X},
+   "scaling": {"cores_lo": 8, "cores_hi": 32, "tiles_per_sec_lo": X,
+               "tiles_per_sec_hi": X, "efficiency": X}}
+
+The scaling section evidences the north rule's two-cluster-size
+criterion in-sandbox: the identical mosaic job on identical input at
+local[8] vs local[32]; efficiency = (T8 / T32) / 4.
+
+Each Spark master runs in its own subprocess (a JVM cannot change
+master in-process). Env knobs: SPARK_GRAFT_SF_DIR (default
+/root/testdata/sf0.1), SPARK_GRAFT_CPUS (default 32),
+SPARK_GRAFT_BENCH_GRID (rasters per side, default 5),
+SPARK_GRAFT_BENCH_RSIZE (raster px, default 2048).
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import subprocess
+import sys
+import time
+from pathlib import Path
+
+REPO = Path(__file__).resolve().parent
+sys.path.insert(0, str(REPO))
+
+SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+CPUS = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
+BENCH_GRID = int(os.environ.get("SPARK_GRAFT_BENCH_GRID", "5"))
+BENCH_RSIZE = int(os.environ.get("SPARK_GRAFT_BENCH_RSIZE", "2048"))
+BLOCKSIZE = 1024
+SRC_BS = 512
+
+
+def _spark(cores: int):
+    from moamosaic_spark.session import get_spark
+
+    return get_spark(
+        f"local[{cores}]",
+        app_name=f"moamosaic-bench-{cores}",
+        shuffle_partitions=max(cores, 8),
+        extra_conf={"spark.ui.enabled": "false", "spark.driver.memory": "16g"},
+    )
+
+
+def bench_mosaic_corpus(spark):
+    """Deterministic bench corpus: BENCH_GRID^2 rasters of BENCH_RSIZE^2
+    px, 16-px overlaps, pixel = local column index — generated entirely
+    JVM-side (transform/sequence), no Python in the data path."""
+    from pyspark.sql import functions as F
+
+    n, rs = BENCH_GRID, BENCH_RSIZE
+    stride = rs - 16
+    k = F.col("id").cast("int")
+    fp = spark.range(n * n).select(
+        F.concat(F.lit("r"), k.cast("string")).alias("media_ref"),
+        k.alias("priority"),
+        (F.lit(300000.0) + (k % n) * (stride * 10.0)).alias("x0"),
+        (F.lit(7000000.0) - F.floor(k / n) * (stride * 10.0)).alias("y0"),
+        F.lit(10.0).alias("x_res"),
+        F.lit(10.0).alias("y_res"),
+        F.lit(rs).alias("ncols"),
+        F.lit(rs).alias("nrows"),
+        F.lit(1).alias("n_bands"),
+        F.lit("uint16").alias("dtype"),
+        F.lit(0.0).alias("nullval"),
+        F.lit("EPSG:32756").alias("projection"),
+    )
+    nb = (rs + SRC_BS - 1) // SRC_BS
+    b = (
+        fp.select("media_ref", "ncols", "nrows")
+        .select("*", F.explode(F.sequence(F.lit(0), F.lit(nb - 1))).alias("b_row"))
+        .select("*", F.explode(F.sequence(F.lit(0), F.lit(nb - 1))).alias("b_col"))
+        .repartition(max(CPUS, 8))
+        .select(
+            "media_ref",
+            F.lit(1).alias("band"),
+            "b_row",
+            "b_col",
+            (F.col("b_row") * SRC_BS).alias("b_top"),
+            (F.col("b_col") * SRC_BS).alias("b_left"),
+            F.least(F.lit(SRC_BS), F.col("nrows") - F.col("b_row") * SRC_BS).alias("b_ysize"),
+            F.least(F.lit(SRC_BS), F.col("ncols") - F.col("b_col") * SRC_BS).alias("b_xsize"),
+        )
+        .where((F.col("b_ysize") > 0) & (F.col("b_xsize") > 0))
+        .withColumn(
+            "pixels",
+            F.transform(
+                F.sequence(F.lit(0), F.col("b_ysize") * F.col("b_xsize") - 1),
+                lambda i: (F.col("b_left") + i % F.col("b_xsize")).cast("int"),
+            ),
+        )
+    )
+    return fp, b
+
+
+CORPUS_DIR = os.environ.get(
+    "SPARK_GRAFT_BENCH_CORPUS",
+    f"/tmp/moamosaic_bench_corpus_g{BENCH_GRID}_r{BENCH_RSIZE}",
+)
+
+
+def ensure_corpus(spark) -> None:
+    """Materialize the bench corpus to parquet once — the engine under
+    test reads stored tables (as the reference reads stored rasters);
+    generation cost is excluded from the measurement."""
+    marker = Path(CORPUS_DIR) / "_DONE"
+    if marker.exists():
+        return
+    fp, blocks = bench_mosaic_corpus(spark)
+    fp.write.mode("overwrite").parquet(f"{CORPUS_DIR}/footprints")
+    blocks.write.mode("overwrite").parquet(f"{CORPUS_DIR}/blocks")
+    marker.touch()
+
+
+def run_mosaic(spark) -> dict:
+    from pyspark.sql import functions as F
+
+    from moamosaic_spark.mosaic import MosaicConfig, do_mosaic
+
+    ensure_corpus(spark)
+    fp = spark.read.parquet(f"{CORPUS_DIR}/footprints")
+    blocks = spark.read.parquet(f"{CORPUS_DIR}/blocks")
+    cfg = MosaicConfig(
+        blocksize=BLOCKSIZE,
+        src_blocksize=SRC_BS,
+        min_overview_size=1024,
+        strategy="cell",
+        cell_size_px=4096,
+    )
+    t0 = time.time()
+    res = do_mosaic(spark, fp, blocks, cfg)
+    row = res.tiles.agg(
+        F.count("*").alias("tiles"), F.sum("px_count").alias("px")
+    ).collect()[0]
+    dt = time.time() - t0
+    return {
+        "seconds": dt,
+        "tiles": int(row["tiles"]),
+        "valid_px": int(row["px"]),
+        "tiles_per_sec": round(row["tiles"] / dt, 3),
+        "px_per_sec": round(row["px"] / dt, 1),
+    }
+
+
+def run_headline(spark) -> dict:
+    """Headline operator suite at SF_DIR."""
+    from moamosaic_spark import driver_contract as DC
+
+    out = {}
+
+    def timed(name, fn):
+        t0 = time.time()
+        fn()
+        out[name] = round(time.time() - t0, 3)
+
+    sf = SF_DIR
+    timed("mosaic_pipeline", lambda: DC.q_mosaic_tile_checksums(spark, sf).collect())
+    timed("mosaic_join", lambda: DC.q_mosaic_assignments(spark, sf).count())
+    timed("dedup_minhash", lambda: DC.q_dedup_minhash_sig(spark, sf).count())
+    timed("dedup_ngram", lambda: DC.q_dedup_ngram_pairs(spark, sf).count())
+    timed("dedup_simhash", lambda: DC.q_dedup_simhash(spark, sf).count())
+    timed("embedding_topk", lambda: DC.q_embedding_topk(spark, sf).collect())
+    timed("doc_token_stats", lambda: DC.q_doc_token_stats(spark, sf).count())
+    timed("lineitem_agg", lambda: DC.q_lineitem_agg(spark, sf).collect())
+    timed("events_hourly", lambda: DC.q_events_hourly(spark, sf).count())
+    timed("orders_by_nation", lambda: DC.q_orders_by_nation(spark, sf).collect())
+    return out
+
+
+def warmup(spark) -> None:
+    """Tiny untimed mosaic to JIT codegen paths, fork Python workers and
+    open Arrow channels, so the timed run measures steady state."""
+    from moamosaic_spark.mosaic import MosaicConfig, do_mosaic
+    from moamosaic_spark.sources import synth
+
+    rasters = synth.golden_pair(128, 128)
+    docs, fp, blocks = synth.corpus_to_spark(spark, rasters)
+    res = do_mosaic(
+        spark, fp, blocks, MosaicConfig(blocksize=64, src_blocksize=256, min_overview_size=32)
+    )
+    res.tiles.count()
+
+
+def run_mosaic_median(spark, n: int = 3) -> dict:
+    """Median-of-n to damp host-level noise (shared VM: identical runs
+    vary up to 3x; see BENCH.md)."""
+    runs = [run_mosaic(spark) for _ in range(n)]
+    runs.sort(key=lambda r: r["seconds"])
+    med = runs[len(runs) // 2]
+    med["runs_seconds"] = [round(r["seconds"], 3) for r in runs]
+    return med
+
+
+def run_join_scaling(spark) -> dict:
+    """Planning-stage scaling job: 2.56M output tiles x 10k footprints
+    through the cell-keyed spatial join — pure JVM codegen + one narrow
+    shuffle, no pixel payload. This is the CPU-bound half of the engine;
+    see BENCH.md for why pixel stages cannot scale on this host."""
+    from pyspark.sql import functions as F
+
+    from moamosaic_spark.plans.grid import OutputGrid, make_tile_relation
+    from moamosaic_spark.plans.spatial_join import assign_inputs
+
+    grid = OutputGrid(
+        x_min=300000.0, y_max=7000000.0, x_res=10.0, y_res=10.0,
+        ncols=102400, nrows=102400, n_bands=1, nullval=0,
+        dtype="uint16", projection="EPSG:32756",
+    )
+    tiles = make_tile_relation(spark, grid, 64)
+    k = F.col("id").cast("int")
+    fp = spark.range(10000).select(
+        F.concat(F.lit("r"), k.cast("string")).alias("media_ref"),
+        k.alias("priority"),
+        (F.lit(300000.0) + (k % 100) * 10200.0).alias("x0"),
+        (F.lit(7000000.0) - F.floor(k / 100) * 10200.0).alias("y0"),
+        F.lit(10.0).alias("x_res"), F.lit(10.0).alias("y_res"),
+        F.lit(1024).alias("ncols"), F.lit(1024).alias("nrows"),
+    )
+    asg = assign_inputs(tiles, fp, grid, strategy="cell", cell_size_px=512, blocksize=64)
+    asg.count()  # warm
+    ts = []
+    n = 0
+    for _ in range(3):
+        t0 = time.time()
+        n = asg.count()
+        ts.append(time.time() - t0)
+    ts.sort()
+    return {
+        "seconds": ts[1],
+        "rows": n,
+        "rows_per_sec": round(n / ts[1], 1),
+        "runs_seconds": [round(t, 3) for t in ts],
+    }
+
+
+def _memcpy_worker(_):
+    import numpy as np
+
+    a = np.ones(25_000_000, dtype=np.int32)
+    t0 = time.time()
+    for _ in range(3):
+        b = a.copy()
+        b[0] += 1
+    return 3 * a.nbytes / (time.time() - t0) / 1e9
+
+
+def memcpy_control(nproc: int) -> float:
+    """Aggregate numpy copy bandwidth (GB/s) at nproc processes — the
+    host-capability control for interpreting pixel-stage scaling."""
+    import multiprocessing as mp
+
+    with mp.Pool(nproc) as p:
+        return round(sum(p.map(_memcpy_worker, range(nproc))), 2)
+
+
+def child_main(mode: str, cores: int) -> None:
+    spark = _spark(cores)
+    spark.sparkContext.setLogLevel("ERROR")
+    try:
+        if mode == "mosaic":
+            warmup(spark)
+            print("RESULT:" + json.dumps(run_mosaic_median(spark)))
+        elif mode == "joinscale":
+            print("RESULT:" + json.dumps(run_join_scaling(spark)))
+        else:
+            t0 = time.time()
+            queries = run_headline(spark)
+            mosaic = run_mosaic(spark)
+            print(
+                "RESULT:"
+                + json.dumps(
+                    {"queries": queries, "mosaic": mosaic, "total": time.time() - t0}
+                )
+            )
+    finally:
+        spark.stop()
+
+
+def spawn(mode: str, cores: int) -> dict:
+    env = dict(os.environ)
+    env["PYTHONPATH"] = str(REPO) + os.pathsep + env.get("PYTHONPATH", "")
+    p = subprocess.run(
+        [sys.executable, __file__, "--child", mode, str(cores)],
+        capture_output=True,
+        text=True,
+        env=env,
+        timeout=3600,
+    )
+    for line in p.stdout.splitlines():
+        if line.startswith("RESULT:"):
+            return json.loads(line[7:])
+    sys.stderr.write(p.stdout[-2000:] + "\n" + p.stderr[-4000:])
+    raise RuntimeError(f"bench child failed (mode={mode}, cores={cores})")
+
+
+def main() -> None:
+    if len(sys.argv) > 1 and sys.argv[1] == "--child":
+        child_main(sys.argv[2], int(sys.argv[3]))
+        return
+
+    sf = SF_DIR.rstrip("/").split("sf")[-1]
+    head = spawn("headline", CPUS)
+
+    # 4 vs 16 cores: a true 4x while keeping JVM task threads + Python
+    # kernel workers within the machine's 32 hardware threads at the
+    # high end (local[32] would oversubscribe 2x and measure contention,
+    # not scaling)
+    lo_cores, hi_cores = int(os.environ.get("SPARK_GRAFT_SCALE_LO", "4")), int(
+        os.environ.get("SPARK_GRAFT_SCALE_HI", "16")
+    )
+    lo = spawn("mosaic", lo_cores)
+    hi = spawn("mosaic", hi_cores)
+    speedup = lo["seconds"] / hi["seconds"]
+    efficiency = speedup / (hi_cores / lo_cores)
+
+    jlo = spawn("joinscale", lo_cores)
+    jhi = spawn("joinscale", hi_cores)
+    j_speedup = jlo["seconds"] / jhi["seconds"]
+    j_eff = j_speedup / (hi_cores / lo_cores)
+
+    out = {
+        "metric": "headline operator suite elapsed (mosaic pipeline + dedup + "
+        "similarity + text + relational) at sf, local[%d]" % CPUS,
+        "value": round(head["total"], 3),
+        "unit": "sec",
+        "queries": head["queries"],
+        "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
+        "mosaic": head["mosaic"],
+        "scaling": {
+            "cores_lo": lo_cores,
+            "cores_hi": hi_cores,
+            "mosaic": {
+                "seconds_lo": round(lo["seconds"], 3),
+                "seconds_hi": round(hi["seconds"], 3),
+                "tiles_per_sec_lo": lo["tiles_per_sec"],
+                "tiles_per_sec_hi": hi["tiles_per_sec"],
+                "speedup": round(speedup, 3),
+                "efficiency": round(efficiency, 3),
+            },
+            "spatial_join": {
+                "seconds_lo": round(jlo["seconds"], 3),
+                "seconds_hi": round(jhi["seconds"], 3),
+                "rows": jlo["rows"],
+                "speedup": round(j_speedup, 3),
+                "efficiency": round(j_eff, 3),
+            },
+            "host_memcpy_control_gbps": {
+                str(lo_cores): memcpy_control(lo_cores),
+                str(hi_cores): memcpy_control(hi_cores),
+            },
+        },
+    }
+    print(json.dumps(out))
+
+
+if __name__ == "__main__":
+    main()

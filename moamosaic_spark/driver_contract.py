@@ -1,0 +1,663 @@
+"""Driver-contract queries: every operator from SURVEY.md §2 exposed as a
+(spark, sf_dir) -> DataFrame callable with a DuckDB-replayable ANSI-SQL
+oracle over the shared testdata parquet views.
+
+Mosaic-engine queries derive a deterministic 5x5 raster mosaic from the
+``nation`` table (25 rows -> 25 footprints, 200x200 px each, 4-px
+overlap, pixel value = local column index, null = 0 — the reference
+golden-test value rule, tests.py:77-79). The Spark side runs the REAL
+engine (tile relation, spatial join, stitch kernel); the oracle replays
+the same algebra as set-based SQL over a generated pixel grid —
+completely different execution strategy, same numbers.
+
+All aggregates are explicitly cast/rounded identically on both sides so
+the driver's schema + value-hash comparison is exact.
+"""
+
+from __future__ import annotations
+
+import functools
+
+from pyspark.sql import DataFrame, SparkSession, functions as F
+
+from .mosaic import MosaicConfig, do_mosaic
+from .functions import dedup as D
+from .functions import similarity as S
+from .functions import text as T
+from .functions.portable import hash32_sql, hash60_sql, seeded_hash32_sql
+
+# ---------------------------------------------------------------------------
+# Derived mosaic corpus (from `nation`)
+# ---------------------------------------------------------------------------
+
+N_GRID = 5          # 5x5 rasters
+R_SIZE = 200        # raster px
+R_STRIDE = 196      # px stride -> 4 px overlap
+X0, Y0, RES = 300000.0, 7000000.0, 10.0
+BLOCKSIZE = 256
+SRC_BS = 128
+MIN_OV = 64
+CELL_PX = 256       # cell size for the cell-cover query
+
+
+def derived_footprints(spark: SparkSession, sf_dir: str) -> DataFrame:
+    nation = spark.read.parquet(f"{sf_dir}/nation.parquet")
+    k = F.col("n_nationkey").cast("int")
+    return nation.select(
+        F.concat(F.lit("r"), k.cast("string")).alias("media_ref"),
+        k.alias("priority"),
+        (F.lit(X0) + (k % N_GRID) * (R_STRIDE * RES)).alias("x0"),
+        (F.lit(Y0) - F.floor(k / N_GRID) * (R_STRIDE * RES)).alias("y0"),
+        F.lit(RES).alias("x_res"),
+        F.lit(RES).alias("y_res"),
+        F.lit(R_SIZE).alias("ncols"),
+        F.lit(R_SIZE).alias("nrows"),
+        F.lit(1).alias("n_bands"),
+        F.lit("uint16").alias("dtype"),
+        F.lit(0.0).alias("nullval"),
+        F.lit("EPSG:32756").alias("projection"),
+    )
+
+
+def derived_blocks(footprints: DataFrame) -> DataFrame:
+    """Pixel chunks generated JVM-side: value = local column index
+    (transform/sequence — no Python, no driver materialization)."""
+    sbs = SRC_BS
+    nb = (R_SIZE + sbs - 1) // sbs
+    fp = footprints.select("media_ref", "ncols", "nrows")
+    b = fp.select(
+        "*",
+        F.explode(F.sequence(F.lit(0), F.lit(nb - 1))).alias("b_row"),
+    ).select(
+        "*",
+        F.explode(F.sequence(F.lit(0), F.lit(nb - 1))).alias("b_col"),
+    )
+    b = b.select(
+        "media_ref",
+        F.lit(1).alias("band"),
+        "b_row",
+        "b_col",
+        (F.col("b_row") * sbs).alias("b_top"),
+        (F.col("b_col") * sbs).alias("b_left"),
+        F.least(F.lit(sbs), F.col("nrows") - F.col("b_row") * sbs).alias("b_ysize"),
+        F.least(F.lit(sbs), F.col("ncols") - F.col("b_col") * sbs).alias("b_xsize"),
+    ).where((F.col("b_ysize") > 0) & (F.col("b_xsize") > 0))
+    pixels = F.transform(
+        F.sequence(F.lit(0), F.col("b_ysize") * F.col("b_xsize") - 1),
+        lambda i: (F.col("b_left") + i % F.col("b_xsize")).cast("int"),
+    )
+    return b.withColumn("pixels", pixels)
+
+
+_RESULT_CACHE: dict = {}
+
+
+def _mosaic_result_cached(sf_dir: str, spark: SparkSession | None = None):
+    """One engine run per (session, sf_dir) — DataFrames are bound to
+    their session, so the cache must not outlive it."""
+    if spark is None:
+        spark = SparkSession.getActiveSession()
+        if spark is None:
+            from .session import get_spark
+
+            spark = get_spark()
+    key = (id(spark), sf_dir)
+    if key not in _RESULT_CACHE:
+        fp = derived_footprints(spark, sf_dir)
+        blocks = derived_blocks(fp)
+        cfg = MosaicConfig(
+            blocksize=BLOCKSIZE, src_blocksize=SRC_BS, min_overview_size=MIN_OV
+        )
+        _RESULT_CACHE[key] = do_mosaic(spark, fp, blocks, cfg)
+    return _RESULT_CACHE[key]
+
+
+# SQL prologue shared by all mosaic oracles: footprints -> extent ->
+# grid -> tiles -> merged pixels, replayed as set-based SQL.
+def _sql_prologue() -> str:
+    stride = R_STRIDE * RES
+    return f"""
+WITH fp AS (
+  SELECT 'r' || CAST(CAST(n_nationkey AS INT) AS VARCHAR) AS media_ref,
+         CAST(n_nationkey AS INT) AS priority,
+         {X0} + (n_nationkey % {N_GRID}) * {stride} AS x0,
+         {Y0} - CAST(floor(n_nationkey / {N_GRID}) AS INT) * {stride} AS y0,
+         {RES} AS x_res, {RES} AS y_res,
+         {R_SIZE} AS ncols, {R_SIZE} AS nrows
+  FROM nation
+),
+ext AS (
+  SELECT min(x0) AS x_min, max(x0 + ncols * x_res) AS x_max,
+         min(y0 - nrows * y_res) AS y_min, max(y0) AS y_max
+  FROM fp
+),
+grid AS (
+  SELECT x_min, y_max,
+         CAST(round((x_max - x_min) / {RES}) AS INT) AS g_ncols,
+         CAST(round((y_max - y_min) / {RES}) AS INT) AS g_nrows
+  FROM ext
+),
+nb AS (
+  SELECT g_ncols, g_nrows, x_min, y_max,
+         greatest(1, CAST(floor((g_nrows - {BLOCKSIZE // 4}) * 1.0 / {BLOCKSIZE}) AS INT) + 1) AS nb_r,
+         greatest(1, CAST(floor((g_ncols - {BLOCKSIZE // 4}) * 1.0 / {BLOCKSIZE}) AS INT) + 1) AS nb_c
+  FROM grid
+),
+tiles AS (
+  -- literal series bounds + filter: DuckDB 1.0 generate_series cannot
+  -- take lateral/column parameters
+  SELECT tr.i AS tile_row, tc.i AS tile_col,
+         tr.i * {BLOCKSIZE} AS t_top, tc.i * {BLOCKSIZE} AS t_left,
+         CASE WHEN tr.i < nb_r - 1 THEN {BLOCKSIZE} ELSE g_nrows - (nb_r - 1) * {BLOCKSIZE} END AS t_ysize,
+         CASE WHEN tc.i < nb_c - 1 THEN {BLOCKSIZE} ELSE g_ncols - (nb_c - 1) * {BLOCKSIZE} END AS t_xsize
+  FROM nb,
+       generate_series(0, 255) tr(i),
+       generate_series(0, 255) tc(i)
+  WHERE tr.i < nb_r AND tc.i < nb_c
+),
+fpx AS (
+  SELECT f.*, g.y_max, g.x_min,
+         CAST(round((g.y_max - f.y0) / {RES}) AS INT) AS row0,
+         CAST(round((f.x0 - g.x_min) / {RES}) AS INT) AS col0
+  FROM fp f, grid g
+),
+contrib AS (
+  SELECT f.row0 + lr.i AS r, f.col0 + lc.i AS c, f.priority, lc.i AS val
+  FROM fpx f,
+       generate_series(0, {R_SIZE - 1}) lr(i),
+       generate_series(0, {R_SIZE - 1}) lc(i)
+  WHERE lr.i < f.nrows AND lc.i < f.ncols AND lc.i != 0
+),
+merged AS (
+  SELECT r, c, arg_max(val, priority) AS val
+  FROM contrib
+  GROUP BY r, c
+)
+"""
+
+
+SQL_MOSAIC_EXTENT = f"""{_sql_prologue()}
+SELECT x_min, y_max, g_ncols AS ncols, g_nrows AS nrows FROM grid
+"""
+
+SQL_MOSAIC_TILES = f"""{_sql_prologue()}
+SELECT tile_row, tile_col, t_top, t_left, t_ysize, t_xsize FROM tiles
+"""
+
+SQL_MOSAIC_ASSIGNMENTS = f"""{_sql_prologue()}
+SELECT t.tile_row, t.tile_col, f.media_ref, f.priority,
+       CAST(round((g.y_max - t.t_top * {RES} - f.y0) * -1 / {RES}) AS INT) AS in_top,
+       CAST(round(((g.x_min + t.t_left * {RES}) - f.x0) / {RES}) AS INT) AS in_left,
+       CAST(t.t_ysize AS INT) AS in_ysize,
+       CAST(t.t_xsize AS INT) AS in_xsize
+FROM tiles t, fp f, grid g
+WHERE (CAST(round(((g.x_min + (t.t_left + t.t_xsize) * {RES}) - f.x0) / {RES}) AS INT)) > 0
+  AND (CAST(round((f.y0 - (g.y_max - (t.t_top + t.t_ysize) * {RES})) / {RES}) AS INT)) > 0
+  AND (CAST(round(((g.x_min + t.t_left * {RES}) - f.x0) / {RES}) AS INT)) < f.ncols
+  AND (CAST(round((f.y0 - (g.y_max - t.t_top * {RES})) / {RES}) AS INT)) < f.nrows
+"""
+
+SQL_MOSAIC_TILE_CHECKSUMS = f"""{_sql_prologue()}
+SELECT 1 AS band,
+       CAST(least(floor(m.r * 1.0 / {BLOCKSIZE}), nb.nb_r - 1) AS INT) AS tile_row,
+       CAST(least(floor(m.c * 1.0 / {BLOCKSIZE}), nb.nb_c - 1) AS INT) AS tile_col,
+       CAST(count(*) AS BIGINT) AS n_valid,
+       CAST(sum(m.val) AS BIGINT) AS sum_val,
+       CAST(min(m.val) AS INT) AS min_val,
+       CAST(max(m.val) AS INT) AS max_val
+FROM merged m, nb
+GROUP BY 1, 2, 3
+"""
+
+SQL_MOSAIC_STATS = f"""{_sql_prologue()}
+SELECT 1 AS band,
+       CAST(min(val) AS DOUBLE) AS minval,
+       CAST(max(val) AS DOUBLE) AS maxval,
+       round(avg(val), 6) AS meanval,
+       round(stddev_pop(val), 6) AS stddev,
+       CAST(count(*) AS BIGINT) AS count
+FROM merged
+"""
+
+# overview levels for the 984x984 derived grid with min size 64: [4, 8]
+SQL_MOSAIC_OVERVIEW_CHECKSUMS = f"""{_sql_prologue()}
+SELECT lvl.l AS level,
+       CAST(count(*) AS BIGINT) AS n_valid,
+       CAST(sum(m.val) AS BIGINT) AS sum_val,
+       CAST(min(m.val) AS INT) AS min_val,
+       CAST(max(m.val) AS INT) AS max_val
+FROM merged m, (SELECT unnest([4, 8]) AS l) lvl
+WHERE (m.r - lvl.l // 2) % lvl.l = 0 AND (m.c - lvl.l // 2) % lvl.l = 0
+  AND m.r >= lvl.l // 2 AND m.c >= lvl.l // 2
+GROUP BY 1
+"""
+
+
+def _morton_sql(x: str, y: str) -> str:
+    def spread(v: str) -> str:
+        s = f"CAST({v} AS BIGINT)"
+        s = f"(({s} | ({s} << 8)) & 71777214294589695)"
+        s = f"(({s} | ({s} << 4)) & 1085102592571150095)"
+        s = f"(({s} | ({s} << 2)) & 3689348814741910323)"
+        s = f"(({s} | ({s} << 1)) & 6148914691236517205)"
+        return s
+
+    return f"({spread(x)} | ({spread(y)} << 1))"
+
+
+def _cell_covers_sql() -> str:
+    cell = CELL_PX * RES
+    return f"""{_sql_prologue()}
+, cov AS (
+  SELECT f.media_ref, cx.i AS cx, cy.i AS cy
+  FROM fp f, grid g,
+       generate_series(0, 63) cx(i),
+       generate_series(0, 63) cy(i)
+  WHERE cx.i >= greatest(CAST(floor((f.x0 - g.x_min) / {cell}) AS BIGINT), 0)
+    AND cx.i <= greatest(CAST(floor((f.x0 + f.ncols * f.x_res - g.x_min) / {cell}) AS BIGINT), 0)
+    AND cy.i >= greatest(CAST(floor((g.y_max - f.y0) / {cell}) AS BIGINT), 0)
+    AND cy.i <= greatest(CAST(floor((g.y_max - (f.y0 - f.nrows * f.y_res)) / {cell}) AS BIGINT), 0)
+)
+SELECT media_ref,
+       CAST(count(*) AS BIGINT) AS n_cells,
+       CAST(min({_morton_sql('cx', 'cy')}) AS BIGINT) AS min_cell,
+       CAST(max({_morton_sql('cx', 'cy')}) AS BIGINT) AS max_cell
+FROM cov
+GROUP BY media_ref
+"""
+
+
+# ---------------------------------------------------------------------------
+# Spark-side query callables (mosaic)
+# ---------------------------------------------------------------------------
+
+def q_mosaic_extent(spark: SparkSession, sf_dir: str) -> DataFrame:
+    res = _mosaic_result_cached(sf_dir, spark)
+    g = res.grid
+    return spark.createDataFrame(
+        [(g.x_min, g.y_max, g.ncols, g.nrows)], ["x_min", "y_max", "ncols", "nrows"]
+    )
+
+
+def q_mosaic_tiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .plans.grid import make_tile_relation
+
+    res = _mosaic_result_cached(sf_dir, spark)
+    return make_tile_relation(spark, res.grid, BLOCKSIZE).select(
+        "tile_row",
+        "tile_col",
+        F.col("top").alias("t_top"),
+        F.col("left").alias("t_left"),
+        F.col("ysize").alias("t_ysize"),
+        F.col("xsize").alias("t_xsize"),
+    )
+
+
+def q_mosaic_assignments(spark: SparkSession, sf_dir: str) -> DataFrame:
+    res = _mosaic_result_cached(sf_dir, spark)
+    return res.assignments.select(
+        "tile_row", "tile_col", "media_ref", "priority",
+        "in_top", "in_left", "in_ysize", "in_xsize",
+    )
+
+
+def _nonnull(col):
+    return F.filter(col, lambda x: x != 0)
+
+
+def q_mosaic_tile_checksums(spark: SparkSession, sf_dir: str) -> DataFrame:
+    res = _mosaic_result_cached(sf_dir, spark)
+    nn = _nonnull(F.col("pixels"))
+    return res.tiles.where(F.col("px_count") > 0).select(
+        "band",
+        "tile_row",
+        "tile_col",
+        F.col("px_count").cast("long").alias("n_valid"),
+        F.aggregate(nn, F.lit(0).cast("long"), lambda a, x: a + x).alias("sum_val"),
+        F.array_min(nn).cast("int").alias("min_val"),
+        F.array_max(nn).cast("int").alias("max_val"),
+    )
+
+
+def q_mosaic_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    res = _mosaic_result_cached(sf_dir, spark)
+    return res.stats.select(
+        "band",
+        "minval",
+        "maxval",
+        F.round("meanval", 6).alias("meanval"),
+        F.round("stddev", 6).alias("stddev"),
+        "count",
+    )
+
+
+def q_mosaic_overview_checksums(spark: SparkSession, sf_dir: str) -> DataFrame:
+    res = _mosaic_result_cached(sf_dir, spark)
+    nn = _nonnull(F.col("pixels"))
+    per_frag = res.overviews.select(
+        "level",
+        F.size(nn).cast("long").alias("nv"),
+        F.aggregate(nn, F.lit(0).cast("long"), lambda a, x: a + x).alias("sv"),
+        F.array_min(nn).cast("int").alias("mn"),
+        F.array_max(nn).cast("int").alias("mx"),
+    )
+    return per_frag.groupBy("level").agg(
+        F.sum("nv").cast("long").alias("n_valid"),
+        F.sum("sv").cast("long").alias("sum_val"),
+        F.min("mn").cast("int").alias("min_val"),
+        F.max("mx").cast("int").alias("max_val"),
+    )
+
+
+def q_cell_covers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .plans.spatial_join import _footprint_cell_covers
+
+    res = _mosaic_result_cached(sf_dir, spark)
+    fp = derived_footprints(spark, sf_dir)
+    cov = _footprint_cell_covers(fp, res.grid, CELL_PX * RES, pad=0.0)
+    return cov.groupBy("media_ref").agg(
+        F.count("*").cast("long").alias("n_cells"),
+        F.min("cell_id").cast("long").alias("min_cell"),
+        F.max("cell_id").cast("long").alias("max_cell"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# Text / dedup / similarity queries (documents, embeddings)
+# ---------------------------------------------------------------------------
+
+def q_doc_token_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    qf = T.quality_features(docs)
+    return qf.select(
+        "doc_id",
+        F.col("n_tokens").cast("long").alias("n_tokens"),
+        F.round("mean_token_len", 6).alias("mean_token_len"),
+        F.round("stopword_ratio", 6).alias("stopword_ratio"),
+        F.round("alpha_ratio", 6).alias("alpha_ratio"),
+    )
+
+
+SQL_DOC_TOKEN_STATS = """
+WITH toks AS (
+  SELECT doc_id, string_split_regex(trim(text), '\\s+') AS tok, text
+  FROM documents
+)
+SELECT doc_id,
+       CAST(len(tok) AS BIGINT) AS n_tokens,
+       round(CASE WHEN len(tok) > 0
+             THEN length(list_aggregate(tok, 'string_agg', '')) * 1.0 / len(tok)
+             ELSE 0.0 END, 6) AS mean_token_len,
+       round(CASE WHEN len(tok) > 0
+             THEN len(list_filter(tok, x -> x IN ('the','a','and','of','to','in','is','it'))) * 1.0 / len(tok)
+             ELSE 0.0 END, 6) AS stopword_ratio,
+       round(CASE WHEN length(text) > 0
+             THEN length(regexp_replace(text, '[^a-zA-Z]', '', 'g')) * 1.0 / length(text)
+             ELSE 0.0 END, 6) AS alpha_ratio
+FROM toks
+"""
+
+
+def q_dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    return D.exact_duplicates(docs).select(
+        "fp", F.col("n_docs").cast("long").alias("n_docs"), F.col("keep_id").cast("long").alias("keep_id")
+    )
+
+
+SQL_DEDUP_EXACT = """
+SELECT md5(regexp_replace(lower(trim(text)), '\\s+', ' ', 'g')) AS fp,
+       CAST(count(*) AS BIGINT) AS n_docs,
+       CAST(min(doc_id) AS BIGINT) AS keep_id
+FROM documents
+GROUP BY 1
+"""
+
+
+def q_dedup_ngram_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    pairs = D.ngram_jaccard_pairs(docs, k=3, threshold=0.2)
+    return pairs.select(
+        F.col("doc_a").cast("long").alias("doc_a"),
+        F.col("doc_b").cast("long").alias("doc_b"),
+        F.round("jaccard", 6).alias("jaccard"),
+    )
+
+
+_SQL_SHINGLES = """
+WITH toks AS (
+  SELECT doc_id, string_split_regex(trim(text), '\\s+') AS tok FROM documents
+),
+shl AS (
+  SELECT doc_id,
+         CASE WHEN len(tok) >= 3
+           THEN list_transform(generate_series(0, len(tok) - 3),
+                               i -> tok[i + 1] || ' ' || tok[i + 2] || ' ' || tok[i + 3])
+           ELSE [list_aggregate(tok, 'string_agg', ' ')]
+         END AS shingles
+  FROM toks
+),
+sh AS (
+  SELECT DISTINCT doc_id, unnest(shingles) AS shingle FROM shl
+)
+"""
+
+SQL_DEDUP_NGRAM_PAIRS = _SQL_SHINGLES + """,
+sizes AS (SELECT doc_id, count(*) AS n_sh FROM sh GROUP BY doc_id),
+inter AS (
+  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS n_common
+  FROM sh a JOIN sh b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+  GROUP BY 1, 2
+)
+SELECT CAST(i.doc_a AS BIGINT) AS doc_a, CAST(i.doc_b AS BIGINT) AS doc_b,
+       round(i.n_common * 1.0 / (sa.n_sh + sb.n_sh - i.n_common), 6) AS jaccard
+FROM inter i
+JOIN sizes sa ON sa.doc_id = i.doc_a
+JOIN sizes sb ON sb.doc_id = i.doc_b
+WHERE i.n_common * 1.0 / (sa.n_sh + sb.n_sh - i.n_common) >= 0.2
+"""
+
+
+N_MINHASH = 8
+
+
+def q_dedup_minhash_sig(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    sig = D.minhash_signatures(docs, k=3, num_hashes=N_MINHASH)
+    return sig.select(
+        F.col("doc_id").cast("long").alias("doc_id"),
+        *[F.col(f"h{i}").cast("long").alias(f"h{i}") for i in range(N_MINHASH)],
+    )
+
+
+def _minhash_sig_sql() -> str:
+    mins = ",\n       ".join(
+        f"CAST(min({seeded_hash32_sql(i, 'shingle')}) AS BIGINT) AS h{i}"
+        for i in range(N_MINHASH)
+    )
+    return f"""{_SQL_SHINGLES}
+SELECT CAST(doc_id AS BIGINT) AS doc_id,
+       {mins}
+FROM sh
+GROUP BY doc_id
+"""
+
+
+def q_dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    return D.simhash(docs).select(
+        F.col("doc_id").cast("long").alias("doc_id"),
+        F.col("simhash").cast("long").alias("simhash"),
+    )
+
+
+SQL_DEDUP_SIMHASH = f"""
+WITH toks AS (
+  SELECT DISTINCT doc_id, unnest(string_split_regex(trim(text), '\\s+')) AS tok
+  FROM documents
+),
+hashed AS (
+  SELECT doc_id, {hash60_sql('tok')} AS h FROM toks
+),
+votes AS (
+  SELECT doc_id, b.i AS bit,
+         sum(CASE WHEN (h >> b.i) & 1 = 1 THEN 1 ELSE -1 END) AS v
+  FROM hashed, generate_series(0, 59) b(i)
+  GROUP BY doc_id, b.i
+)
+SELECT CAST(doc_id AS BIGINT) AS doc_id,
+       CAST(sum(CASE WHEN v > 0 THEN (CAST(1 AS BIGINT) << bit) ELSE 0 END) AS BIGINT) AS simhash
+FROM votes
+GROUP BY doc_id
+"""
+
+
+TOPK_K = 10
+
+
+def q_embedding_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    qvec = [float(x) for x in emb.where("vec_id = 0").collect()[0].embedding]
+    top = S.brute_force_topk(emb, qvec, k=TOPK_K)
+    return top.select(
+        F.col("vec_id").cast("long").alias("vec_id"),
+        F.round("cos_sim", 4).alias("cos_sim"),
+    )
+
+
+SQL_EMBEDDING_TOPK = f"""
+WITH q AS (SELECT embedding AS qv FROM embeddings WHERE vec_id = 0),
+scored AS (
+  SELECT e.vec_id,
+         list_dot_product(CAST(e.embedding AS DOUBLE[]), CAST(q.qv AS DOUBLE[]))
+         / (sqrt(list_dot_product(CAST(e.embedding AS DOUBLE[]), CAST(e.embedding AS DOUBLE[])))
+          * sqrt(list_dot_product(CAST(q.qv AS DOUBLE[]), CAST(q.qv AS DOUBLE[])))) AS cs
+  FROM embeddings e, q
+)
+SELECT CAST(vec_id AS BIGINT) AS vec_id, round(cs, 4) AS cos_sim
+FROM scored
+ORDER BY cs DESC, vec_id
+LIMIT {TOPK_K}
+"""
+
+
+# ---------------------------------------------------------------------------
+# Relational demos (Catalyst-native operator coverage)
+# ---------------------------------------------------------------------------
+
+def q_lineitem_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = spark.read.parquet(f"{sf_dir}/lineitem.parquet")
+    return (
+        li.where(F.col("l_quantity") > 0)
+        .groupBy("l_returnflag", "l_linestatus")
+        .agg(
+            F.sum("l_quantity").cast("double").alias("sum_qty"),
+            F.round(F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2).alias(
+                "sum_disc_price"
+            ),
+            F.count("*").alias("count_order"),
+        )
+    )
+
+
+SQL_LINEITEM_AGG = """
+SELECT l_returnflag, l_linestatus,
+       CAST(sum(l_quantity) AS DOUBLE) AS sum_qty,
+       round(sum(l_extendedprice * (1 - l_discount)), 2) AS sum_disc_price,
+       CAST(count(*) AS BIGINT) AS count_order
+FROM lineitem
+WHERE l_quantity > 0
+GROUP BY l_returnflag, l_linestatus
+"""
+
+
+def q_events_hourly(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet")
+    return (
+        ev.groupBy("event_type", F.date_trunc("hour", "ts").alias("hour"))
+        .agg(
+            F.count("*").alias("n"),
+            F.round(F.sum("value"), 4).alias("sum_value"),
+        )
+    )
+
+
+SQL_EVENTS_HOURLY = """
+SELECT event_type, date_trunc('hour', ts) AS hour,
+       CAST(count(*) AS BIGINT) AS n,
+       round(sum(value), 4) AS sum_value
+FROM events
+GROUP BY 1, 2
+"""
+
+
+def q_orders_by_nation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = spark.read.parquet(f"{sf_dir}/orders.parquet")
+    cust = spark.read.parquet(f"{sf_dir}/customer.parquet")
+    nation = spark.read.parquet(f"{sf_dir}/nation.parquet")
+    return (
+        orders.join(F.broadcast(cust), orders.o_custkey == cust.c_custkey)
+        .join(F.broadcast(nation), cust.c_nationkey == nation.n_nationkey)
+        .groupBy("n_name")
+        .agg(
+            F.count("*").alias("n_orders"),
+            F.round(F.sum("o_totalprice"), 2).alias("total_price"),
+        )
+    )
+
+
+SQL_ORDERS_BY_NATION = """
+SELECT n_name,
+       CAST(count(*) AS BIGINT) AS n_orders,
+       round(sum(o_totalprice), 2) AS total_price
+FROM orders
+JOIN customer ON o_custkey = c_custkey
+JOIN nation ON c_nationkey = n_nationkey
+GROUP BY n_name
+"""
+
+
+# ---------------------------------------------------------------------------
+# Registry
+# ---------------------------------------------------------------------------
+
+def queries() -> dict:
+    return {
+        "mosaic_extent": q_mosaic_extent,
+        "mosaic_tiles": q_mosaic_tiles,
+        "mosaic_assignments": q_mosaic_assignments,
+        "mosaic_tile_checksums": q_mosaic_tile_checksums,
+        "mosaic_stats": q_mosaic_stats,
+        "mosaic_overview_checksums": q_mosaic_overview_checksums,
+        "cell_covers": q_cell_covers,
+        "doc_token_stats": q_doc_token_stats,
+        "dedup_exact": q_dedup_exact,
+        "dedup_ngram_pairs": q_dedup_ngram_pairs,
+        "dedup_minhash_sig": q_dedup_minhash_sig,
+        "dedup_simhash": q_dedup_simhash,
+        "embedding_topk": q_embedding_topk,
+        "lineitem_agg": q_lineitem_agg,
+        "events_hourly": q_events_hourly,
+        "orders_by_nation": q_orders_by_nation,
+    }
+
+
+def oracle_sql() -> dict:
+    return {
+        "mosaic_extent": SQL_MOSAIC_EXTENT,
+        "mosaic_tiles": SQL_MOSAIC_TILES,
+        "mosaic_assignments": SQL_MOSAIC_ASSIGNMENTS,
+        "mosaic_tile_checksums": SQL_MOSAIC_TILE_CHECKSUMS,
+        "mosaic_stats": SQL_MOSAIC_STATS,
+        "mosaic_overview_checksums": SQL_MOSAIC_OVERVIEW_CHECKSUMS,
+        "cell_covers": _cell_covers_sql(),
+        "doc_token_stats": SQL_DOC_TOKEN_STATS,
+        "dedup_exact": SQL_DEDUP_EXACT,
+        "dedup_ngram_pairs": SQL_DEDUP_NGRAM_PAIRS,
+        "dedup_minhash_sig": _minhash_sig_sql(),
+        "dedup_simhash": SQL_DEDUP_SIMHASH,
+        "embedding_topk": SQL_EMBEDDING_TOPK,
+        "lineitem_agg": SQL_LINEITEM_AGG,
+        "events_hourly": SQL_EVENTS_HOURLY,
+        "orders_by_nation": SQL_ORDERS_BY_NATION,
+    }

@@ -50,6 +50,7 @@ class MosaicConfig:
     check_projections: bool = True
     check_blocks: bool = False         # integrity prepass over the blocks table
     with_overviews: bool = True
+    kernel: str = "arrow"              # 'arrow' (applyInArrow) | 'pandas'
 
 
 @dataclass
@@ -151,8 +152,43 @@ def _contributor_chunks(assignments: DataFrame, blocks: DataFrame, src_bs: int) 
                 ((F.col("right1") - 1) / src_bs).cast("int"),
             )
         ).alias("b_col"),
-    ).drop("top1", "left1", "bottom1", "right1")
-    return a.join(blocks, on=["media_ref", "b_row", "b_col"], how="inner")
+    )
+    joined = a.join(blocks, on=["media_ref", "b_row", "b_col"], how="inner")
+    # Clip each chunk to its tile's read window JVM-side BEFORE the big
+    # shuffle (the predicate/projection-pushdown analog of the reference's
+    # windowed ReadAsArray, mosaic.py:264): chunks straddling a tile edge
+    # would otherwise ship ~2x their useful bytes to the stitch stage.
+    rt = F.greatest(F.col("b_top"), F.col("top1"))
+    rb = F.least(F.col("b_top") + F.col("b_ysize"), F.col("bottom1"))
+    cl = F.greatest(F.col("b_left"), F.col("left1"))
+    cr = F.least(F.col("b_left") + F.col("b_xsize"), F.col("right1"))
+    clipped = F.flatten(
+        F.transform(
+            F.sequence(rt - F.col("b_top"), rb - F.col("b_top") - 1),
+            lambda r: F.slice(
+                F.col("pixels"),
+                r * F.col("b_xsize") + (cl - F.col("b_left")) + 1,
+                cr - cl,
+            ),
+        )
+    )
+    # interior chunks (the vast majority) pass through untouched — the
+    # row-by-row slice rebuild only runs for chunks straddling a window edge
+    untouched = (
+        (rt == F.col("b_top"))
+        & (rb == F.col("b_top") + F.col("b_ysize"))
+        & (cl == F.col("b_left"))
+        & (cr == F.col("b_left") + F.col("b_xsize"))
+    )
+    return (
+        joined.where((rb > rt) & (cr > cl))
+        .withColumn("pixels", F.when(untouched, F.col("pixels")).otherwise(clipped))
+        .withColumn("b_ysize", rb - rt)
+        .withColumn("b_xsize", cr - cl)
+        .withColumn("b_top", rt)
+        .withColumn("b_left", cl)
+        .drop("top1", "left1", "bottom1", "right1")
+    )
 
 
 def _null_tile_rows(
@@ -212,6 +248,9 @@ def do_mosaic(
     """Run the full mosaic dataflow. Returns lazy DataFrames — callers
     trigger execution by writing or collecting."""
     config = config or MosaicConfig()
+    from .session import ensure_workers_can_import
+
+    ensure_workers_can_import(spark)
     if config.check_projections:
         validate_projections(footprints)
     if config.check_blocks:
@@ -229,15 +268,21 @@ def do_mosaic(
         footprints,
         grid,
         strategy=config.strategy,
-        **({"cell_size_px": config.cell_size_px, "salt": config.salt}
+        **({"cell_size_px": config.cell_size_px, "salt": config.salt,
+            "blocksize": config.blocksize}
            if config.strategy == "cell" else {}),
     )
 
     work = _contributor_chunks(assignments, blocks, config.src_blocksize)
-    stitch = make_stitch_fn(grid, levels)
-    stitched = work.groupBy("band", "tile_row", "tile_col").applyInPandas(
-        stitch, STITCH_SCHEMA
-    )
+    grouped = work.groupBy("band", "tile_row", "tile_col")
+    if config.kernel == "arrow":
+        from .operators.stitch import make_stitch_fn_arrow
+
+        stitched = grouped.applyInArrow(make_stitch_fn_arrow(grid, levels), STITCH_SCHEMA)
+    elif config.kernel == "pandas":
+        stitched = grouped.applyInPandas(make_stitch_fn(grid, levels), STITCH_SCHEMA)
+    else:
+        raise ValueError(f"unknown kernel: {config.kernel}")
 
     gap_tiles = tiles.join(
         assignments.select("tile_row", "tile_col").distinct(),

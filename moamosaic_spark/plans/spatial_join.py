@@ -138,6 +138,7 @@ def assign_inputs_cell(
     grid: OutputGrid,
     cell_size_px: int = 4096,
     salt: int = 1,
+    blocksize: int | None = None,
 ) -> DataFrame:
     """Cell-keyed scale strategy.
 
@@ -157,10 +158,18 @@ def assign_inputs_cell(
             F.floor(F.col("top") * F.lit(grid.y_res) / F.lit(cell_size)).cast("long"),
         ),
     )
-    # Margin: a tile extends < 1.25*blocksize past its corner cell's
-    # origin; pad footprint covers by tile-extent + one pixel of rounding
-    # slop so the tile's key cell is always in the cover set.
-    pad = cell_size + 2.0 * cell_size_px * grid.x_res
+    # Margin: a tile's far corner extends at most (max tile extent) past
+    # its key-cell anchor (the tile's top-left), so padding footprint
+    # covers by exactly that + rounding slop guarantees every
+    # intersecting tile's key cell is covered. The max tile extent under
+    # the remainder-absorbing rule is blocksize + blocksize//4 - 1
+    # (grid.py:n_blocks). A loose pad costs join-candidate blowup
+    # (candidates scale with pad^2), so keep it tight.
+    if blocksize is not None:
+        pad_px = blocksize + blocksize // 4 + 2
+    else:
+        pad_px = cell_size_px  # conservative when tile size unknown
+    pad = pad_px * grid.x_res
     fp = _footprint_cell_covers(footprints, grid, cell_size, pad)
 
     if salt > 1:

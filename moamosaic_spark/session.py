@@ -12,6 +12,8 @@ coalescing.
 
 from __future__ import annotations
 
+import tempfile
+
 from pyspark.sql import SparkSession
 
 ENGINE_CONF = {
@@ -22,6 +24,29 @@ ENGINE_CONF = {
     "spark.sql.adaptive.skewJoin.enabled": "true",
     "spark.serializer": "org.apache.spark.serializer.KryoSerializer",
 }
+
+
+def ensure_workers_can_import(spark: SparkSession) -> None:
+    """Ship this package to executors via addPyFile (the spark-submit
+    --py-files pattern, self-serve). Without it, grouped-map kernels fail
+    on workers with ModuleNotFoundError whenever the repo isn't on the
+    workers' PYTHONPATH (e.g. a driver harness importing by file path)."""
+    if getattr(spark, "_moa_pyfiles_added", False):
+        return
+    import zipfile
+    from pathlib import Path
+
+    pkg_dir = Path(__file__).resolve().parent
+    zip_path = Path(tempfile.gettempdir()) / "moamosaic_spark_pkg.zip"
+    src_mtime = max(p.stat().st_mtime for p in pkg_dir.rglob("*.py"))
+    if not zip_path.exists() or zip_path.stat().st_mtime < src_mtime:
+        tmp = zip_path.with_suffix(".tmp.zip")
+        with zipfile.ZipFile(tmp, "w") as z:
+            for p in sorted(pkg_dir.rglob("*.py")):
+                z.write(p, f"{pkg_dir.name}/{p.relative_to(pkg_dir)}")
+        tmp.replace(zip_path)
+    spark.sparkContext.addPyFile(str(zip_path))
+    spark._moa_pyfiles_added = True
 
 
 def get_spark(

@@ -1,0 +1,68 @@
+"""Replicates the driver's correctness gate locally: run every
+queries() entry on Spark and its oracle_sql() twin on DuckDB over the
+same parquet, and require identical row counts, column names, and
+(sorted) values."""
+
+import math
+
+import duckdb
+import pytest
+
+from moamosaic_spark import driver_contract as DC
+
+SF_DIR = "/root/testdata/sf0.001"
+TABLES = [
+    "region", "nation", "customer", "supplier", "part", "orders",
+    "lineitem", "events", "documents", "embeddings",
+]
+
+
+@pytest.fixture(scope="module")
+def duck():
+    con = duckdb.connect()
+    for t in TABLES:
+        con.execute(
+            f"CREATE VIEW {t} AS SELECT * FROM read_parquet('{SF_DIR}/{t}.parquet')"
+        )
+    yield con
+    con.close()
+
+
+def normalize(rows):
+    out = []
+    for row in rows:
+        vals = []
+        for v in row:
+            if isinstance(v, float):
+                if math.isnan(v):
+                    vals.append("nan")
+                else:
+                    vals.append(round(v, 9))
+            else:
+                vals.append(v)
+        out.append(tuple(vals))
+    return sorted(out, key=repr)
+
+
+@pytest.mark.parametrize("name", sorted(DC.queries().keys()))
+def test_query_matches_oracle(spark, duck, name):
+    q = DC.queries()[name]
+    sql = DC.oracle_sql()[name]
+    sdf = q(spark, SF_DIR)
+    spark_cols = [c.lower() for c in sdf.columns]
+    srows = [tuple(r) for r in sdf.collect()]
+
+    dres = duck.execute(sql)
+    duck_cols = [d[0].lower() for d in dres.description]
+    drows = dres.fetchall()
+
+    assert spark_cols == duck_cols, f"{name}: column mismatch {spark_cols} vs {duck_cols}"
+    assert len(srows) == len(drows), f"{name}: rowcount {len(srows)} vs {len(drows)}"
+    # align column order by name (driver sorts by column name)
+    order = sorted(range(len(spark_cols)), key=lambda i: spark_cols[i])
+    s_sorted = normalize([tuple(r[i] for i in order) for r in srows])
+    d_sorted = normalize([tuple(r[i] for i in order) for r in drows])
+    mismatches = [
+        (a, b) for a, b in zip(s_sorted, d_sorted) if a != b
+    ]
+    assert not mismatches, f"{name}: first value mismatches: {mismatches[:3]}"
