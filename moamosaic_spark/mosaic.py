@@ -244,9 +244,14 @@ def do_mosaic(
     footprints: DataFrame,
     blocks: DataFrame,
     config: MosaicConfig | None = None,
+    grid: OutputGrid | None = None,
 ) -> MosaicResult:
     """Run the full mosaic dataflow. Returns lazy DataFrames — callers
-    trigger execution by writing or collecting."""
+    trigger execution by writing or collecting.
+
+    ``grid`` pins the output grid explicitly (incremental runs must keep
+    tile coordinates stable while footprints accumulate); by default it
+    is derived from the footprints via the extent aggregate."""
     config = config or MosaicConfig()
     from .session import ensure_workers_can_import
 
@@ -256,7 +261,8 @@ def do_mosaic(
     if config.check_blocks:
         validate_blocks(footprints, blocks)
 
-    grid = make_output_grid(footprints, config.nullval)
+    if grid is None:
+        grid = make_output_grid(footprints, config.nullval)
     levels = (
         overview_levels(grid.nrows, grid.ncols, config.min_overview_size)
         if config.with_overviews

@@ -1,0 +1,149 @@
+"""Structured-Streaming wrapper: incremental mosaic over a stream of
+interleaved documents.
+
+The reference is strictly batch (its queue is an intra-run pipe, not an
+event stream — SURVEY.md §2.7), but a 10^12-doc corpus arrives
+incrementally. This wrapper consumes a document stream with
+``foreachBatch``; each micro-batch:
+
+1. extracts the batch's media refs (posexplode, kind='media'),
+2. appends them to a cumulative footprints-seen state table (priority =
+   global arrival order — preserving the reference's filelist-order
+   merge semantics across batches),
+3. computes which output tiles the NEW footprints touch (the same
+   cell-keyed spatial join, on the new refs only),
+4. re-stitches exactly those tiles from ALL sources seen so far and
+   dynamic-partition-overwrites them in the sink.
+
+Recomputing touched tiles from cumulative state (instead of merging
+deltas in place) keeps every micro-batch idempotent — a replayed batch
+writes identical bytes, so exactly-once sinks aren't needed.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, functions as F
+
+from ..mosaic import MosaicConfig, do_mosaic
+from ..sources.docs import media_refs_in_order
+
+
+def _state_path(out_path: str) -> str:
+    return f"{out_path}/footprints_seen"
+
+
+def read_seen(spark: SparkSession, out_path: str) -> DataFrame | None:
+    try:
+        return spark.read.parquet(_state_path(out_path))
+    except Exception:
+        return None
+
+
+def process_batch(
+    batch_docs: DataFrame,
+    batch_id: int,
+    spark: SparkSession,
+    footprint_meta: DataFrame,
+    blocks: DataFrame,
+    out_path: str,
+    config: MosaicConfig,
+) -> dict:
+    """One micro-batch of the incremental mosaic (foreachBatch body)."""
+    spark.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
+
+    new_refs = media_refs_in_order(batch_docs)
+    seen = read_seen(spark, out_path)
+    offset = 0 if seen is None else seen.count()
+    new_fp = (
+        new_refs.withColumn("priority", F.col("priority") + F.lit(offset))
+        .join(footprint_meta.drop("priority"), on="media_ref", how="inner")
+    )
+    if seen is not None:
+        new_fp = new_fp.join(seen.select("media_ref"), on="media_ref", how="left_anti")
+    n_new = new_fp.count()
+    if n_new == 0:
+        return {"batch_id": batch_id, "new_refs": 0, "tiles_written": 0}
+
+    new_fp.write.mode("append").parquet(_state_path(out_path))
+    all_fp = read_seen(spark, out_path)
+
+    # The output grid is pinned from the FULL footprint catalog (known
+    # upfront), not the cumulative-seen subset: a later footprint
+    # extending the extent west/north would otherwise shift every
+    # existing tile's (tile_row, tile_col).
+    from ..plans.grid import make_output_grid
+
+    grid = make_output_grid(footprint_meta, config.nullval)
+    res = do_mosaic(spark, all_fp, blocks, config, grid=grid)
+    touched = (
+        res.assignments.join(
+            new_fp.select("media_ref"), on="media_ref", how="left_semi"
+        )
+        .select("tile_row", "tile_col")
+        .distinct()
+    )
+    part_of = F.pmod(F.col("tile_row"), F.lit(16))
+    out_tiles = res.tiles.join(
+        touched, on=["tile_row", "tile_col"], how="left_semi"
+    ).withColumn("part", part_of)
+    n = out_tiles.count()
+
+    # Row-level MERGE emulation over a partitioned parquet sink (an
+    # Iceberg sink would do this natively): rewrite only the partitions
+    # containing touched tiles, carrying over their untouched rows.
+    # Dynamic partition overwrite alone would drop untouched tiles that
+    # share a partition with touched ones.
+    try:
+        existing = spark.read.parquet(f"{out_path}/tiles")
+    except Exception:
+        existing = None
+    if existing is not None:
+        keep = (
+            existing.join(touched, on=["tile_row", "tile_col"], how="left_anti")
+            .join(
+                out_tiles.select("part").distinct(), on="part", how="left_semi"
+            )
+        )
+        out_tiles = out_tiles.unionByName(keep.select(*out_tiles.columns))
+        # materialize before overwriting the path we just read from
+        out_tiles = out_tiles.localCheckpoint(eager=True)
+    (
+        out_tiles.repartitionByRange("band", "tile_row", "tile_col")
+        .sortWithinPartitions("band", "tile_row", "tile_col")
+        .write.mode("overwrite")
+        .partitionBy("part")
+        .parquet(f"{out_path}/tiles")
+    )
+    return {"batch_id": batch_id, "new_refs": n_new, "tiles_written": n}
+
+
+def incremental_mosaic_stream(
+    spark: SparkSession,
+    docs_stream: DataFrame,
+    footprint_meta: DataFrame,
+    blocks: DataFrame,
+    out_path: str,
+    config: MosaicConfig | None = None,
+    checkpoint: str | None = None,
+    trigger_available_now: bool = True,
+):
+    """Wire a streaming documents DataFrame into the incremental mosaic.
+
+    ``docs_stream`` is a streaming DF with the documents schema (e.g.
+    ``spark.readStream.schema(DOCUMENTS_SCHEMA).parquet(dir)``).
+    Returns the StreamingQuery.
+    """
+    config = config or MosaicConfig()
+    checkpoint = checkpoint or f"{out_path}/_checkpoint"
+
+    def fb(batch_docs: DataFrame, batch_id: int) -> None:
+        process_batch(
+            batch_docs, batch_id, spark, footprint_meta, blocks, out_path, config
+        )
+
+    writer = docs_stream.writeStream.foreachBatch(fb).option(
+        "checkpointLocation", checkpoint
+    )
+    if trigger_available_now:
+        writer = writer.trigger(availableNow=True)
+    return writer.start()

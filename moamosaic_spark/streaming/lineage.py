@@ -1,0 +1,136 @@
+"""C6 — resumable mosaic runs with per-partition lineage checkpoints.
+
+The reference has NO resume: a killed run restarts from scratch (its
+per-file countdown, structures.py:141-170, only manages file handles).
+The north rule requires it, so the rebuild adds the natural Spark
+construct: the tile space is split into coarse row-range batches; each
+batch is one idempotent job that writes its tiles to a partitioned sink
+and appends one lineage row (batch key, tile count, seconds, status).
+Resume = **left anti-join** of the batch list against completed lineage
+(the J4 countdown's true distributed analog, SURVEY.md §2.3) — a killed
+run re-executes only its unfinished batches.
+
+Batches partition tiles by tile_row ranges, so each batch's spatial
+join prunes its tile relation by a range predicate (partition pruning
+on the generated side) and its output lands in its own sink partition
+(`batch=K/`) — re-running a batch overwrites only that partition
+(dynamic partition overwrite), making resume idempotent.
+"""
+
+from __future__ import annotations
+
+import time
+import uuid
+
+from pyspark.sql import DataFrame, SparkSession, functions as F
+
+from ..mosaic import MosaicConfig, MosaicResult, do_mosaic
+from ..plans.grid import n_blocks
+
+
+def _lineage_path(out_path: str) -> str:
+    return f"{out_path}/lineage"
+
+
+def read_lineage(spark: SparkSession, out_path: str) -> DataFrame | None:
+    try:
+        return spark.read.parquet(_lineage_path(out_path))
+    except Exception:
+        return None
+
+
+def completed_batches(
+    spark: SparkSession, out_path: str, n_batches: int | None = None
+) -> set[int]:
+    """Batch keys marked done — only for the SAME batch geometry: a
+    lineage row from a run with a different ``n_batches`` describes
+    different tile ranges, so it must not satisfy this run's keys."""
+    lin = read_lineage(spark, out_path)
+    if lin is None:
+        return set()
+    done = lin.where(F.col("status") == "done")
+    if n_batches is not None and "n_batches" in lin.columns:
+        done = done.where(F.col("n_batches") == n_batches)
+    rows = done.select("batch_key").distinct().collect()
+    return {r.batch_key for r in rows}
+
+
+def resumable_mosaic(
+    spark: SparkSession,
+    footprints: DataFrame,
+    blocks: DataFrame,
+    out_path: str,
+    config: MosaicConfig | None = None,
+    n_batches: int = 8,
+    run_id: str | None = None,
+    fail_after: int | None = None,
+) -> dict:
+    """Run the mosaic in ``n_batches`` idempotent row-range batches with
+    lineage checkpointing; re-invocation with the same ``out_path``
+    resumes, skipping completed batches.
+
+    ``fail_after`` (testing hook) raises after that many batches,
+    simulating a killed run.
+
+    Returns {"run_id", "batches_run", "batches_skipped", "grid"}.
+    """
+    from ..plans.grid import make_output_grid
+
+    config = config or MosaicConfig()
+    run_id = run_id or uuid.uuid4().hex[:12]
+
+    grid = make_output_grid(footprints, config.nullval)
+    nb_r = n_blocks(grid.nrows, config.blocksize)
+    n_batches = min(n_batches, nb_r)
+    done = completed_batches(spark, out_path, n_batches)
+
+    spark.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
+
+    # ONE lazy plan; each batch filters it by a tile_row range — Catalyst
+    # pushes the predicate into the generated tile relation and the join,
+    # so a batch only ever stitches its own rows.
+    res = do_mosaic(spark, footprints, blocks, config)
+
+    from pyspark.sql import Observation
+
+    ran, skipped = 0, 0
+    for b in range(n_batches):
+        if b in done:
+            skipped += 1
+            continue
+        # tile_row range of this batch
+        lo = b * nb_r // n_batches
+        hi = (b + 1) * nb_r // n_batches
+        t0 = time.time()
+        obs = Observation()
+        batch_tiles = (
+            res.tiles.where((F.col("tile_row") >= lo) & (F.col("tile_row") < hi))
+            .withColumn("batch", F.lit(b))
+            .observe(obs, F.count(F.lit(1)).alias("n"))
+        )
+        (
+            batch_tiles.repartitionByRange("band", "tile_row", "tile_col")
+            .sortWithinPartitions("band", "tile_row", "tile_col")
+            .write.mode("overwrite")
+            .partitionBy("batch")
+            .parquet(f"{out_path}/tiles")
+        )
+        n_tiles = obs.get["n"]
+        seconds = time.time() - t0
+        lineage_row = spark.createDataFrame(
+            [(run_id, b, n_batches, 1, grid.n_bands, n_tiles, seconds, "done")],
+            "run_id string, batch_key long, n_batches int, band_lo int, "
+            "band_hi int, n_tiles long, seconds double, status string",
+        )
+        lineage_row.write.mode("append").parquet(_lineage_path(out_path))
+        ran += 1
+        if fail_after is not None and ran >= fail_after:
+            raise RuntimeError(f"simulated failure after {ran} batches")
+
+    return {
+        "run_id": run_id,
+        "batches_run": ran,
+        "batches_skipped": skipped,
+        "grid": grid,
+        "n_batches": n_batches,
+    }

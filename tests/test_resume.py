@@ -1,0 +1,71 @@
+"""C6 resume: a killed run resumes from lineage without recomputing
+completed batches, and the resumed output is pixel-identical to an
+uninterrupted run."""
+
+import numpy as np
+import pytest
+
+from moamosaic_spark.mosaic import MosaicConfig
+from moamosaic_spark.sources import synth
+from moamosaic_spark.streaming.lineage import completed_batches, resumable_mosaic
+from tests.conftest import to_blocks, to_footprints
+
+
+@pytest.fixture()
+def corpus(spark):
+    rasters = synth.grid3x3(150, 150)
+    fp = to_footprints(spark, synth.footprints_pdf(rasters))
+    blocks = to_blocks(spark, synth.blocks_pdf(rasters, 256))
+    want = synth.oracle(rasters, blocksize=64, min_overview_size=9999)
+    cfg = MosaicConfig(blocksize=64, src_blocksize=256, with_overviews=False)
+    return fp, blocks, want, cfg
+
+
+def _read_tiles(spark, path):
+    df = spark.read.parquet(f"{path}/tiles")
+    out = {}
+    for r in df.collect():
+        key = (r.band, r.tile_row, r.tile_col)
+        assert key not in out, f"duplicate tile {key} in sink"
+        out[key] = np.asarray(r.pixels, dtype=np.int32).reshape(r.ysize, r.xsize)
+    return out
+
+
+def test_kill_resume_identical(spark, tmp_path):
+    rasters = synth.grid3x3(150, 150)
+    fp = to_footprints(spark, synth.footprints_pdf(rasters))
+    blocks = to_blocks(spark, synth.blocks_pdf(rasters, 256))
+    want = synth.oracle(rasters, blocksize=64, min_overview_size=9999)
+    cfg = MosaicConfig(blocksize=64, src_blocksize=256, with_overviews=False)
+    out = str(tmp_path / "mosaic")
+
+    # run 1: killed after 2 of 4 batches
+    with pytest.raises(RuntimeError, match="simulated failure"):
+        resumable_mosaic(spark, fp, blocks, out, cfg, n_batches=4, fail_after=2)
+    assert completed_batches(spark, out) == {0, 1}
+
+    # run 2: resumes, skipping completed batches
+    r2 = resumable_mosaic(spark, fp, blocks, out, cfg, n_batches=4)
+    assert r2["batches_skipped"] == 2
+    assert r2["batches_run"] == 2
+
+    # final output: gap-free, no duplicates, pixel-identical to oracle
+    tiles = _read_tiles(spark, out)
+    assert set(tiles.keys()) == set(want.tiles.keys())
+    for key, arr in tiles.items():
+        np.testing.assert_array_equal(arr, want.tiles[key], err_msg=f"tile {key}")
+
+    # run 3: everything already done -> no-op
+    r3 = resumable_mosaic(spark, fp, blocks, out, cfg, n_batches=4)
+    assert r3["batches_run"] == 0 and r3["batches_skipped"] == 4
+
+
+def test_uninterrupted_equals_oracle(spark, tmp_path, corpus):
+    fp, blocks, want, cfg = corpus
+    out = str(tmp_path / "mosaic2")
+    r = resumable_mosaic(spark, fp, blocks, out, cfg, n_batches=3)
+    assert r["batches_run"] == 3
+    tiles = _read_tiles(spark, out)
+    assert set(tiles.keys()) == set(want.tiles.keys())
+    for key, arr in tiles.items():
+        np.testing.assert_array_equal(arr, want.tiles[key])
