@@ -1,0 +1,126 @@
+"""spark-submit CLI — the reference's ``moamosaic`` command
+(mosaic.py:38-108) re-targeted at tables.
+
+    spark-submit --py-files moamosaic_spark.zip -m moamosaic_spark.cli \\
+        --docs s3://bucket/docs --footprints .../footprints \\
+        --blocks .../blocks -o .../out_mosaic
+
+Option mapping (reference option -> here):
+    -i/--infilelist  -> --docs (interleaved documents table; media spans
+                        ARE the file list) or --footprints directly
+    -o/--outfile     -> -o/--out (partitioned table sink path)
+    -n/--numthreads  -> (dropped: executor parallelism is the cluster's)
+    -b/--blocksize   -> --blocksize
+    --nullval        -> --nullval
+    --minoverviewsize-> --minoverviewsize
+    -d/--driver,--co -> (dropped: table formats replace GDAL drivers)
+    --outprojepsg/--outprojwktfile/--resample -> --xres/--yres/--resample
+                        (same-CRS rescale; cross-CRS needs pyproj)
+    --monitorjson    -> --monitorjson
+Extras: --strategy/--cell-size-px/--salt (join physical strategy),
+--kernel, --merge-policy, --batches/--resume (lineage checkpointing).
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+
+
+def get_parser() -> argparse.ArgumentParser:
+    p = argparse.ArgumentParser(prog="moamosaic-spark", description=__doc__)
+    src = p.add_argument_group("inputs")
+    src.add_argument("--docs", help="interleaved documents table (parquet path)")
+    src.add_argument("--footprints", help="footprints metadata table (parquet path)")
+    src.add_argument("--blocks", required=True, help="pixel blocks table (parquet path)")
+    p.add_argument("-o", "--out", required=True, help="output mosaic path")
+    p.add_argument("-b", "--blocksize", type=int, default=1024)
+    p.add_argument("--src-blocksize", type=int, default=256)
+    p.add_argument("--nullval", type=float, default=None)
+    p.add_argument("--minoverviewsize", type=int, default=1024)
+    p.add_argument("--no-overviews", action="store_true")
+    p.add_argument("--strategy", choices=["broadcast", "cell"], default="broadcast")
+    p.add_argument("--cell-size-px", type=int, default=4096)
+    p.add_argument("--salt", type=int, default=1)
+    p.add_argument("--kernel", choices=["arrow", "pandas"], default="arrow")
+    p.add_argument("--merge-policy", choices=["last", "nearest"], default="last")
+    p.add_argument("--batches", type=int, default=1,
+                   help=">1 enables lineage-checkpointed batched execution")
+    p.add_argument("--xres", type=float, default=None)
+    p.add_argument("--yres", type=float, default=None)
+    p.add_argument("--resample", default="near",
+                   help="resampling method for --xres/--yres (near only)")
+    p.add_argument("--monitorjson", default=None)
+    p.add_argument("--master", default=None, help="Spark master override (local runs)")
+    return p
+
+
+def main(argv: list[str] | None = None) -> None:
+    args = get_parser().parse_args(argv)
+    if not args.docs and not args.footprints:
+        get_parser().error("one of --docs / --footprints is required")
+    if args.resample != "near":
+        get_parser().error("only nearest-neighbour resampling is implemented")
+
+    from .mosaic import MosaicConfig, do_mosaic, write_mosaic
+    from .monitoring import Monitoring
+    from .session import get_spark
+
+    mon = Monitoring()
+    spark = get_spark(args.master, app_name="moamosaic-spark-cli")
+    mon.set_param("blocksize", args.blocksize)
+    mon.set_param("strategy", args.strategy)
+
+    with mon.ctx("read_inputs"):
+        blocks = spark.read.parquet(args.blocks)
+        if args.footprints:
+            fp = spark.read.parquet(args.footprints)
+        else:
+            from .sources.docs import footprints_from_docs
+
+            docs = spark.read.parquet(args.docs)
+            # footprint metadata must ride alongside the docs table
+            fp_meta = spark.read.parquet(args.docs + "_footprints")
+            fp = footprints_from_docs(docs, fp_meta)
+
+    if args.xres or args.yres:
+        from .reproject import resample_blocks
+
+        with mon.ctx("resample"):
+            fp, blocks = resample_blocks(
+                fp, blocks,
+                args.xres or args.yres, args.yres or args.xres,
+                src_blocksize=args.src_blocksize,
+            )
+
+    cfg = MosaicConfig(
+        blocksize=args.blocksize,
+        src_blocksize=args.src_blocksize,
+        min_overview_size=args.minoverviewsize,
+        nullval=args.nullval,
+        strategy=args.strategy,
+        cell_size_px=args.cell_size_px,
+        salt=args.salt,
+        kernel=args.kernel,
+        merge_policy=args.merge_policy,
+        with_overviews=not args.no_overviews,
+    )
+
+    with mon.ctx("domosaic"):
+        if args.batches > 1:
+            from .streaming.lineage import resumable_mosaic
+
+            info = resumable_mosaic(
+                spark, fp, blocks, args.out, cfg, n_batches=args.batches
+            )
+            print(json.dumps({k: v for k, v in info.items() if k != "grid"}))
+        else:
+            res = do_mosaic(spark, fp, blocks, cfg)
+            write_mosaic(res, args.out)
+
+    if args.monitorjson:
+        mon.dump_json(args.monitorjson)
+
+
+if __name__ == "__main__":
+    main()

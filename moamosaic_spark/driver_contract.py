@@ -617,6 +617,108 @@ GROUP BY n_name
 """
 
 
+def q_events_interval_union(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A6 interval-union aggregate (the reference's wall-clock overlap
+    sweep, monitoring.py:128-158) distributed as window functions."""
+    from .monitoring import interval_union_seconds
+
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet")
+    # TIMESTAMP_NTZ -> epoch seconds: via ltz under the UTC session tz
+    spark.conf.set("spark.sql.session.timeZone", "UTC")
+    epoch = F.col("ts").cast("timestamp_ltz").cast("double")
+    iv = ev.select(
+        "event_type",
+        epoch.alias("s"),
+        (epoch + F.abs("value") + 1).alias("e"),
+    )
+    out = interval_union_seconds(iv, "s", "e", ["event_type"])
+    return out.select("event_type", F.round("union_seconds", 4).alias("union_seconds"))
+
+
+SQL_EVENTS_INTERVAL_UNION = """
+WITH iv AS (SELECT event_type, CAST(epoch(ts) AS DOUBLE) AS s,
+                   CAST(epoch(ts) AS DOUBLE) + abs(value) + 1 AS e FROM events),
+ev AS (SELECT event_type, s AS ts, 1 AS delta FROM iv
+       UNION ALL SELECT event_type, e, -1 FROM iv),
+d AS (SELECT event_type, ts, delta,
+        sum(delta) OVER (PARTITION BY event_type ORDER BY ts, delta DESC ROWS UNBOUNDED PRECEDING) AS depth
+      FROM ev),
+d2 AS (SELECT *, lag(depth, 1, 0) OVER (PARTITION BY event_type ORDER BY ts, delta DESC) AS prev_depth FROM d),
+d3 AS (SELECT *, CASE WHEN depth = 1 AND prev_depth = 0 THEN ts END AS island_start FROM d2),
+d4 AS (SELECT *, last_value(island_start IGNORE NULLS) OVER
+         (PARTITION BY event_type ORDER BY ts, delta DESC ROWS UNBOUNDED PRECEDING) AS open_ts FROM d3)
+SELECT event_type, round(sum(ts - open_ts), 4) AS union_seconds
+FROM d4 WHERE depth = 0 GROUP BY event_type
+"""
+
+
+def q_top_events_per_user(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window
+
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet")
+    w = Window.partitionBy("user_id").orderBy(
+        F.col("value").desc(), F.col("event_id")
+    )
+    return (
+        ev.withColumn("rk", F.row_number().over(w))
+        .where(F.col("rk") <= 3)
+        .select(
+            F.col("user_id").cast("long").alias("user_id"),
+            F.col("event_id").cast("long").alias("event_id"),
+            F.round("value", 4).alias("value"),
+            F.col("rk").cast("int").alias("rk"),
+        )
+    )
+
+
+SQL_TOP_EVENTS_PER_USER = """
+SELECT CAST(user_id AS BIGINT) AS user_id,
+       CAST(event_id AS BIGINT) AS event_id,
+       round(value, 4) AS value,
+       CAST(rk AS INT) AS rk
+FROM (
+  SELECT user_id, event_id, value,
+         row_number() OVER (PARTITION BY user_id ORDER BY value DESC, event_id) AS rk
+  FROM events
+)
+WHERE rk <= 3
+"""
+
+
+def q_doc_lang_pred(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    return T.predict_lang(docs).select(
+        F.col("doc_id").cast("long").alias("doc_id"),
+        "pred_lang",
+        F.col("score_en").cast("int").alias("score_en"),
+    )
+
+
+def _lang_pred_sql() -> str:
+    from .functions.text import STOPWORDS
+
+    score_exprs = []
+    for lang, words in STOPWORDS.items():
+        lst = ", ".join(f"'{w}'" for w in words)
+        score_exprs.append(
+            f"len(list_filter(string_split_regex(trim(text), '\\s+'), x -> x IN ({lst}))) AS score_{lang}"
+        )
+    langs = list(STOPWORDS.keys())
+    best = "greatest(" + ", ".join(f"score_{l}" for l in langs) + ")"
+    case = "CASE WHEN " + best + " = 0 THEN 'und' " + " ".join(
+        f"WHEN score_{l} = {best} THEN '{l}'" for l in langs
+    ) + " END"
+    return f"""
+WITH scored AS (
+  SELECT doc_id, {", ".join(score_exprs)} FROM documents
+)
+SELECT CAST(doc_id AS BIGINT) AS doc_id,
+       {case} AS pred_lang,
+       CAST(score_en AS INT) AS score_en
+FROM scored
+"""
+
+
 # ---------------------------------------------------------------------------
 # Registry
 # ---------------------------------------------------------------------------
@@ -639,6 +741,9 @@ def queries() -> dict:
         "lineitem_agg": q_lineitem_agg,
         "events_hourly": q_events_hourly,
         "orders_by_nation": q_orders_by_nation,
+        "events_interval_union": q_events_interval_union,
+        "top_events_per_user": q_top_events_per_user,
+        "doc_lang_pred": q_doc_lang_pred,
     }
 
 
@@ -660,4 +765,7 @@ def oracle_sql() -> dict:
         "lineitem_agg": SQL_LINEITEM_AGG,
         "events_hourly": SQL_EVENTS_HOURLY,
         "orders_by_nation": SQL_ORDERS_BY_NATION,
+        "events_interval_union": SQL_EVENTS_INTERVAL_UNION,
+        "top_events_per_user": SQL_TOP_EVENTS_PER_USER,
+        "doc_lang_pred": _lang_pred_sql(),
     }

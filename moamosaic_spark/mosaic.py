@@ -51,6 +51,7 @@ class MosaicConfig:
     check_blocks: bool = False         # integrity prepass over the blocks table
     with_overviews: bool = True
     kernel: str = "arrow"              # 'arrow' (applyInArrow) | 'pandas'
+    merge_policy: str = "last"         # 'last' (reference) | 'nearest' (kNN ext)
 
 
 @dataclass
@@ -284,9 +285,13 @@ def do_mosaic(
     if config.kernel == "arrow":
         from .operators.stitch import make_stitch_fn_arrow
 
-        stitched = grouped.applyInArrow(make_stitch_fn_arrow(grid, levels), STITCH_SCHEMA)
+        stitched = grouped.applyInArrow(
+            make_stitch_fn_arrow(grid, levels, config.merge_policy), STITCH_SCHEMA
+        )
     elif config.kernel == "pandas":
-        stitched = grouped.applyInPandas(make_stitch_fn(grid, levels), STITCH_SCHEMA)
+        stitched = grouped.applyInPandas(
+            make_stitch_fn(grid, levels, config.merge_policy), STITCH_SCHEMA
+        )
     else:
         raise ValueError(f"unknown kernel: {config.kernel}")
 

@@ -50,7 +50,38 @@ ARROW_STITCH_SCHEMA = pa.schema(
 )
 
 
-def make_stitch_fn(grid: OutputGrid, levels: list[int]):
+def _nearest_state(ysize: int, xsize: int):
+    return np.full((ysize, xsize), np.inf)
+
+
+def _apply_window(canvas, win, nullval, policy, best, in_top, in_left,
+                  src_nrows, src_ncols):
+    """Fold one contributor window into the canvas.
+
+    policy='last': last non-null wins (reference mosaic.py:683-689).
+    policy='nearest': kNN nearest-source tie-breaking (north-star
+    extension, NOT in the reference): a non-null pixel wins if its
+    source raster's center is nearer (in output pixels) than the
+    current holder's; equal distance falls back to last-wins. ``best``
+    carries the per-pixel best distance-squared state.
+    """
+    non_null = win != nullval
+    if policy == "last":
+        canvas[non_null] = win[non_null]
+        return
+    # source center in tile-local pixel coords: source col 0 sits at
+    # tile-local col -in_left (in_left is the tile's left in src coords)
+    cy = -in_top + (src_nrows - 1) / 2.0
+    cx = -in_left + (src_ncols - 1) / 2.0
+    rr = np.arange(win.shape[0])[:, None] - cy
+    cc = np.arange(win.shape[1])[None, :] - cx
+    dist = rr * rr + cc * cc
+    mask = non_null & (dist <= best)
+    canvas[mask] = win[mask]
+    best[mask] = dist[mask]
+
+
+def make_stitch_fn(grid: OutputGrid, levels: list[int], policy: str = "last"):
     """Build the applyInPandas kernel for groupBy(band, tile_row, tile_col).
 
     Expected input columns (one row per contributor x source-chunk):
@@ -69,6 +100,7 @@ def make_stitch_fn(grid: OutputGrid, levels: list[int]):
         ysize, xsize = int(first["ysize"]), int(first["xsize"])
 
         canvas = np.full((ysize, xsize), nullval, dtype=np.int32)
+        best = _nearest_state(ysize, xsize) if policy == "nearest" else None
 
         for _prio, grp in pdf.sort_values("priority").groupby("priority", sort=True):
             g0 = grp.iloc[0]
@@ -96,9 +128,9 @@ def make_stitch_fn(grid: OutputGrid, levels: list[int]):
                     row_off + (rt - top1): row_off + (rb - top1),
                     col_off + (cl - left1): col_off + (cr - left1),
                 ] = arr[rt - b_top: rb - b_top, cl - b_left: cr - b_left]
-            # ordered merge (mosaic.py:683-689)
-            non_null = win != nullval
-            canvas[non_null] = win[non_null]
+            # ordered merge (mosaic.py:683-689) / nearest-source policy
+            _apply_window(canvas, win, nullval, policy, best,
+                          in_top, in_left, src_nrows, src_ncols)
 
         rows = [_base_row(band, tile_row, tile_col, top, left, canvas, nullval)]
         rows.extend(
@@ -109,7 +141,7 @@ def make_stitch_fn(grid: OutputGrid, levels: list[int]):
     return stitch
 
 
-def make_stitch_fn_arrow(grid: OutputGrid, levels: list[int]):
+def make_stitch_fn_arrow(grid: OutputGrid, levels: list[int], policy: str = "last"):
     """Arrow-native variant for ``applyInArrow``: identical semantics to
     :func:`make_stitch_fn`, but reads pixel payloads zero-copy from the
     Arrow list buffers and emits one batched ListArray — no pandas
@@ -135,6 +167,7 @@ def make_stitch_fn_arrow(grid: OutputGrid, levels: list[int]):
         top, left = int(cols["top"][0]), int(cols["left"][0])
         ysize, xsize = int(cols["ysize"][0]), int(cols["xsize"][0])
         canvas = np.full((ysize, xsize), nullval, dtype=np.int32)
+        best = _nearest_state(ysize, xsize) if policy == "nearest" else None
 
         order = np.argsort(cols["priority"], kind="stable")
         n = len(order)
@@ -171,8 +204,8 @@ def make_stitch_fn_arrow(grid: OutputGrid, levels: list[int]):
                     row_off + (rt - top1): row_off + (rb - top1),
                     col_off + (cl - left1): col_off + (cr - left1),
                 ] = arr[rt - b_top: rb - b_top, cl - b_left: cl - b_left + (cr - cl)]
-            non_null = win != nullval
-            canvas[non_null] = win[non_null]
+            _apply_window(canvas, win, nullval, policy, best,
+                          in_top, in_left, src_nrows, src_ncols)
 
         rows = [_base_row(band, tile_row, tile_col, top, left, canvas, nullval)]
         rows.extend(

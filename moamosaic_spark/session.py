@@ -23,6 +23,8 @@ ENGINE_CONF = {
     "spark.sql.adaptive.coalescePartitions.enabled": "true",
     "spark.sql.adaptive.skewJoin.enabled": "true",
     "spark.serializer": "org.apache.spark.serializer.KryoSerializer",
+    # deterministic epoch math for naive timestamps across engines
+    "spark.sql.session.timeZone": "UTC",
 }
 
 
