@@ -321,7 +321,23 @@ def do_mosaic(
 def write_mosaic(result: MosaicResult, path: str, partitions: int | None = None) -> None:
     """Ordered sink (O2/S6): deterministic row-major tile order via range
     partitioning + in-partition sort — the distributed form of the
-    reference's strictly ordered single-writer loop (mosaic.py:337-375)."""
+    reference's strictly ordered single-writer loop (mosaic.py:337-375).
+
+    The stitched relation feeds three sinks (tiles, overviews, stats);
+    persisting it makes the scan+join+stitch run ONCE — the single-pass
+    stats+pyramids property the reference gained in v1.0.1
+    (docs/releasenotes.md:12-15)."""
+    persisted = result.stitched is not None
+    if persisted:
+        result.stitched.persist()
+    try:
+        _write_mosaic_sinks(result, path, partitions)
+    finally:
+        if persisted:
+            result.stitched.unpersist()
+
+
+def _write_mosaic_sinks(result: MosaicResult, path: str, partitions: int | None) -> None:
     t = result.tiles
     if partitions:
         t = t.repartitionByRange(partitions, "band", "tile_row", "tile_col")

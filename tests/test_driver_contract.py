@@ -10,7 +10,7 @@ import pytest
 
 from moamosaic_spark import driver_contract as DC
 
-SF_DIR = "/root/testdata/sf0.001"
+SF_DIR = __import__("os").environ.get("MOA_TEST_SF_DIR", "/root/testdata/sf0.001")
 TABLES = [
     "region", "nation", "customer", "supplier", "part", "orders",
     "lineitem", "events", "documents", "embeddings",
