@@ -252,6 +252,37 @@ def _memcpy_worker(_):
     return 3 * a.nbytes / (time.time() - t0) / 1e9
 
 
+def run_dedup_scaling(spark, cores: int) -> dict:
+    """Hash-bound scaling job: minhash signatures over replicated
+    documents (tens of millions of portable md5 evaluations) — the
+    CPU-dominated half of the training-pipeline operators. Plans vary
+    per run (literal salt) to defeat Spark's shuffle reuse between
+    timed repetitions."""
+    from pyspark.sql import functions as F
+
+    from moamosaic_spark.functions.dedup import minhash_signatures
+
+    docs = spark.read.parquet(f"{SF_DIR}/documents.parquet")
+
+    def run(i: int) -> None:
+        big = docs.crossJoin(spark.range(10).withColumnRenamed("id", "rep")).select(
+            (F.col("doc_id") * 10 + F.col("rep")).alias("doc_id"),
+            F.concat(
+                F.col("text"), F.lit(f" v{i} "), F.col("rep").cast("string")
+            ).alias("text"),
+        ).repartition(cores * 2)
+        minhash_signatures(big, num_hashes=4).agg(F.sum("h0")).collect()
+
+    run(99)  # warm
+    ts = []
+    for i in range(3):
+        t0 = time.time()
+        run(i)
+        ts.append(time.time() - t0)
+    ts.sort()
+    return {"seconds": ts[1], "runs_seconds": [round(t, 3) for t in ts]}
+
+
 def memcpy_control(nproc: int) -> float:
     """Aggregate numpy copy bandwidth (GB/s) at nproc processes — the
     host-capability control for interpreting pixel-stage scaling."""
@@ -270,6 +301,8 @@ def child_main(mode: str, cores: int) -> None:
             print("RESULT:" + json.dumps(run_mosaic_median(spark)))
         elif mode == "joinscale":
             print("RESULT:" + json.dumps(run_join_scaling(spark)))
+        elif mode == "dedupscale":
+            print("RESULT:" + json.dumps(run_dedup_scaling(spark, cores)))
         else:
             t0 = time.time()
             queries = run_headline(spark)
@@ -326,6 +359,11 @@ def main() -> None:
     j_speedup = jlo["seconds"] / jhi["seconds"]
     j_eff = j_speedup / (hi_cores / lo_cores)
 
+    dlo = spawn("dedupscale", lo_cores)
+    dhi = spawn("dedupscale", hi_cores)
+    d_speedup = dlo["seconds"] / dhi["seconds"]
+    d_eff = d_speedup / (hi_cores / lo_cores)
+
     out = {
         "metric": "headline operator suite elapsed (mosaic pipeline + dedup + "
         "similarity + text + relational) at sf, local[%d]" % CPUS,
@@ -351,6 +389,12 @@ def main() -> None:
                 "rows": jlo["rows"],
                 "speedup": round(j_speedup, 3),
                 "efficiency": round(j_eff, 3),
+            },
+            "dedup_minhash": {
+                "seconds_lo": round(dlo["seconds"], 3),
+                "seconds_hi": round(dhi["seconds"], 3),
+                "speedup": round(d_speedup, 3),
+                "efficiency": round(d_eff, 3),
             },
             "host_memcpy_control_gbps": {
                 str(lo_cores): memcpy_control(lo_cores),

@@ -234,8 +234,11 @@ GROUP BY 1
 
 
 def _morton_sql(x: str, y: str) -> str:
+    """DuckDB rendering of plans.grid.morton_expr — same 32-bit spread
+    constants (281470681808895 = 0x0000FFFF0000FFFF, etc.)."""
     def spread(v: str) -> str:
         s = f"CAST({v} AS BIGINT)"
+        s = f"(({s} | ({s} << 16)) & 281470681808895)"
         s = f"(({s} | ({s} << 8)) & 71777214294589695)"
         s = f"(({s} | ({s} << 4)) & 1085102592571150095)"
         s = f"(({s} | ({s} << 2)) & 3689348814741910323)"
@@ -366,8 +369,16 @@ def q_cell_covers(spark: SparkSession, sf_dir: str) -> DataFrame:
 # Text / dedup / similarity queries (documents, embeddings)
 # ---------------------------------------------------------------------------
 
-def q_doc_token_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+def _read_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """documents.parquet ships as one small file -> one partition; a
+    single task would then do ALL downstream hashing work. Spread it
+    (value-neutral; at real scale file splitting does this naturally)."""
     docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    return docs.repartition(spark.sparkContext.defaultParallelism)
+
+
+def q_doc_token_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = _read_docs(spark, sf_dir)
     qf = T.quality_features(docs)
     return qf.select(
         "doc_id",
@@ -399,7 +410,7 @@ FROM toks
 
 
 def q_dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
-    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    docs = _read_docs(spark, sf_dir)
     return D.exact_duplicates(docs).select(
         "fp", F.col("n_docs").cast("long").alias("n_docs"), F.col("keep_id").cast("long").alias("keep_id")
     )
@@ -415,7 +426,7 @@ GROUP BY 1
 
 
 def q_dedup_ngram_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
-    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    docs = _read_docs(spark, sf_dir)
     pairs = D.ngram_jaccard_pairs(docs, k=3, threshold=0.2)
     return pairs.select(
         F.col("doc_a").cast("long").alias("doc_a"),
@@ -462,7 +473,7 @@ N_MINHASH = 8
 
 
 def q_dedup_minhash_sig(spark: SparkSession, sf_dir: str) -> DataFrame:
-    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    docs = _read_docs(spark, sf_dir)
     sig = D.minhash_signatures(docs, k=3, num_hashes=N_MINHASH)
     return sig.select(
         F.col("doc_id").cast("long").alias("doc_id"),
@@ -484,7 +495,7 @@ GROUP BY doc_id
 
 
 def q_dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
-    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    docs = _read_docs(spark, sf_dir)
     return D.simhash(docs).select(
         F.col("doc_id").cast("long").alias("doc_id"),
         F.col("simhash").cast("long").alias("simhash"),
@@ -686,7 +697,7 @@ WHERE rk <= 3
 
 
 def q_doc_lang_pred(spark: SparkSession, sf_dir: str) -> DataFrame:
-    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    docs = _read_docs(spark, sf_dir)
     return T.predict_lang(docs).select(
         F.col("doc_id").cast("long").alias("doc_id"),
         "pred_lang",

@@ -37,15 +37,20 @@ def exact_duplicates(docs: DataFrame, id_col: str = "doc_id", text_col: str = "t
     )
 
 
-def shingle_postings(docs: DataFrame, id_col: str, text_col: str, k: int) -> DataFrame:
-    """(doc_id, shingle) inverted-index postings, distinct per doc."""
-    return (
-        docs.select(
-            F.col(id_col).alias("doc_id"),
-            F.explode(word_shingles(F.col(text_col), k)).alias("shingle"),
-        )
-        .distinct()
+def shingle_postings(
+    docs: DataFrame, id_col: str, text_col: str, k: int, distinct: bool = True
+) -> DataFrame:
+    """(doc_id, shingle) inverted-index postings.
+
+    ``distinct=True`` (needed for Jaccard set algebra) costs a shuffle;
+    minhash skips it — min over a multiset equals min over its set, so
+    signatures aggregate with map-side combine and no dedup exchange.
+    """
+    p = docs.select(
+        F.col(id_col).alias("doc_id"),
+        F.explode(word_shingles(F.col(text_col), k)).alias("shingle"),
     )
+    return p.distinct() if distinct else p
 
 
 def ngram_jaccard_pairs(
@@ -97,8 +102,9 @@ def minhash_signatures(
     num_hashes: int = 16,
 ) -> DataFrame:
     """(doc_id, h0..h{n-1}) minhash signature — h_i = min over shingles
-    of the seeded portable hash. One explode + one hash-aggregate."""
-    p = shingle_postings(docs, id_col, text_col, k)
+    of the seeded portable hash. One explode + one hash-aggregate with
+    map-side partials; no distinct shuffle (min is set-insensitive)."""
+    p = shingle_postings(docs, id_col, text_col, k, distinct=False)
     aggs = [
         F.min(seeded_hash32(i, F.col("shingle"))).alias(f"h{i}") for i in range(num_hashes)
     ]

@@ -175,18 +175,22 @@ def overview_shape(nrows: int, ncols: int, lvl: int) -> tuple[int, int]:
 # Cell index (S2/H3-style): Morton / Z-order interleave of cell coords.
 # ---------------------------------------------------------------------------
 
-MORTON_BITS = 16  # supports cell grids up to 65536 x 65536 per axis
+MORTON_BITS = 32  # supports cell grids up to 2^32 x 2^32 per axis
 
 
 def morton_expr(cx, cy):
-    """Interleave the low 16 bits of integer columns cx, cy into a single
+    """Interleave the low 32 bits of integer columns cx, cy into a single
     64-bit Z-order cell id — pure JVM-side bit arithmetic (no UDF), the
-    same spreading trick as classic Morton encoding.
+    classic Morton magic-number spread. 32 bits/axis covers a
+    10^12-document footprint catalog at any sane cell size.
+    MUST stay bit-identical to driver_contract._morton_sql (the DuckDB
+    oracle rendering).
     """
     def spread(c):
-        # spread 16 bits to even positions via magic-number shifts
+        # spread 32 bits to even positions via magic-number shifts
         # (bitwiseOR/AND: PySpark's | and & on Columns are boolean ops)
         v = c.cast("long")
+        v = v.bitwiseOR(F.shiftleft(v, 16)).bitwiseAND(F.lit(0x0000FFFF0000FFFF))
         v = v.bitwiseOR(F.shiftleft(v, 8)).bitwiseAND(F.lit(0x00FF00FF00FF00FF))
         v = v.bitwiseOR(F.shiftleft(v, 4)).bitwiseAND(F.lit(0x0F0F0F0F0F0F0F0F))
         v = v.bitwiseOR(F.shiftleft(v, 2)).bitwiseAND(F.lit(0x3333333333333333))

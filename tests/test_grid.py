@@ -74,3 +74,26 @@ def test_morton_cell_id_injective(spark):
     )
     out = df.select(G.morton_expr(F.col("cx"), F.col("cy"))).distinct().count()
     assert out == 1 << 12
+
+
+def test_morton_matches_python_reference(spark):
+    """Spark expr == a literal-python Morton interleave, including
+    coords beyond 16 bits (the 10^12-scale regime)."""
+    import pyspark.sql.functions as F
+
+    def morton_py(x, y):
+        out = 0
+        for b in range(32):
+            out |= ((x >> b) & 1) << (2 * b)
+            out |= ((y >> b) & 1) << (2 * b + 1)
+        return out
+
+    coords = [(0, 0), (1, 0), (0, 1), (12345, 67), (65535, 65535),
+              (65536, 1), (1 << 20, (1 << 19) + 3), ((1 << 31) - 1, 7)]
+    df = spark.createDataFrame(coords, "cx long, cy long")
+    got = {
+        (r.cx, r.cy): r.cell_id
+        for r in df.select("cx", "cy", G.morton_expr(F.col("cx"), F.col("cy"))).collect()
+    }
+    for (x, y), v in got.items():
+        assert v == morton_py(x, y), (x, y)
