@@ -730,6 +730,85 @@ FROM scored
 """
 
 
+def q_corpus_clean(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Composed cleaning pipeline: quality gate (token count + stopword
+    ratio) -> exact-dedup keep-list -> surviving docs. The canonical
+    pretraining-corpus filter chain as one declarative plan."""
+    docs = _read_docs(spark, sf_dir)
+    qf = T.quality_features(docs)
+    passed = qf.where((F.col("n_tokens") >= 10) & (F.col("stopword_ratio") <= 0.5))
+    keep = D.exact_duplicates(passed).select(F.col("keep_id").alias("doc_id"))
+    kept = passed.join(keep, on="doc_id", how="left_semi")
+    return kept.select(
+        F.col("doc_id").cast("long").alias("doc_id"),
+        F.col("n_tokens").cast("long").alias("n_tokens"),
+        F.round("stopword_ratio", 6).alias("stopword_ratio"),
+    )
+
+
+SQL_CORPUS_CLEAN = """
+WITH qf AS (
+  SELECT doc_id, text,
+         len(string_split_regex(trim(text), '\\s+')) AS n_tokens,
+         CASE WHEN len(string_split_regex(trim(text), '\\s+')) > 0
+           THEN len(list_filter(string_split_regex(trim(text), '\\s+'),
+                    x -> x IN ('the','a','and','of','to','in','is','it'))) * 1.0
+                / len(string_split_regex(trim(text), '\\s+'))
+           ELSE 0.0 END AS stopword_ratio
+  FROM documents
+),
+passed AS (SELECT * FROM qf WHERE n_tokens >= 10 AND stopword_ratio <= 0.5),
+keep AS (
+  SELECT min(doc_id) AS doc_id
+  FROM passed
+  GROUP BY md5(regexp_replace(lower(trim(text)), '\\s+', ' ', 'g'))
+)
+SELECT CAST(p.doc_id AS BIGINT) AS doc_id,
+       CAST(p.n_tokens AS BIGINT) AS n_tokens,
+       round(p.stopword_ratio, 6) AS stopword_ratio
+FROM passed p
+WHERE p.doc_id IN (SELECT doc_id FROM keep)
+"""
+
+
+def q_embedding_neardup_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Embedding-cosine near-duplicate pairs above a threshold — exact
+    here (500 vectors); at scale the LSH-bucketed variant
+    (functions/similarity.py:lsh_bucket) generates candidates first."""
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    a = emb.select(
+        F.col("vec_id").alias("id_a"), F.col("embedding").cast("array<double>").alias("va")
+    )
+    b = emb.select(
+        F.col("vec_id").alias("id_b"), F.col("embedding").cast("array<double>").alias("vb")
+    )
+    pairs = a.crossJoin(b).where(F.col("id_a") < F.col("id_b"))
+    cs = S.cosine(F.col("va"), F.col("vb"))
+    return pairs.select(
+        F.col("id_a").cast("long").alias("id_a"),
+        F.col("id_b").cast("long").alias("id_b"),
+        F.round(cs, 4).alias("cos_sim"),
+    ).where(F.round(cs, 4) >= 0.5)
+
+
+SQL_EMBEDDING_NEARDUP_PAIRS = """
+SELECT CAST(a.vec_id AS BIGINT) AS id_a,
+       CAST(b.vec_id AS BIGINT) AS id_b,
+       round(
+         list_dot_product(CAST(a.embedding AS DOUBLE[]), CAST(b.embedding AS DOUBLE[]))
+         / (sqrt(list_dot_product(CAST(a.embedding AS DOUBLE[]), CAST(a.embedding AS DOUBLE[])))
+          * sqrt(list_dot_product(CAST(b.embedding AS DOUBLE[]), CAST(b.embedding AS DOUBLE[])))),
+         4) AS cos_sim
+FROM embeddings a, embeddings b
+WHERE a.vec_id < b.vec_id
+  AND round(
+         list_dot_product(CAST(a.embedding AS DOUBLE[]), CAST(b.embedding AS DOUBLE[]))
+         / (sqrt(list_dot_product(CAST(a.embedding AS DOUBLE[]), CAST(a.embedding AS DOUBLE[])))
+          * sqrt(list_dot_product(CAST(b.embedding AS DOUBLE[]), CAST(b.embedding AS DOUBLE[])))),
+         4) >= 0.5
+"""
+
+
 # ---------------------------------------------------------------------------
 # Registry
 # ---------------------------------------------------------------------------
@@ -755,6 +834,8 @@ def queries() -> dict:
         "events_interval_union": q_events_interval_union,
         "top_events_per_user": q_top_events_per_user,
         "doc_lang_pred": q_doc_lang_pred,
+        "corpus_clean": q_corpus_clean,
+        "embedding_neardup_pairs": q_embedding_neardup_pairs,
     }
 
 
@@ -779,4 +860,6 @@ def oracle_sql() -> dict:
         "events_interval_union": SQL_EVENTS_INTERVAL_UNION,
         "top_events_per_user": SQL_TOP_EVENTS_PER_USER,
         "doc_lang_pred": _lang_pred_sql(),
+        "corpus_clean": SQL_CORPUS_CLEAN,
+        "embedding_neardup_pairs": SQL_EMBEDDING_NEARDUP_PAIRS,
     }

@@ -1,0 +1,68 @@
+"""Tile-aligned relayout: pixel-identical to the direct pipeline, and
+the stitch plan off the bucketed table contains NO Exchange."""
+
+import numpy as np
+
+from moamosaic_spark.mosaic import MosaicConfig, do_mosaic
+from moamosaic_spark.sources import synth
+from moamosaic_spark.sources.relayout import relayout_to_table, stitch_from_relayout
+from tests.conftest import to_blocks, to_footprints
+
+
+def test_relayout_equals_direct_and_no_exchange(spark, tmp_path):
+    rasters = synth.grid3x3(150, 150)
+    fp = to_footprints(spark, synth.footprints_pdf(rasters))
+    blocks = to_blocks(spark, synth.blocks_pdf(rasters, 256))
+    cfg = MosaicConfig(blocksize=64, src_blocksize=256, min_overview_size=64)
+
+    relayout_to_table(spark, fp, blocks, "work_t", cfg, n_buckets=8)
+    res = stitch_from_relayout(spark, "work_t", cfg)
+
+    # no shuffle into the stitch
+    plan = res.stitched._jdf.queryExecution().explainString(
+        spark._jvm.org.apache.spark.sql.execution.ExplainMode.fromString("simple")
+    )
+    flatmap_region = plan.split("FlatMapGroupsInArrow")[1]
+    scan_pos = flatmap_region.find("FileScan")
+    assert "Exchange" not in flatmap_region[:scan_pos], "stitch input was shuffled"
+
+    direct = do_mosaic(spark, fp, blocks, cfg)
+    a = {
+        (r.band, r.tile_row, r.tile_col): np.asarray(r.pixels, dtype=np.int32)
+        for r in res.tiles.collect()
+    }
+    b = {
+        (r.band, r.tile_row, r.tile_col): np.asarray(r.pixels, dtype=np.int32)
+        for r in direct.tiles.collect()
+    }
+    assert set(a) == set(b)
+    for k in a:
+        np.testing.assert_array_equal(a[k], b[k])
+
+    # stats identical too
+    sa = {r.band: (r.minval, r.maxval, round(r.meanval, 9), r["count"]) for r in res.stats.collect()}
+    sb = {r.band: (r.minval, r.maxval, round(r.meanval, 9), r["count"]) for r in direct.stats.collect()}
+    assert sa == sb
+
+    # a different merge policy re-stitches from the SAME layout
+    res_nn = stitch_from_relayout(
+        spark, "work_t",
+        MosaicConfig(blocksize=64, src_blocksize=256, min_overview_size=64,
+                     merge_policy="nearest"),
+    )
+    direct_nn = do_mosaic(
+        spark, fp, blocks,
+        MosaicConfig(blocksize=64, src_blocksize=256, min_overview_size=64,
+                     merge_policy="nearest"),
+    )
+    ann = {
+        (r.band, r.tile_row, r.tile_col): np.asarray(r.pixels, dtype=np.int32)
+        for r in res_nn.tiles.collect()
+    }
+    bnn = {
+        (r.band, r.tile_row, r.tile_col): np.asarray(r.pixels, dtype=np.int32)
+        for r in direct_nn.tiles.collect()
+    }
+    assert set(ann) == set(bnn)
+    for k in ann:
+        np.testing.assert_array_equal(ann[k], bnn[k])
