@@ -44,6 +44,8 @@ def get_parser() -> argparse.ArgumentParser:
     p.add_argument("--salt", type=int, default=1)
     p.add_argument("--kernel", choices=["arrow", "pandas"], default="arrow")
     p.add_argument("--merge-policy", choices=["last", "nearest"], default="last")
+    p.add_argument("--stitch-salt", type=int, default=1,
+                   help=">1: two-stage salted merge for hot tiles")
     p.add_argument("--batches", type=int, default=1,
                    help=">1 enables lineage-checkpointed batched execution")
     p.add_argument("--xres", type=float, default=None)
@@ -103,6 +105,7 @@ def main(argv: list[str] | None = None) -> None:
         salt=args.salt,
         kernel=args.kernel,
         merge_policy=args.merge_policy,
+        stitch_salt=args.stitch_salt,
         with_overviews=not args.no_overviews,
     )
 

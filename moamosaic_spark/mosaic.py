@@ -9,7 +9,7 @@ Reference phases -> Spark stages:
                                           extent agg + tile relation +
                                           cell-keyed/broadcast spatial join
   domosaic (threads + queue + cache)   -> ONE shuffle into
-                                          groupBy(band, tile).applyInPandas
+                                          groupBy(band, tile).applyInArrow
   stats / pyramids (single pass)       -> emitted by the same kernel
   ordered write                        -> repartitionByRange + sorted sink
 
@@ -52,6 +52,7 @@ class MosaicConfig:
     with_overviews: bool = True
     kernel: str = "arrow"              # 'arrow' (applyInArrow) | 'pandas'
     merge_policy: str = "last"         # 'last' (reference) | 'nearest' (kNN ext)
+    stitch_salt: int = 1               # >1: two-stage salted merge for hot tiles
 
 
 @dataclass
@@ -281,6 +282,32 @@ def do_mosaic(
     )
 
     work = _contributor_chunks(assignments, blocks, config.src_blocksize)
+
+    if config.stitch_salt > 1:
+        # Two-stage salted merge for hot tiles (many contributors): the
+        # writer-serialization analog the reference cannot split. Stage
+        # 1 partial-merges CONTIGUOUS priority buckets per tile (the
+        # fold is associative given order preservation — see
+        # operators/stitch.py:make_partial_merge_fn_arrow); stage 2 is
+        # the normal stitch over one synthetic contributor per bucket.
+        if config.merge_policy != "last":
+            raise ValueError("stitch_salt requires merge_policy='last'")
+        if config.kernel != "arrow":
+            raise ValueError("stitch_salt requires kernel='arrow'")
+        import math as _math
+
+        from .operators.stitch import make_partial_merge_fn_arrow
+        from .schema import PARTIAL_MERGE_SCHEMA
+
+        n_src = footprints.count()
+        bucket = max(1, _math.ceil(n_src / config.stitch_salt))
+        salted = work.withColumn(
+            "_ssalt", (F.col("priority") / bucket).cast("int")
+        )
+        work = salted.groupBy("band", "tile_row", "tile_col", "_ssalt").applyInArrow(
+            make_partial_merge_fn_arrow(grid), PARTIAL_MERGE_SCHEMA
+        )
+
     grouped = work.groupBy("band", "tile_row", "tile_col")
     if config.kernel == "arrow":
         from .operators.stitch import make_stitch_fn_arrow

@@ -233,6 +233,129 @@ def _rows_to_arrow(rows: list[dict]) -> pa.Table:
     return pa.Table.from_arrays(arrs, schema=ARROW_STITCH_SCHEMA)
 
 
+PARTIAL_SCHEMA = pa.schema(
+    [
+        ("tile_row", pa.int32()),
+        ("tile_col", pa.int32()),
+        ("band", pa.int32()),
+        ("top", pa.int32()),
+        ("left", pa.int32()),
+        ("ysize", pa.int32()),
+        ("xsize", pa.int32()),
+        ("priority", pa.int32()),   # = salt bucket id (order-preserving)
+        ("in_top", pa.int32()),
+        ("in_left", pa.int32()),
+        ("in_ysize", pa.int32()),
+        ("in_xsize", pa.int32()),
+        ("src_ncols", pa.int32()),
+        ("src_nrows", pa.int32()),
+        ("b_top", pa.int32()),
+        ("b_left", pa.int32()),
+        ("b_ysize", pa.int32()),
+        ("b_xsize", pa.int32()),
+        ("pixels", pa.list_(pa.int32())),
+    ]
+)
+
+
+def make_partial_merge_fn_arrow(grid: OutputGrid):
+    """Stage-1 kernel of the SALTED stitch: merge a contiguous-priority
+    bucket of contributors into one tile-sized partial canvas.
+
+    Correctness (SURVEY.md §7.5 "ordered merge under salting"): the
+    per-pixel fold op(a,b) = (b if b != nullval else a) is associative,
+    so partial canvases built over contiguous priority ranges and
+    composed in bucket order equal the unsalted fold exactly. The
+    partial rows re-enter the NORMAL stitch kernel as synthetic
+    contributors (priority = bucket id, window = whole tile), so stage 2
+    needs no special casing. Property-tested in tests/test_properties.py
+    and end-to-end in tests/test_salted_stitch.py.
+
+    Only valid for merge_policy='last' — the 'nearest' policy carries
+    per-pixel best-distance state that a value-only partial cannot.
+    """
+    nullval = int(grid.nullval)
+
+    def partial(key: tuple, tbl: pa.Table) -> pa.Table:
+        band, tile_row, tile_col, salt = (
+            int(k.as_py() if hasattr(k, "as_py") else k) for k in key
+        )
+        cols = {
+            name: tbl.column(name).to_numpy(zero_copy_only=False)
+            for name in (
+                "top", "left", "ysize", "xsize", "priority",
+                "in_top", "in_left", "in_ysize", "in_xsize",
+                "src_ncols", "src_nrows", "b_top", "b_left", "b_ysize", "b_xsize",
+            )
+        }
+        px = tbl.column("pixels").combine_chunks()
+        offsets = px.offsets.to_numpy()
+        values = px.values.to_numpy(zero_copy_only=False)
+        top, left = int(cols["top"][0]), int(cols["left"][0])
+        ysize, xsize = int(cols["ysize"][0]), int(cols["xsize"][0])
+        canvas = np.full((ysize, xsize), nullval, dtype=np.int32)
+        order = np.argsort(cols["priority"], kind="stable")
+        n = len(order)
+        i = 0
+        while i < n:
+            j = i
+            prio = cols["priority"][order[i]]
+            idxs = []
+            while j < n and cols["priority"][order[j]] == prio:
+                idxs.append(order[j])
+                j += 1
+            r0 = idxs[0]
+            in_top, in_left = int(cols["in_top"][r0]), int(cols["in_left"][r0])
+            in_ys, in_xs = int(cols["in_ysize"][r0]), int(cols["in_xsize"][r0])
+            src_nrows, src_ncols = int(cols["src_nrows"][r0]), int(cols["src_ncols"][r0])
+            top1, left1 = max(in_top, 0), max(in_left, 0)
+            bottom1 = min(in_top + in_ys, src_nrows)
+            right1 = min(in_left + in_xs, src_ncols)
+            i = j
+            if bottom1 <= top1 or right1 <= left1:
+                continue
+            win = np.full((in_ys, in_xs), nullval, dtype=np.int32)
+            row_off, col_off = max(0, -in_top), max(0, -in_left)
+            for ri in idxs:
+                b_top, b_left = int(cols["b_top"][ri]), int(cols["b_left"][ri])
+                b_ys, b_xs = int(cols["b_ysize"][ri]), int(cols["b_xsize"][ri])
+                rt, rb = max(b_top, top1), min(b_top + b_ys, bottom1)
+                cl, cr = max(b_left, left1), min(b_left + b_xs, right1)
+                if rb <= rt or cr <= cl:
+                    continue
+                arr = values[offsets[ri]: offsets[ri + 1]].reshape(b_ys, b_xs)
+                win[
+                    row_off + (rt - top1): row_off + (rb - top1),
+                    col_off + (cl - left1): col_off + (cr - left1),
+                ] = arr[rt - b_top: rb - b_top, cl - b_left: cl - b_left + (cr - cl)]
+            non_null = win != nullval
+            canvas[non_null] = win[non_null]
+
+        row = {
+            "tile_row": tile_row, "tile_col": tile_col, "band": band,
+            "top": top, "left": left, "ysize": ysize, "xsize": xsize,
+            "priority": salt,
+            "in_top": 0, "in_left": 0, "in_ysize": ysize, "in_xsize": xsize,
+            "src_ncols": xsize, "src_nrows": ysize,
+            "b_top": 0, "b_left": 0, "b_ysize": ysize, "b_xsize": xsize,
+            "pixels": canvas.ravel(),
+        }
+        arrs = []
+        for field in PARTIAL_SCHEMA:
+            if field.name == "pixels":
+                arrs.append(
+                    pa.ListArray.from_arrays(
+                        pa.array([0, canvas.size], type=pa.int32()),
+                        pa.array(row["pixels"], type=pa.int32()),
+                    )
+                )
+            else:
+                arrs.append(pa.array([row[field.name]], type=field.type))
+        return pa.Table.from_arrays(arrs, schema=PARTIAL_SCHEMA)
+
+    return partial
+
+
 def _base_row(band, tile_row, tile_col, top, left, canvas, nullval) -> dict:
     values = canvas[canvas != nullval]
     n = int(values.size)

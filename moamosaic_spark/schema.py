@@ -95,6 +95,32 @@ STITCH_SCHEMA = T.StructType(
     ]
 )
 
+# salted-stitch stage-1 output: one synthetic contributor row per
+# (tile, priority-bucket) — re-enters the normal stitch kernel
+PARTIAL_MERGE_SCHEMA = T.StructType(
+    [
+        T.StructField("tile_row", T.IntegerType()),
+        T.StructField("tile_col", T.IntegerType()),
+        T.StructField("band", T.IntegerType()),
+        T.StructField("top", T.IntegerType()),
+        T.StructField("left", T.IntegerType()),
+        T.StructField("ysize", T.IntegerType()),
+        T.StructField("xsize", T.IntegerType()),
+        T.StructField("priority", T.IntegerType()),
+        T.StructField("in_top", T.IntegerType()),
+        T.StructField("in_left", T.IntegerType()),
+        T.StructField("in_ysize", T.IntegerType()),
+        T.StructField("in_xsize", T.IntegerType()),
+        T.StructField("src_ncols", T.IntegerType()),
+        T.StructField("src_nrows", T.IntegerType()),
+        T.StructField("b_top", T.IntegerType()),
+        T.StructField("b_left", T.IntegerType()),
+        T.StructField("b_ysize", T.IntegerType()),
+        T.StructField("b_xsize", T.IntegerType()),
+        T.StructField("pixels", T.ArrayType(T.IntegerType())),
+    ]
+)
+
 STATS_SCHEMA = T.StructType(
     [
         T.StructField("band", T.IntegerType()),

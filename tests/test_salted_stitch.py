@@ -1,0 +1,67 @@
+"""Salted two-stage stitch: partial merges over contiguous priority
+buckets composed in bucket order must equal the unsalted fold exactly
+(SURVEY.md §7.5 'ordered merge under salting')."""
+
+import numpy as np
+import pytest
+
+from moamosaic_spark.mosaic import MosaicConfig, do_mosaic
+from moamosaic_spark.sources import synth
+from tests.conftest import to_blocks, to_footprints
+
+
+def tiles_of(res):
+    return {
+        (r.band, r.tile_row, r.tile_col): np.asarray(r.pixels, dtype=np.int32).reshape(
+            r.ysize, r.xsize
+        )
+        for r in res.tiles.collect()
+    }
+
+
+@pytest.mark.parametrize("salt", [2, 4, 7])
+def test_salted_equals_unsalted_and_oracle(spark, salt):
+    rasters = synth.hot_cell(20, 128, 128)  # 20 contributors per tile
+    fp = to_footprints(spark, synth.footprints_pdf(rasters))
+    blocks = to_blocks(spark, synth.blocks_pdf(rasters, 256))
+    base = dict(blocksize=64, src_blocksize=256, with_overviews=False)
+
+    want = synth.oracle(rasters, blocksize=64, min_overview_size=9999)
+    plain = tiles_of(do_mosaic(spark, fp, blocks, MosaicConfig(**base)))
+    salted = tiles_of(
+        do_mosaic(spark, fp, blocks, MosaicConfig(**base, stitch_salt=salt))
+    )
+    assert set(plain) == set(salted)
+    for k in plain:
+        np.testing.assert_array_equal(salted[k], plain[k], err_msg=f"tile {k}")
+        np.testing.assert_array_equal(plain[k], want.tiles[k])
+
+
+def test_salted_stats_and_null_no_overwrite(spark):
+    """Stats flow through the two-stage path, and null-no-overwrite
+    semantics survive bucket boundaries (a null in a later bucket must
+    not erase an earlier bucket's value)."""
+    rasters = synth.golden_pair(128, 128)  # B's overlap col 0 is null
+    fp = to_footprints(spark, synth.footprints_pdf(rasters))
+    blocks = to_blocks(spark, synth.blocks_pdf(rasters, 256))
+    cfg = MosaicConfig(blocksize=64, src_blocksize=256, with_overviews=False,
+                       stitch_salt=2)  # bucket boundary BETWEEN the two rasters
+    res = do_mosaic(spark, fp, blocks, cfg)
+    want = synth.oracle(rasters, blocksize=64, min_overview_size=9999)
+    got = tiles_of(res)
+    for k in got:
+        np.testing.assert_array_equal(got[k], want.tiles[k])
+    srow = res.stats.collect()[0]
+    w_min, w_max, w_mean, w_std, w_count = want.stats[1]
+    assert srow["count"] == w_count and srow.minval == w_min and srow.maxval == w_max
+
+
+def test_salted_rejects_nearest_policy(spark):
+    rasters = synth.golden_pair(64, 64)
+    fp = to_footprints(spark, synth.footprints_pdf(rasters))
+    blocks = to_blocks(spark, synth.blocks_pdf(rasters, 256))
+    with pytest.raises(ValueError, match="merge_policy"):
+        do_mosaic(
+            spark, fp, blocks,
+            MosaicConfig(blocksize=64, stitch_salt=2, merge_policy="nearest"),
+        )
