@@ -294,16 +294,26 @@ def do_mosaic(
             raise ValueError("stitch_salt requires merge_policy='last'")
         if config.kernel != "arrow":
             raise ValueError("stitch_salt requires kernel='arrow'")
-        import math as _math
+        from pyspark.sql import Window
 
         from .operators.stitch import make_partial_merge_fn_arrow
         from .schema import PARTIAL_MERGE_SCHEMA
 
-        n_src = footprints.count()
-        bucket = max(1, _math.ceil(n_src / config.stitch_salt))
-        salted = work.withColumn(
-            "_ssalt", (F.col("priority") / bucket).cast("int")
+        # Bucket by ntile over the priority ORDER, not raw priority
+        # values: sparse priorities (gaps, timestamps) would otherwise
+        # degenerate into one bucket per contributor. ntile keeps
+        # buckets contiguous in priority order (the exactness condition)
+        # and evenly sized. Window over the footprints dim table only
+        # (tiny); broadcast-joined onto the work relation.
+        # NOTE: the window below is one eager-free narrow plan, but
+        # do_mosaic stays lazy — no action is triggered here.
+        buckets = footprints.select(
+            "priority",
+            (F.ntile(config.stitch_salt).over(Window.orderBy("priority")) - 1).alias(
+                "_ssalt"
+            ),
         )
+        salted = work.join(F.broadcast(buckets), on="priority", how="inner")
         work = salted.groupBy("band", "tile_row", "tile_col", "_ssalt").applyInArrow(
             make_partial_merge_fn_arrow(grid), PARTIAL_MERGE_SCHEMA
         )

@@ -12,6 +12,9 @@ Reference semantics replicated exactly:
   overwrite" (inputs[0]'s null pixels stay null either way). This
   re-basing is what lets contributors with fully-degenerate windows be
   dropped before the shuffle.
+* contributor window-shape guard — mosaic.py:586-593 (rows sharing a
+  priority must agree on their window geometry; mismatch raises instead
+  of silently pasting through the wrong window)
 * stats partials (count/sum/ssq/min/max over non-null, float64 algebra)
   — mosaic.py:758-777
 * pyramid fragments ``arr[lvl//2::lvl, lvl//2::lvl]`` written at
@@ -20,6 +23,8 @@ Reference semantics replicated exactly:
 
 All pixel math is numpy over Arrow-delivered batches; the only Python
 loop is per source *chunk* (a ~64K-pixel array), never per pixel/row.
+One fold implementation (`_fold_arrow_group`) serves both the full
+stitch and the salted stage-1 partial merge.
 """
 
 from __future__ import annotations
@@ -47,6 +52,36 @@ ARROW_STITCH_SCHEMA = pa.schema(
         ("px_min", pa.float64()),
         ("px_max", pa.float64()),
     ]
+)
+
+PARTIAL_SCHEMA = pa.schema(
+    [
+        ("tile_row", pa.int32()),
+        ("tile_col", pa.int32()),
+        ("band", pa.int32()),
+        ("top", pa.int32()),
+        ("left", pa.int32()),
+        ("ysize", pa.int32()),
+        ("xsize", pa.int32()),
+        ("priority", pa.int32()),   # = salt bucket id (order-preserving)
+        ("in_top", pa.int32()),
+        ("in_left", pa.int32()),
+        ("in_ysize", pa.int32()),
+        ("in_xsize", pa.int32()),
+        ("src_ncols", pa.int32()),
+        ("src_nrows", pa.int32()),
+        ("b_top", pa.int32()),
+        ("b_left", pa.int32()),
+        ("b_ysize", pa.int32()),
+        ("b_xsize", pa.int32()),
+        ("pixels", pa.list_(pa.int32())),
+    ]
+)
+
+_WINDOW_COLS = (
+    "top", "left", "ysize", "xsize", "priority",
+    "in_top", "in_left", "in_ysize", "in_xsize",
+    "src_ncols", "src_nrows", "b_top", "b_left", "b_ysize", "b_xsize",
 )
 
 
@@ -81,57 +116,189 @@ def _apply_window(canvas, win, nullval, policy, best, in_top, in_left,
     best[mask] = dist[mask]
 
 
-def make_stitch_fn(grid: OutputGrid, levels: list[int], policy: str = "last"):
-    """Build the applyInPandas kernel for groupBy(band, tile_row, tile_col).
+def _extract_arrow_group(tbl: pa.Table):
+    """Column arrays + pixel buffers from one Arrow group, zero-copy
+    where the types allow."""
+    cols = {
+        name: tbl.column(name).to_numpy(zero_copy_only=False)
+        for name in _WINDOW_COLS
+    }
+    px = tbl.column("pixels").combine_chunks()
+    return cols, px.offsets.to_numpy(), px.values.to_numpy(zero_copy_only=False)
 
-    Expected input columns (one row per contributor x source-chunk):
-        top, left, ysize, xsize                  — tile geometry
-        priority, in_top, in_left, in_ysize, in_xsize,
-        src_ncols, src_nrows                     — contributor window
-        b_top, b_left, b_ysize, b_xsize, pixels  — source chunk
+
+def _check_run_geometry(cols, idxs, key):
+    """Reference shape guard (mosaic.py:586-593): every row of a
+    priority run must describe the same contributor window — otherwise
+    two sources share a priority and pixels would be pasted through the
+    wrong geometry. Raise instead of corrupting."""
+    r0 = idxs[0]
+    for ri in idxs[1:]:
+        for c in ("in_top", "in_left", "in_ysize", "in_xsize", "src_nrows", "src_ncols"):
+            if cols[c][ri] != cols[c][r0]:
+                raise ValueError(
+                    f"window geometry mismatch within priority "
+                    f"{int(cols['priority'][r0])} at group {key}: two sources "
+                    f"share a priority (priorities must be unique per source)"
+                )
+
+
+def _fold_arrow_group(cols, offsets, values, canvas, nullval, policy, best, key):
+    """The ordered merge over one Arrow group: for each contiguous
+    priority run (one contributor), clamp + pad + paste its chunks into
+    a window, then fold the window into the canvas. Shared by the full
+    stitch and the salted stage-1 partial merge."""
+    order = np.argsort(cols["priority"], kind="stable")
+    n = len(order)
+    i = 0
+    while i < n:
+        j = i
+        prio = cols["priority"][order[i]]
+        idxs = []
+        while j < n and cols["priority"][order[j]] == prio:
+            idxs.append(order[j])
+            j += 1
+        i = j
+        _check_run_geometry(cols, idxs, key)
+        r0 = idxs[0]
+        in_top, in_left = int(cols["in_top"][r0]), int(cols["in_left"][r0])
+        in_ys, in_xs = int(cols["in_ysize"][r0]), int(cols["in_xsize"][r0])
+        src_nrows, src_ncols = int(cols["src_nrows"][r0]), int(cols["src_ncols"][r0])
+        # clamp (mosaic.py:258-263)
+        top1, left1 = max(in_top, 0), max(in_left, 0)
+        bottom1 = min(in_top + in_ys, src_nrows)
+        right1 = min(in_left + in_xs, src_ncols)
+        if bottom1 <= top1 or right1 <= left1:
+            continue
+        # padded window (mosaic.py:268-273)
+        win = np.full((in_ys, in_xs), nullval, dtype=np.int32)
+        row_off, col_off = max(0, -in_top), max(0, -in_left)
+        for ri in idxs:
+            b_top, b_left = int(cols["b_top"][ri]), int(cols["b_left"][ri])
+            b_ys, b_xs = int(cols["b_ysize"][ri]), int(cols["b_xsize"][ri])
+            rt, rb = max(b_top, top1), min(b_top + b_ys, bottom1)
+            cl, cr = max(b_left, left1), min(b_left + b_xs, right1)
+            if rb <= rt or cr <= cl:
+                continue
+            arr = values[offsets[ri]: offsets[ri + 1]].reshape(b_ys, b_xs)
+            win[
+                row_off + (rt - top1): row_off + (rb - top1),
+                col_off + (cl - left1): col_off + (cr - left1),
+            ] = arr[rt - b_top: rb - b_top, cl - b_left: cr - b_left]
+        _apply_window(canvas, win, nullval, policy, best,
+                      in_top, in_left, src_nrows, src_ncols)
+
+
+def make_stitch_fn_arrow(grid: OutputGrid, levels: list[int], policy: str = "last"):
+    """The applyInArrow kernel for groupBy(band, tile_row, tile_col):
+    reads pixel payloads zero-copy from the Arrow list buffers and emits
+    one batched ListArray — no pandas object-column churn."""
+    nullval = int(grid.nullval)
+    ov_shapes = {lvl: overview_shape(grid.nrows, grid.ncols, lvl) for lvl in levels}
+
+    def stitch(key: tuple, tbl: pa.Table) -> pa.Table:
+        band, tile_row, tile_col = (int(k.as_py() if hasattr(k, "as_py") else k) for k in key)
+        cols, offsets, values = _extract_arrow_group(tbl)
+        top, left = int(cols["top"][0]), int(cols["left"][0])
+        ysize, xsize = int(cols["ysize"][0]), int(cols["xsize"][0])
+        canvas = np.full((ysize, xsize), nullval, dtype=np.int32)
+        best = _nearest_state(ysize, xsize) if policy == "nearest" else None
+        _fold_arrow_group(cols, offsets, values, canvas, nullval, policy, best,
+                          (band, tile_row, tile_col))
+        rows = [_base_row(band, tile_row, tile_col, top, left, canvas, nullval)]
+        rows.extend(
+            _pyramid_rows(band, tile_row, tile_col, top, left, canvas, levels, ov_shapes)
+        )
+        return _rows_to_arrow(rows, ARROW_STITCH_SCHEMA)
+
+    return stitch
+
+
+def make_partial_merge_fn_arrow(grid: OutputGrid):
+    """Stage-1 kernel of the SALTED stitch: merge a contiguous-priority
+    bucket of contributors into one partial canvas, emitted as a
+    synthetic contributor row covering the bounding box of its non-null
+    pixels (not the whole tile — partially covered tiles would otherwise
+    inflate the stage-2 shuffle).
+
+    Correctness (SURVEY.md §7.5 "ordered merge under salting"): the
+    per-pixel fold op(a,b) = (b if b != nullval else a) is associative,
+    so partial canvases built over contiguous priority ranges and
+    composed in bucket order equal the unsalted fold exactly. Partial
+    rows re-enter the NORMAL stitch kernel (priority = bucket id), so
+    stage 2 shares this module's single fold implementation. Only valid
+    for merge_policy='last' — 'nearest' carries per-pixel best-distance
+    state a value-only partial cannot.
     """
+    nullval = int(grid.nullval)
+
+    def partial(key: tuple, tbl: pa.Table) -> pa.Table:
+        band, tile_row, tile_col, salt = (
+            int(k.as_py() if hasattr(k, "as_py") else k) for k in key
+        )
+        cols, offsets, values = _extract_arrow_group(tbl)
+        top, left = int(cols["top"][0]), int(cols["left"][0])
+        ysize, xsize = int(cols["ysize"][0]), int(cols["xsize"][0])
+        canvas = np.full((ysize, xsize), nullval, dtype=np.int32)
+        _fold_arrow_group(cols, offsets, values, canvas, nullval, "last", None,
+                          (band, tile_row, tile_col, salt))
+
+        # bounding box of written (non-null) pixels. An all-null bucket
+        # still emits a 1x1 null box: dropping it entirely could drop the
+        # TILE from stage 2 when every bucket is all-null, whereas the
+        # unsalted path emits a null tile for assigned-but-all-null input.
+        nn_rows = np.flatnonzero((canvas != nullval).any(axis=1))
+        nn_cols = np.flatnonzero((canvas != nullval).any(axis=0))
+        if nn_rows.size == 0:
+            r0, r1, c0, c1 = 0, 1, 0, 1
+        else:
+            r0, r1 = int(nn_rows[0]), int(nn_rows[-1]) + 1
+            c0, c1 = int(nn_cols[0]), int(nn_cols[-1]) + 1
+        box = canvas[r0:r1, c0:c1]
+        row = {
+            "tile_row": tile_row, "tile_col": tile_col, "band": band,
+            "top": top, "left": left, "ysize": ysize, "xsize": xsize,
+            "priority": salt,
+            # window geometry: the bbox as a synthetic source placed so
+            # that src px (0,0) lands at tile-local (r0, c0):
+            # in_top = -r0 => pad offset row_off = r0; clamp keeps the
+            # bbox extent because src dims == bbox dims.
+            "in_top": -r0, "in_left": -c0,
+            "in_ysize": ysize, "in_xsize": xsize,
+            "src_nrows": r1 - r0, "src_ncols": c1 - c0,
+            "b_top": 0, "b_left": 0, "b_ysize": r1 - r0, "b_xsize": c1 - c0,
+            "pixels": box.ravel(),
+        }
+        return _rows_to_arrow([row], PARTIAL_SCHEMA)
+
+    return partial
+
+
+def make_stitch_fn(grid: OutputGrid, levels: list[int], policy: str = "last"):
+    """pandas (applyInPandas) variant of the stitch kernel — same
+    semantics as make_stitch_fn_arrow; kept for environments where the
+    Arrow grouped-map API is unavailable."""
     nullval = int(grid.nullval)
     ov_shapes = {lvl: overview_shape(grid.nrows, grid.ncols, lvl) for lvl in levels}
 
     def stitch(key, pdf: pd.DataFrame) -> pd.DataFrame:
         band, tile_row, tile_col = (int(k) for k in key)
-        first = pdf.iloc[0]
-        top, left = int(first["top"]), int(first["left"])
-        ysize, xsize = int(first["ysize"]), int(first["xsize"])
-
+        cols = {name: pdf[name].to_numpy() for name in _WINDOW_COLS}
+        lengths = np.fromiter(
+            (len(p) for p in pdf["pixels"]), dtype=np.int64, count=len(pdf)
+        )
+        offsets = np.concatenate(([0], np.cumsum(lengths)))
+        values = (
+            np.concatenate([np.asarray(p, dtype=np.int32) for p in pdf["pixels"]])
+            if len(pdf)
+            else np.array([], dtype=np.int32)
+        )
+        top, left = int(cols["top"][0]), int(cols["left"][0])
+        ysize, xsize = int(cols["ysize"][0]), int(cols["xsize"][0])
         canvas = np.full((ysize, xsize), nullval, dtype=np.int32)
         best = _nearest_state(ysize, xsize) if policy == "nearest" else None
-
-        for _prio, grp in pdf.sort_values("priority").groupby("priority", sort=True):
-            g0 = grp.iloc[0]
-            in_top, in_left = int(g0["in_top"]), int(g0["in_left"])
-            in_ys, in_xs = int(g0["in_ysize"]), int(g0["in_xsize"])
-            src_nrows, src_ncols = int(g0["src_nrows"]), int(g0["src_ncols"])
-            # clamp (mosaic.py:258-263)
-            top1, left1 = max(in_top, 0), max(in_left, 0)
-            bottom1 = min(in_top + in_ys, src_nrows)
-            right1 = min(in_left + in_xs, src_ncols)
-            if bottom1 <= top1 or right1 <= left1:
-                continue
-            # padded window (mosaic.py:268-273)
-            win = np.full((in_ys, in_xs), nullval, dtype=np.int32)
-            row_off, col_off = max(0, -in_top), max(0, -in_left)
-            for chunk in grp.itertuples(index=False):
-                b_top, b_left = int(chunk.b_top), int(chunk.b_left)
-                b_ys, b_xs = int(chunk.b_ysize), int(chunk.b_xsize)
-                rt, rb = max(b_top, top1), min(b_top + b_ys, bottom1)
-                cl, cr = max(b_left, left1), min(b_left + b_xs, right1)
-                if rb <= rt or cr <= cl:
-                    continue
-                arr = np.asarray(chunk.pixels, dtype=np.int32).reshape(b_ys, b_xs)
-                win[
-                    row_off + (rt - top1): row_off + (rb - top1),
-                    col_off + (cl - left1): col_off + (cr - left1),
-                ] = arr[rt - b_top: rb - b_top, cl - b_left: cr - b_left]
-            # ordered merge (mosaic.py:683-689) / nearest-source policy
-            _apply_window(canvas, win, nullval, policy, best,
-                          in_top, in_left, src_nrows, src_ncols)
-
+        _fold_arrow_group(cols, offsets, values, canvas, nullval, policy, best,
+                          (band, tile_row, tile_col))
         rows = [_base_row(band, tile_row, tile_col, top, left, canvas, nullval)]
         rows.extend(
             _pyramid_rows(band, tile_row, tile_col, top, left, canvas, levels, ov_shapes)
@@ -141,82 +308,7 @@ def make_stitch_fn(grid: OutputGrid, levels: list[int], policy: str = "last"):
     return stitch
 
 
-def make_stitch_fn_arrow(grid: OutputGrid, levels: list[int], policy: str = "last"):
-    """Arrow-native variant for ``applyInArrow``: identical semantics to
-    :func:`make_stitch_fn`, but reads pixel payloads zero-copy from the
-    Arrow list buffers and emits one batched ListArray — no pandas
-    object-column churn on either side of the kernel. ~2x less Python
-    overhead per group at bench scale."""
-    nullval = int(grid.nullval)
-    ov_shapes = {lvl: overview_shape(grid.nrows, grid.ncols, lvl) for lvl in levels}
-
-    def stitch(key: tuple, tbl: pa.Table) -> pa.Table:
-        band, tile_row, tile_col = (int(k.as_py() if hasattr(k, "as_py") else k) for k in key)
-        cols = {
-            name: tbl.column(name).to_numpy(zero_copy_only=False)
-            for name in (
-                "top", "left", "ysize", "xsize", "priority",
-                "in_top", "in_left", "in_ysize", "in_xsize",
-                "src_ncols", "src_nrows", "b_top", "b_left", "b_ysize", "b_xsize",
-            )
-        }
-        px = tbl.column("pixels").combine_chunks()
-        offsets = px.offsets.to_numpy()
-        values = px.values.to_numpy(zero_copy_only=False)
-
-        top, left = int(cols["top"][0]), int(cols["left"][0])
-        ysize, xsize = int(cols["ysize"][0]), int(cols["xsize"][0])
-        canvas = np.full((ysize, xsize), nullval, dtype=np.int32)
-        best = _nearest_state(ysize, xsize) if policy == "nearest" else None
-
-        order = np.argsort(cols["priority"], kind="stable")
-        n = len(order)
-        i = 0
-        while i < n:
-            j = i
-            prio = cols["priority"][order[i]]
-            # contributor = run of rows with equal priority
-            idxs = []
-            while j < n and cols["priority"][order[j]] == prio:
-                idxs.append(order[j])
-                j += 1
-            r0 = idxs[0]
-            in_top, in_left = int(cols["in_top"][r0]), int(cols["in_left"][r0])
-            in_ys, in_xs = int(cols["in_ysize"][r0]), int(cols["in_xsize"][r0])
-            src_nrows, src_ncols = int(cols["src_nrows"][r0]), int(cols["src_ncols"][r0])
-            top1, left1 = max(in_top, 0), max(in_left, 0)
-            bottom1 = min(in_top + in_ys, src_nrows)
-            right1 = min(in_left + in_xs, src_ncols)
-            i = j
-            if bottom1 <= top1 or right1 <= left1:
-                continue
-            win = np.full((in_ys, in_xs), nullval, dtype=np.int32)
-            row_off, col_off = max(0, -in_top), max(0, -in_left)
-            for ri in idxs:
-                b_top, b_left = int(cols["b_top"][ri]), int(cols["b_left"][ri])
-                b_ys, b_xs = int(cols["b_ysize"][ri]), int(cols["b_xsize"][ri])
-                rt, rb = max(b_top, top1), min(b_top + b_ys, bottom1)
-                cl, cr = max(b_left, left1), min(b_left + b_xs, right1)
-                if rb <= rt or cr <= cl:
-                    continue
-                arr = values[offsets[ri]: offsets[ri + 1]].reshape(b_ys, b_xs)
-                win[
-                    row_off + (rt - top1): row_off + (rb - top1),
-                    col_off + (cl - left1): col_off + (cr - left1),
-                ] = arr[rt - b_top: rb - b_top, cl - b_left: cl - b_left + (cr - cl)]
-            _apply_window(canvas, win, nullval, policy, best,
-                          in_top, in_left, src_nrows, src_ncols)
-
-        rows = [_base_row(band, tile_row, tile_col, top, left, canvas, nullval)]
-        rows.extend(
-            _pyramid_rows(band, tile_row, tile_col, top, left, canvas, levels, ov_shapes)
-        )
-        return _rows_to_arrow(rows)
-
-    return stitch
-
-
-def _rows_to_arrow(rows: list[dict]) -> pa.Table:
+def _rows_to_arrow(rows: list[dict], schema: pa.Schema) -> pa.Table:
     pix = [r["pixels"] for r in rows]
     lengths = np.fromiter((len(p) for p in pix), dtype=np.int64, count=len(pix))
     offsets = np.concatenate(([0], np.cumsum(lengths)))
@@ -225,135 +317,12 @@ def _rows_to_arrow(rows: list[dict]) -> pa.Table:
         pa.array(offsets, type=pa.int32()), pa.array(values, type=pa.int32())
     )
     arrs = []
-    for field in ARROW_STITCH_SCHEMA:
+    for field in schema:
         if field.name == "pixels":
             arrs.append(pixels)
         else:
             arrs.append(pa.array([r[field.name] for r in rows], type=field.type))
-    return pa.Table.from_arrays(arrs, schema=ARROW_STITCH_SCHEMA)
-
-
-PARTIAL_SCHEMA = pa.schema(
-    [
-        ("tile_row", pa.int32()),
-        ("tile_col", pa.int32()),
-        ("band", pa.int32()),
-        ("top", pa.int32()),
-        ("left", pa.int32()),
-        ("ysize", pa.int32()),
-        ("xsize", pa.int32()),
-        ("priority", pa.int32()),   # = salt bucket id (order-preserving)
-        ("in_top", pa.int32()),
-        ("in_left", pa.int32()),
-        ("in_ysize", pa.int32()),
-        ("in_xsize", pa.int32()),
-        ("src_ncols", pa.int32()),
-        ("src_nrows", pa.int32()),
-        ("b_top", pa.int32()),
-        ("b_left", pa.int32()),
-        ("b_ysize", pa.int32()),
-        ("b_xsize", pa.int32()),
-        ("pixels", pa.list_(pa.int32())),
-    ]
-)
-
-
-def make_partial_merge_fn_arrow(grid: OutputGrid):
-    """Stage-1 kernel of the SALTED stitch: merge a contiguous-priority
-    bucket of contributors into one tile-sized partial canvas.
-
-    Correctness (SURVEY.md §7.5 "ordered merge under salting"): the
-    per-pixel fold op(a,b) = (b if b != nullval else a) is associative,
-    so partial canvases built over contiguous priority ranges and
-    composed in bucket order equal the unsalted fold exactly. The
-    partial rows re-enter the NORMAL stitch kernel as synthetic
-    contributors (priority = bucket id, window = whole tile), so stage 2
-    needs no special casing. Property-tested in tests/test_properties.py
-    and end-to-end in tests/test_salted_stitch.py.
-
-    Only valid for merge_policy='last' — the 'nearest' policy carries
-    per-pixel best-distance state that a value-only partial cannot.
-    """
-    nullval = int(grid.nullval)
-
-    def partial(key: tuple, tbl: pa.Table) -> pa.Table:
-        band, tile_row, tile_col, salt = (
-            int(k.as_py() if hasattr(k, "as_py") else k) for k in key
-        )
-        cols = {
-            name: tbl.column(name).to_numpy(zero_copy_only=False)
-            for name in (
-                "top", "left", "ysize", "xsize", "priority",
-                "in_top", "in_left", "in_ysize", "in_xsize",
-                "src_ncols", "src_nrows", "b_top", "b_left", "b_ysize", "b_xsize",
-            )
-        }
-        px = tbl.column("pixels").combine_chunks()
-        offsets = px.offsets.to_numpy()
-        values = px.values.to_numpy(zero_copy_only=False)
-        top, left = int(cols["top"][0]), int(cols["left"][0])
-        ysize, xsize = int(cols["ysize"][0]), int(cols["xsize"][0])
-        canvas = np.full((ysize, xsize), nullval, dtype=np.int32)
-        order = np.argsort(cols["priority"], kind="stable")
-        n = len(order)
-        i = 0
-        while i < n:
-            j = i
-            prio = cols["priority"][order[i]]
-            idxs = []
-            while j < n and cols["priority"][order[j]] == prio:
-                idxs.append(order[j])
-                j += 1
-            r0 = idxs[0]
-            in_top, in_left = int(cols["in_top"][r0]), int(cols["in_left"][r0])
-            in_ys, in_xs = int(cols["in_ysize"][r0]), int(cols["in_xsize"][r0])
-            src_nrows, src_ncols = int(cols["src_nrows"][r0]), int(cols["src_ncols"][r0])
-            top1, left1 = max(in_top, 0), max(in_left, 0)
-            bottom1 = min(in_top + in_ys, src_nrows)
-            right1 = min(in_left + in_xs, src_ncols)
-            i = j
-            if bottom1 <= top1 or right1 <= left1:
-                continue
-            win = np.full((in_ys, in_xs), nullval, dtype=np.int32)
-            row_off, col_off = max(0, -in_top), max(0, -in_left)
-            for ri in idxs:
-                b_top, b_left = int(cols["b_top"][ri]), int(cols["b_left"][ri])
-                b_ys, b_xs = int(cols["b_ysize"][ri]), int(cols["b_xsize"][ri])
-                rt, rb = max(b_top, top1), min(b_top + b_ys, bottom1)
-                cl, cr = max(b_left, left1), min(b_left + b_xs, right1)
-                if rb <= rt or cr <= cl:
-                    continue
-                arr = values[offsets[ri]: offsets[ri + 1]].reshape(b_ys, b_xs)
-                win[
-                    row_off + (rt - top1): row_off + (rb - top1),
-                    col_off + (cl - left1): col_off + (cr - left1),
-                ] = arr[rt - b_top: rb - b_top, cl - b_left: cl - b_left + (cr - cl)]
-            non_null = win != nullval
-            canvas[non_null] = win[non_null]
-
-        row = {
-            "tile_row": tile_row, "tile_col": tile_col, "band": band,
-            "top": top, "left": left, "ysize": ysize, "xsize": xsize,
-            "priority": salt,
-            "in_top": 0, "in_left": 0, "in_ysize": ysize, "in_xsize": xsize,
-            "src_ncols": xsize, "src_nrows": ysize,
-            "b_top": 0, "b_left": 0, "b_ysize": ysize, "b_xsize": xsize,
-            "pixels": canvas.ravel(),
-        }
-        arrs = []
-        for field in PARTIAL_SCHEMA:
-            if field.name == "pixels":
-                arrs.append(
-                    pa.ListArray.from_arrays(
-                        pa.array([0, canvas.size], type=pa.int32()),
-                        pa.array(row["pixels"], type=pa.int32()),
-                    )
-                )
-            else:
-                arrs.append(pa.array([row[field.name]], type=field.type))
-        return pa.Table.from_arrays(arrs, schema=PARTIAL_SCHEMA)
-
-    return partial
+    return pa.Table.from_arrays(arrs, schema=schema)
 
 
 def _base_row(band, tile_row, tile_col, top, left, canvas, nullval) -> dict:

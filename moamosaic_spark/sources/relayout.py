@@ -102,6 +102,12 @@ def stitch_from_relayout(
     Exchange. ``config`` may override kernel/merge_policy/overviews; the
     grid and tiling geometry come from the relayout metadata."""
     config = config or MosaicConfig()
+    if config.stitch_salt > 1:
+        raise ValueError(
+            "stitch_salt is not supported on the relayout path yet — the "
+            "bucketed layout already removes the stitch shuffle; run "
+            "do_mosaic for the two-stage salted merge"
+        )
     from ..session import ensure_workers_can_import
 
     ensure_workers_can_import(spark)

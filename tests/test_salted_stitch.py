@@ -56,6 +56,38 @@ def test_salted_stats_and_null_no_overwrite(spark):
     assert srow["count"] == w_count and srow.minval == w_min and srow.maxval == w_max
 
 
+def test_salted_with_sparse_priorities(spark):
+    """Priorities with gaps (10, 20, 30, ...) must still bucket into
+    ~salt contiguous groups (ntile over order, not raw values)."""
+    rasters = synth.hot_cell(12, 96, 96)
+    pdf = synth.footprints_pdf(rasters)
+    pdf["priority"] = pdf["priority"] * 10 + 7  # sparse, non-zero-based
+    fp = to_footprints(spark, pdf)
+    blocks = to_blocks(spark, synth.blocks_pdf(rasters, 256))
+    base = dict(blocksize=64, src_blocksize=256, with_overviews=False)
+    want = synth.oracle(rasters, blocksize=64, min_overview_size=9999)
+    got = tiles_of(do_mosaic(spark, fp, blocks, MosaicConfig(**base, stitch_salt=3)))
+    for k in got:
+        np.testing.assert_array_equal(got[k], want.tiles[k])
+
+
+def test_duplicate_priority_raises_shape_guard(spark):
+    """Two sources sharing a priority with different windows must raise
+    (the reference's shape-mismatch guard, mosaic.py:586-593), not
+    silently paste through the wrong geometry."""
+    rasters = synth.golden_pair(96, 96)
+    pdf = synth.footprints_pdf(rasters)
+    pdf["priority"] = 0  # both sources claim priority 0
+    fp = to_footprints(spark, pdf)
+    blocks = to_blocks(spark, synth.blocks_pdf(rasters, 256))
+    res = do_mosaic(
+        spark, fp, blocks,
+        MosaicConfig(blocksize=64, src_blocksize=256, with_overviews=False),
+    )
+    with pytest.raises(Exception, match="geometry mismatch|PYTHON_EXCEPTION|mismatch"):
+        res.tiles.collect()
+
+
 def test_salted_rejects_nearest_policy(spark):
     rasters = synth.golden_pair(64, 64)
     fp = to_footprints(spark, synth.footprints_pdf(rasters))
