@@ -247,13 +247,24 @@ def do_mosaic(
     blocks: DataFrame,
     config: MosaicConfig | None = None,
     grid: OutputGrid | None = None,
+    tile_row_range: tuple[int, int] | None = None,
+    tile_keys: DataFrame | None = None,
 ) -> MosaicResult:
     """Run the full mosaic dataflow. Returns lazy DataFrames — callers
     trigger execution by writing or collecting.
 
     ``grid`` pins the output grid explicitly (incremental runs must keep
     tile coordinates stable while footprints accumulate); by default it
-    is derived from the footprints via the extent aggregate."""
+    is derived from the footprints via the extent aggregate.
+
+    ``tile_row_range=(lo, hi)`` / ``tile_keys`` restrict the run to a
+    subset of output tiles (half-open row range / explicit
+    (tile_row, tile_col) key set). The restriction is applied to the
+    INPUT tile relation, before the spatial join and the stitch groupBy
+    — Catalyst cannot push a filter through FlatMapGroupsInArrow, so
+    filtering the kernel's *output* (what resume/incremental previously
+    did) re-stitches the entire mosaic and discards most of it. Pruning
+    the input side makes a k-of-n batch cost ~1/n of a full run."""
     config = config or MosaicConfig()
     from .session import ensure_workers_can_import
 
@@ -271,6 +282,20 @@ def do_mosaic(
         else []
     )
     tiles = make_tile_relation(spark, grid, config.blocksize)
+    if tile_row_range is not None:
+        lo, hi = tile_row_range
+        tiles = tiles.where(
+            (F.col("tile_row") >= F.lit(int(lo))) & (F.col("tile_row") < F.lit(int(hi)))
+        )
+    if tile_keys is not None:
+        # semi-join against the requested tile set; left small by
+        # construction (a micro-batch's touched tiles), AQE converts it
+        # to a broadcast join at runtime when it is.
+        tiles = tiles.join(
+            tile_keys.select("tile_row", "tile_col").distinct(),
+            on=["tile_row", "tile_col"],
+            how="left_semi",
+        )
     assignments = assign_inputs(
         tiles,
         footprints,

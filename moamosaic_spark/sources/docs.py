@@ -21,12 +21,57 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, Window, functions as F
 
 
+def dense_global_rank(
+    df: DataFrame, order_col: str, out_col: str = "priority"
+) -> DataFrame:
+    """Dense 0-based global rank by ``order_col`` WITHOUT a single-task
+    global window (``Window.orderBy`` with no partitionBy funnels every
+    row through ONE reducer — a serialization point at 10^9 rows).
+
+    zipWithIndex-style two-job scheme, all DataFrame-native:
+      1. range-partition by the order column (global order across
+         partitions, distributed);
+      2. tiny count job: rows per range partition (#rows = #partitions)
+         collected to the driver, turned into cumulative offsets;
+      3. per-partition ``row_number`` (window partitioned by partition
+         id — no single-task stage) + broadcast offset join.
+
+    Like ``RDD.zipWithIndex``, requires a deterministic input plan (both
+    jobs re-execute the range exchange; parquet scans and deterministic
+    repartitions qualify). ``order_col`` must be a total order (unique),
+    otherwise ranks at partition boundaries are ambiguous.
+    """
+    spark = df.sparkSession
+    d = df.repartitionByRange(F.col(order_col)).withColumn(
+        "_pid", F.spark_partition_id()
+    )
+    counts = sorted(
+        (r["_pid"], r["n"]) for r in d.groupBy("_pid").agg(F.count("*").alias("n")).collect()
+    )
+    offsets, acc = [], 0
+    for pid, n in counts:
+        offsets.append((pid, acc))
+        acc += n
+    off_df = spark.createDataFrame(offsets or [], "_pid int, _off long")
+    w = Window.partitionBy("_pid").orderBy(order_col)
+    return (
+        d.withColumn("_lrk", F.row_number().over(w))
+        .join(F.broadcast(off_df), on="_pid", how="inner")
+        .select(
+            *[c for c in df.columns if c != order_col],
+            (F.col("_lrk") - 1 + F.col("_off")).cast("int").alias(out_col),
+        )
+    )
+
+
 def media_refs_in_order(docs: DataFrame) -> DataFrame:
     """Distinct media refs with priority = order of first appearance by
     (doc_id, span position). Returns (media_ref, priority).
 
-    One shuffle (the window sort) over the *media spans only* — text
-    payload is pruned before the shuffle by Catalyst column pruning.
+    Shuffles touch the *media spans only* — text payload is pruned
+    before the shuffle by Catalyst column pruning. Priority assignment
+    is the distributed dense rank (no unpartitioned window: this is the
+    priority front door of the whole engine and must not serialize).
     """
     spans = (
         docs.select("doc_id", F.posexplode("spans").alias("pos", "span"))
@@ -36,10 +81,7 @@ def media_refs_in_order(docs: DataFrame) -> DataFrame:
     firsts = spans.groupBy("media_ref").agg(
         F.min(F.struct("doc_id", "pos")).alias("first_seen")
     )
-    w = Window.orderBy("first_seen")
-    return firsts.select(
-        "media_ref", (F.row_number().over(w) - 1).cast("int").alias("priority")
-    )
+    return dense_global_rank(firsts, "first_seen", "priority")
 
 
 def footprints_from_docs(docs: DataFrame, footprint_meta: DataFrame) -> DataFrame:

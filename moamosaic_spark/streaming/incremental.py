@@ -6,14 +6,24 @@ event stream — SURVEY.md §2.7), but a 10^12-doc corpus arrives
 incrementally. This wrapper consumes a document stream with
 ``foreachBatch``; each micro-batch:
 
-1. extracts the batch's media refs (posexplode, kind='media'),
-2. appends them to a cumulative footprints-seen state table (priority =
-   global arrival order — preserving the reference's filelist-order
-   merge semantics across batches),
+1. extracts the batch's media refs (posexplode, kind='media') and drops
+   the already-seen ones FIRST,
+2. assigns the survivors densely increasing priorities continuing from
+   max(priority)+1 of the state table (global arrival order —
+   preserving the reference's filelist-order merge semantics across
+   batches; computing the offset from a row COUNT would collide after
+   any batch that mixed seen and unseen refs),
 3. computes which output tiles the NEW footprints touch (the same
-   cell-keyed spatial join, on the new refs only),
-4. re-stitches exactly those tiles from ALL sources seen so far and
-   dynamic-partition-overwrites them in the sink.
+   spatial join, on the new refs only) and re-stitches exactly those
+   tiles from ALL sources seen so far — the touched-tile set is pushed
+   into ``do_mosaic(tile_keys=...)`` so the pruning happens on the
+   INPUT side of the stitch kernel (a filter above FlatMapGroupsInArrow
+   would re-stitch the entire mosaic every micro-batch),
+4. dynamic-partition-overwrites the touched tiles in the sink, and only
+   THEN commits the new refs to the footprints-seen state table — a
+   batch that dies between the two replays in full (state unchanged →
+   same refs, same priorities, identical bytes rewritten); committing
+   state first would make a mid-batch failure permanently drop tiles.
 
 Recomputing touched tiles from cumulative state (instead of merging
 deltas in place) keeps every micro-batch idempotent — a replayed batch
@@ -25,7 +35,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession, functions as F
 
 from ..mosaic import MosaicConfig, do_mosaic
-from ..sources.docs import media_refs_in_order
+from ..sources.docs import dense_global_rank, media_refs_in_order
 
 
 def _state_path(out_path: str) -> str:
@@ -53,39 +63,59 @@ def process_batch(
 
     new_refs = media_refs_in_order(batch_docs)
     seen = read_seen(spark, out_path)
-    offset = 0 if seen is None else seen.count()
+    offset = 0
+    if seen is not None:
+        # drop already-seen refs BEFORE assigning priorities, then
+        # densify the survivors (the anti-join leaves gaps) and continue
+        # from max(priority)+1 — count-based offsets collide after any
+        # batch mixing seen and unseen refs.
+        new_refs = new_refs.join(
+            seen.select("media_ref"), on="media_ref", how="left_anti"
+        )
+        new_refs = dense_global_rank(new_refs, "priority", "priority")
+        max_p = seen.agg(F.max("priority")).collect()[0][0]
+        offset = 0 if max_p is None else int(max_p) + 1
     new_fp = (
-        new_refs.withColumn("priority", F.col("priority") + F.lit(offset))
+        new_refs.withColumn(
+            "priority", (F.col("priority") + F.lit(offset)).cast("int")
+        )
         .join(footprint_meta.drop("priority"), on="media_ref", how="inner")
     )
-    if seen is not None:
-        new_fp = new_fp.join(seen.select("media_ref"), on="media_ref", how="left_anti")
+    # freeze the batch's footprints: they feed the mosaic, the touched-
+    # tile join AND (after the sink write succeeds) the state append.
+    new_fp = new_fp.localCheckpoint(eager=True)
     n_new = new_fp.count()
     if n_new == 0:
         return {"batch_id": batch_id, "new_refs": 0, "tiles_written": 0}
 
-    new_fp.write.mode("append").parquet(_state_path(out_path))
-    all_fp = read_seen(spark, out_path)
+    all_fp = new_fp if seen is None else seen.unionByName(new_fp)
 
     # The output grid is pinned from the FULL footprint catalog (known
     # upfront), not the cumulative-seen subset: a later footprint
     # extending the extent west/north would otherwise shift every
     # existing tile's (tile_row, tile_col).
-    from ..plans.grid import make_output_grid
+    from ..plans.grid import make_output_grid, make_tile_relation
+    from ..plans.spatial_join import assign_inputs
 
     grid = make_output_grid(footprint_meta, config.nullval)
-    res = do_mosaic(spark, all_fp, blocks, config, grid=grid)
+    # touched tiles: the spatial join over the NEW footprints only —
+    # small, and it feeds do_mosaic(tile_keys=...) so the full run's
+    # tile relation is pruned BELOW the stitch kernel.
+    tiles_rel = make_tile_relation(spark, grid, config.blocksize)
+    kw = (
+        {"cell_size_px": config.cell_size_px, "salt": config.salt,
+         "blocksize": config.blocksize}
+        if config.strategy == "cell"
+        else {}
+    )
     touched = (
-        res.assignments.join(
-            new_fp.select("media_ref"), on="media_ref", how="left_semi"
-        )
+        assign_inputs(tiles_rel, new_fp, grid, strategy=config.strategy, **kw)
         .select("tile_row", "tile_col")
         .distinct()
     )
+    res = do_mosaic(spark, all_fp, blocks, config, grid=grid, tile_keys=touched)
     part_of = F.pmod(F.col("tile_row"), F.lit(16))
-    out_tiles = res.tiles.join(
-        touched, on=["tile_row", "tile_col"], how="left_semi"
-    ).withColumn("part", part_of)
+    out_tiles = res.tiles.withColumn("part", part_of)
     n = out_tiles.count()
 
     # Row-level MERGE emulation over a partitioned parquet sink (an
@@ -114,6 +144,10 @@ def process_batch(
         .partitionBy("part")
         .parquet(f"{out_path}/tiles")
     )
+    # State commit LAST: only once the tiles are durably in the sink do
+    # the batch's refs count as seen. A failure anywhere above replays
+    # the whole batch (state unchanged -> identical recompute).
+    new_fp.write.mode("append").parquet(_state_path(out_path))
     return {"batch_id": batch_id, "new_refs": n_new, "tiles_written": n}
 
 

@@ -10,15 +10,20 @@ Resume = **left anti-join** of the batch list against completed lineage
 (the J4 countdown's true distributed analog, SURVEY.md §2.3) — a killed
 run re-executes only its unfinished batches.
 
-Batches partition tiles by tile_row ranges, so each batch's spatial
-join prunes its tile relation by a range predicate (partition pruning
-on the generated side) and its output lands in its own sink partition
-(`batch=K/`) — re-running a batch overwrites only that partition
-(dynamic partition overwrite), making resume idempotent.
+Batches partition tiles by tile_row ranges; each batch runs its own
+pruned plan — the range predicate is applied to the INPUT tile relation
+(``do_mosaic(tile_row_range=...)``), below the spatial join and the
+stitch kernel, so a batch only ever scans, joins and stitches its own
+rows (Catalyst cannot push a filter through FlatMapGroupsInArrow, so
+output-side filtering would re-stitch everything every batch). Each
+batch's output lands in its own sink partition (`batch=K/`) —
+re-running a batch overwrites only that partition (dynamic partition
+overwrite), making resume idempotent.
 """
 
 from __future__ import annotations
 
+import dataclasses
 import time
 import uuid
 
@@ -30,6 +35,14 @@ from ..plans.grid import n_blocks
 
 def _lineage_path(out_path: str) -> str:
     return f"{out_path}/lineage"
+
+
+def _delete_path(spark: SparkSession, path: str) -> None:
+    """Scheme-agnostic recursive delete via the Hadoop FS API."""
+    jvm = spark._jvm
+    hpath = jvm.org.apache.hadoop.fs.Path(path)
+    fs = hpath.getFileSystem(spark._jsc.hadoopConfiguration())
+    fs.delete(hpath, True)
 
 
 def read_lineage(spark: SparkSession, out_path: str) -> DataFrame | None:
@@ -82,14 +95,29 @@ def resumable_mosaic(
     grid = make_output_grid(footprints, config.nullval)
     nb_r = n_blocks(grid.nrows, config.blocksize)
     n_batches = min(n_batches, nb_r)
+
+    # A lineage row from a run with a different n_batches describes
+    # different tile ranges AND different sink partitions: its batch=K
+    # directories would survive dynamic partition overwrite as stale
+    # duplicates. Changing the batch geometry therefore invalidates all
+    # prior progress — truncate sink + lineage and start fresh.
+    lin = read_lineage(spark, out_path)
+    if lin is not None and "n_batches" in lin.columns:
+        foreign = lin.where(F.col("n_batches") != n_batches).limit(1).count() > 0
+        if foreign:
+            _delete_path(spark, f"{out_path}/tiles")
+            _delete_path(spark, _lineage_path(out_path))
     done = completed_batches(spark, out_path, n_batches)
 
     spark.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
 
-    # ONE lazy plan; each batch filters it by a tile_row range — Catalyst
-    # pushes the predicate into the generated tile relation and the join,
-    # so a batch only ever stitches its own rows.
-    res = do_mosaic(spark, footprints, blocks, config)
+    # Projection agreement is batch-invariant: validate once up front,
+    # then skip it inside the per-batch pruned plans.
+    if config.check_projections:
+        from ..mosaic import validate_projections
+
+        validate_projections(footprints)
+    batch_config = dataclasses.replace(config, check_projections=False)
 
     from pyspark.sql import Observation
 
@@ -98,14 +126,18 @@ def resumable_mosaic(
         if b in done:
             skipped += 1
             continue
-        # tile_row range of this batch
+        # tile_row range of this batch, pruned on the INPUT side — the
+        # batch plan scans/joins/stitches only its own tiles.
         lo = b * nb_r // n_batches
         hi = (b + 1) * nb_r // n_batches
         t0 = time.time()
+        res = do_mosaic(
+            spark, footprints, blocks, batch_config, grid=grid,
+            tile_row_range=(lo, hi),
+        )
         obs = Observation()
         batch_tiles = (
-            res.tiles.where((F.col("tile_row") >= lo) & (F.col("tile_row") < hi))
-            .withColumn("batch", F.lit(b))
+            res.tiles.withColumn("batch", F.lit(b))
             .observe(obs, F.count(F.lit(1)).alias("n"))
         )
         (
