@@ -101,7 +101,9 @@ def _mosaic_result_cached(sf_dir: str, spark: SparkSession | None = None):
             from .session import get_spark
 
             spark = get_spark()
-    key = (id(spark), sf_dir)
+    # keyed by the live session object (not id()): an id can be reused
+    # for a new session after the old one is garbage-collected.
+    key = (spark, sf_dir)
     if key not in _RESULT_CACHE:
         fp = derived_footprints(spark, sf_dir)
         blocks = derived_blocks(fp)
@@ -494,6 +496,58 @@ GROUP BY doc_id
 """
 
 
+N_LSH_BANDS = 4
+
+
+def q_dedup_lsh_candidates(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MinHash LSH banding — the advertised 100-TB dedup path: docs
+    sharing any (band, signature-tuple) bucket are candidate pairs.
+    Buckets are the band VALUE tuples (portable), so DuckDB replays
+    candidate generation bit-identically."""
+    docs = _read_docs(spark, sf_dir)
+    cand = D.minhash_lsh_candidates(
+        docs, k=3, num_hashes=N_MINHASH, bands=N_LSH_BANDS
+    )
+    return cand.select(
+        F.col("doc_a").cast("long").alias("doc_a"),
+        F.col("doc_b").cast("long").alias("doc_b"),
+        F.col("n_shared_bands").cast("long").alias("n_shared_bands"),
+    )
+
+
+def _lsh_candidates_sql() -> str:
+    rows_per_band = N_MINHASH // N_LSH_BANDS
+    mins = ",\n       ".join(
+        f"CAST(min({seeded_hash32_sql(i, 'shingle')}) AS BIGINT) AS h{i}"
+        for i in range(N_MINHASH)
+    )
+    band_selects = []
+    for b in range(N_LSH_BANDS):
+        cols = [f"h{b * rows_per_band + i}" for i in range(rows_per_band)]
+        bucket = " || ',' || ".join(f"CAST({c} AS VARCHAR)" for c in cols)
+        band_selects.append(
+            f"SELECT doc_id, {b} AS band, {bucket} AS bucket FROM sig"
+        )
+    bb = "\n  UNION ALL ".join(band_selects)
+    return f"""{_SQL_SHINGLES},
+sig AS (
+  SELECT doc_id,
+       {mins}
+  FROM sh
+  GROUP BY doc_id
+),
+bb AS (
+  {bb}
+)
+SELECT CAST(a.doc_id AS BIGINT) AS doc_a,
+       CAST(b.doc_id AS BIGINT) AS doc_b,
+       CAST(count(*) AS BIGINT) AS n_shared_bands
+FROM bb a
+JOIN bb b ON a.band = b.band AND a.bucket = b.bucket AND a.doc_id < b.doc_id
+GROUP BY 1, 2
+"""
+
+
 def q_dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = _read_docs(spark, sf_dir)
     return D.simhash(docs).select(
@@ -772,23 +826,21 @@ WHERE p.doc_id IN (SELECT doc_id FROM keep)
 
 
 def q_embedding_neardup_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Embedding-cosine near-duplicate pairs above a threshold — exact
-    here (500 vectors); at scale the LSH-bucketed variant
-    (functions/similarity.py:lsh_bucket) generates candidates first."""
+    """Embedding-cosine near-duplicate pairs above a threshold. EXACT
+    semantics via the shifted-grid bucketed candidate generator
+    (functions/similarity.py:neardup_pairs) — candidates are a
+    guaranteed superset of qualifying pairs, generated by an equi-join
+    on projection cells (no CartesianProduct at any scale), then
+    re-ranked with the exact cosine. The candidate threshold is set a
+    hair below 0.5 so the final round(cos,4) >= 0.5 filter (matching
+    the oracle's rounding-at-comparison semantics) loses nothing."""
     emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
-    a = emb.select(
-        F.col("vec_id").alias("id_a"), F.col("embedding").cast("array<double>").alias("va")
-    )
-    b = emb.select(
-        F.col("vec_id").alias("id_b"), F.col("embedding").cast("array<double>").alias("vb")
-    )
-    pairs = a.crossJoin(b).where(F.col("id_a") < F.col("id_b"))
-    cs = S.cosine(F.col("va"), F.col("vb"))
+    pairs = S.neardup_pairs(emb, threshold=0.4999)
     return pairs.select(
         F.col("id_a").cast("long").alias("id_a"),
         F.col("id_b").cast("long").alias("id_b"),
-        F.round(cs, 4).alias("cos_sim"),
-    ).where(F.round(cs, 4) >= 0.5)
+        F.round("cos_sim", 4).alias("cos_sim"),
+    ).where(F.round("cos_sim", 4) >= 0.5)
 
 
 SQL_EMBEDDING_NEARDUP_PAIRS = """
@@ -826,6 +878,7 @@ def queries() -> dict:
         "dedup_exact": q_dedup_exact,
         "dedup_ngram_pairs": q_dedup_ngram_pairs,
         "dedup_minhash_sig": q_dedup_minhash_sig,
+        "dedup_lsh_candidates": q_dedup_lsh_candidates,
         "dedup_simhash": q_dedup_simhash,
         "embedding_topk": q_embedding_topk,
         "lineitem_agg": q_lineitem_agg,
@@ -852,6 +905,7 @@ def oracle_sql() -> dict:
         "dedup_exact": SQL_DEDUP_EXACT,
         "dedup_ngram_pairs": SQL_DEDUP_NGRAM_PAIRS,
         "dedup_minhash_sig": _minhash_sig_sql(),
+        "dedup_lsh_candidates": _lsh_candidates_sql(),
         "dedup_simhash": SQL_DEDUP_SIMHASH,
         "embedding_topk": SQL_EMBEDDING_TOPK,
         "lineitem_agg": SQL_LINEITEM_AGG,

@@ -59,6 +59,7 @@ def ngram_jaccard_pairs(
     text_col: str = "text",
     k: int = 3,
     threshold: float = 0.5,
+    max_doc_freq: int | None = None,
 ) -> DataFrame:
     """Near-duplicate pairs by word-k-gram Jaccard similarity.
 
@@ -66,8 +67,23 @@ def ngram_jaccard_pairs(
     a doc pair is compared iff it shares >= 1 shingle, so disjoint
     documents cost nothing. Returns (doc_a, doc_b, jaccard), doc_a <
     doc_b, jaccard >= threshold.
+
+    ``max_doc_freq`` (off by default — exact Jaccard, oracle-equal)
+    caps the inverted index: a shingle appearing in more than this many
+    documents (boilerplate) is dropped BEFORE the self-join, bounding
+    the per-shingle pair blowup (one shingle in m docs emits m^2/2 join
+    rows). With the cap on, Jaccard is computed over the capped shingle
+    universe — pairs whose only overlap is boilerplate are skipped by
+    design.
     """
     p = shingle_postings(docs, id_col, text_col, k)
+    if max_doc_freq is not None:
+        hot = (
+            p.groupBy("shingle")
+            .agg(F.count("*").alias("_df"))
+            .where(F.col("_df") > max_doc_freq)
+        )
+        p = p.join(hot.select("shingle"), on="shingle", how="left_anti")
     sizes = p.groupBy("doc_id").agg(F.count("*").alias("n_sh"))
     a = p.alias("a")
     b = p.alias("b")
@@ -128,8 +144,13 @@ def minhash_lsh_candidates(
     band_cols = []
     for b in range(bands):
         cols = [F.col(f"h{b * rows_per_band + i}") for i in range(rows_per_band)]
+        # bucket = the band's VALUE TUPLE (delimited decimal string), not
+        # a Spark-internal murmur3 hash: keeps the module's portable-hash
+        # contract (DuckDB replays candidate generation bit-identically)
+        # and rules out hash-collision candidates not derivable from
+        # band equality.
         band_cols.append(
-            F.struct(F.lit(b).alias("band"), F.hash(*cols).alias("bucket"))
+            F.struct(F.lit(b).alias("band"), F.concat_ws(",", *cols).alias("bucket"))
         )
     buckets = sig.select(
         "doc_id", F.explode(F.array(*band_cols)).alias("bb")

@@ -71,6 +71,107 @@ def lsh_bucket(vec: Column, n_planes: int, dim: int) -> Column:
     return bucket
 
 
+def _unit_projection(vec: Column, plane_idx: int, dim: int) -> Column:
+    """<vec, u> where u = (±1,...,±1)/sqrt(dim) is the deterministic
+    unit hyperplane from the portable hash family. For unit-norm inputs
+    |<a,u> - <b,u>| <= |a - b| (Cauchy-Schwarz), the property the
+    shifted-grid candidate generator relies on."""
+    import math
+
+    signs = F.array(
+        *[
+            F.when(
+                hash32(F.lit(f"hp{plane_idx}:{d}")).bitwiseAND(F.lit(1)) == 1, F.lit(1.0)
+            ).otherwise(F.lit(-1.0))
+            for d in range(dim)
+        ]
+    )
+    return dot(vec, signs) / F.lit(math.sqrt(dim))
+
+
+def neardup_pairs(
+    embeddings: DataFrame,
+    threshold: float = 0.5,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    dim: int | None = None,
+    n_grid_dims: int = 3,
+) -> DataFrame:
+    """EXACT cosine near-duplicate pairs (cos >= threshold) WITHOUT a
+    cartesian product: bucketed candidate generation with guaranteed
+    recall + exact re-rank.
+
+    Shifted-grid scheme: normalize vectors; cos(a,b) >= t implies
+    ||a-b|| <= d_max = sqrt(2-2t). Project onto ``n_grid_dims``
+    deterministic unit hyperplanes (projection distance <= vector
+    distance), then bucket each projection into cells of width 2*d_max
+    under 2^j shifted grids (per-dim shift 0 or d_max). Two points
+    within d_max per dim cannot straddle a boundary in BOTH shifts, so
+    every qualifying pair shares a full cell tuple in at least one
+    grid — candidates are a strict superset of true pairs, and the
+    equi-join on (grid, cell tuple) replaces the O(n^2) crossJoin.
+    The exact cosine filter then restores exact semantics.
+
+    Shuffle volume: 2^j copies of (id, j cells, vector) per side.
+    Tighter thresholds prune harder (d_max shrinks -> more cells); at
+    loose thresholds (t <= 0.5 on unit vectors) most of the sphere is
+    "near" and any candidate generator degrades toward all-pairs —
+    that is inherent to the query, not the plan.
+    """
+    import math
+
+    if dim is None:
+        first = embeddings.select(F.size(vec_col)).limit(1).collect()
+        if not first:
+            dim = 1
+        else:
+            dim = int(first[0][0])
+    d_max = math.sqrt(max(2.0 - 2.0 * threshold, 1e-12))
+    cell_w = 2.0 * d_max
+
+    v = F.col(vec_col).cast("array<double>")
+    base = (
+        embeddings.select(F.col(id_col).alias("vec_id"), v.alias("vec"))
+        .withColumn("_n", norm(F.col("vec")))
+        .withColumn("u", F.transform("vec", lambda x: x / F.col("_n")))
+    )
+    projs = [_unit_projection(F.col("u"), p, dim) for p in range(n_grid_dims)]
+    base = base.select(
+        "vec_id", "vec", *[pr.alias(f"_p{i}") for i, pr in enumerate(projs)]
+    )
+
+    # one row per shifted grid g in {0,1}^j: cell_d = floor((p_d + g_d*d_max)/cell_w)
+    grids = []
+    for g in range(2 ** n_grid_dims):
+        cells = [
+            F.floor(
+                (F.col(f"_p{d}") + F.lit(d_max * ((g >> d) & 1))) / F.lit(cell_w)
+            ).cast("long").alias(f"_c{d}")
+            for d in range(n_grid_dims)
+        ]
+        grids.append(F.struct(F.lit(g).alias("_g"), *cells))
+    keyed = base.select(
+        "vec_id", "vec", F.explode(F.array(*grids)).alias("_k")
+    ).select("vec_id", "vec", "_k.*")
+
+    join_keys = ["_g"] + [f"_c{d}" for d in range(n_grid_dims)]
+    a = keyed.select(
+        *join_keys, F.col("vec_id").alias("id_a"), F.col("vec").alias("va")
+    )
+    b = keyed.select(
+        *join_keys, F.col("vec_id").alias("id_b"), F.col("vec").alias("vb")
+    )
+    cand = (
+        a.join(b, on=join_keys, how="inner")
+        .where(F.col("id_a") < F.col("id_b"))
+        .dropDuplicates(["id_a", "id_b"])  # a pair may share cells in >1 grid
+    )
+    scored = cand.select(
+        "id_a", "id_b", cosine(F.col("va"), F.col("vb")).alias("cos_sim")
+    )
+    return scored.where(F.col("cos_sim") >= F.lit(float(threshold)))
+
+
 def lsh_topk(
     embeddings: DataFrame,
     query_vec: list[float],

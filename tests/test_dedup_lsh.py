@@ -1,0 +1,137 @@
+"""Round-2 coverage for the bucketed scale paths:
+
+* minhash_lsh_candidates — exact equality against a brute-force
+  banding re-implementation from the signatures (portable buckets,
+  no murmur3), plus the guarantee that exact duplicates always appear.
+* neardup_pairs — the shifted-grid candidate generator + exact re-rank
+  must equal the O(n^2) crossJoin result exactly, with no
+  CartesianProduct / BroadcastNestedLoopJoin in the plan.
+* ngram_jaccard_pairs max_doc_freq — identical pairs with the cap off;
+  a synthetic hot shingle's postings are dropped with the cap on.
+"""
+
+import itertools
+
+import numpy as np
+import pytest
+from pyspark.sql import functions as F
+
+from moamosaic_spark.functions import dedup as D
+from moamosaic_spark.functions import similarity as S
+
+SF = "/root/testdata/sf0.001"
+
+
+@pytest.fixture(scope="module")
+def docs(spark):
+    return spark.read.parquet(f"{SF}/documents.parquet").repartition(8).cache()
+
+
+def test_lsh_candidates_match_bruteforce_banding(spark, docs):
+    num_hashes, bands = 8, 4
+    rpb = num_hashes // bands
+    sig = {
+        r.doc_id: tuple(r[f"h{i}"] for i in range(num_hashes))
+        for r in D.minhash_signatures(docs, k=3, num_hashes=num_hashes).collect()
+    }
+    want = {}
+    for a, b in itertools.combinations(sorted(sig), 2):
+        n = sum(
+            sig[a][i * rpb:(i + 1) * rpb] == sig[b][i * rpb:(i + 1) * rpb]
+            for i in range(bands)
+        )
+        if n > 0:
+            want[(a, b)] = n
+    got = {
+        (r.doc_a, r.doc_b): r.n_shared_bands
+        for r in D.minhash_lsh_candidates(
+            docs, k=3, num_hashes=num_hashes, bands=bands
+        ).collect()
+    }
+    assert got == want
+
+
+def test_lsh_candidates_include_exact_dups(spark):
+    rows = [
+        (1, "alpha beta gamma delta epsilon zeta"),
+        (2, "alpha beta gamma delta epsilon zeta"),   # exact dup of 1
+        (3, "totally different words in this one here"),
+        (4, "alpha beta gamma delta epsilon zeta"),   # exact dup of 1
+    ]
+    df = spark.createDataFrame(rows, ["doc_id", "text"])
+    got = {
+        (r.doc_a, r.doc_b): r.n_shared_bands
+        for r in D.minhash_lsh_candidates(df, k=3, num_hashes=8, bands=4).collect()
+    }
+    # identical docs share every band — all 4
+    for pair in [(1, 2), (1, 4), (2, 4)]:
+        assert got.get(pair) == 4, got
+
+
+def test_neardup_pairs_exact_vs_crossjoin(spark):
+    rng = np.random.default_rng(7)
+    n, dim = 200, 16
+    base = rng.normal(size=(n, dim))
+    # plant near-duplicates: rows 0/1 and 10/11 nearly identical
+    base[1] = base[0] + 0.01 * rng.normal(size=dim)
+    base[11] = base[10] + 0.02 * rng.normal(size=dim)
+    emb = spark.createDataFrame(
+        [(i, [float(x) for x in base[i]]) for i in range(n)],
+        "vec_id long, embedding array<float>",
+    )
+    for threshold in (0.5, 0.9):
+        got = {
+            (r.id_a, r.id_b): r.cos_sim
+            for r in S.neardup_pairs(emb, threshold=threshold).collect()
+        }
+        norms = np.linalg.norm(base, axis=1)
+        cos = (base @ base.T) / np.outer(norms, norms)
+        want = {
+            (i, j): cos[i, j]
+            for i in range(n)
+            for j in range(i + 1, n)
+            if cos[i, j] >= threshold
+        }
+        assert set(got) == set(want), (
+            f"t={threshold}: missing {set(want) - set(got)}, "
+            f"extra {set(got) - set(want)}"
+        )
+        for k in want:
+            # embeddings are stored float32; the numpy oracle is float64
+            assert abs(got[k] - want[k]) < 1e-6
+    assert (0, 1) in got and (10, 11) in got  # planted dups at t=0.9
+
+    plan = S.neardup_pairs(emb, threshold=0.9)._jdf.queryExecution().explainString(
+        spark._jvm.org.apache.spark.sql.execution.ExplainMode.fromString("simple")
+    )
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+
+
+def test_ngram_doc_freq_cap(spark):
+    boiler = "copyright footer text all rights reserved"
+    rows = [(i, f"{boiler} unique{i} filler{i} words{i}") for i in range(20)]
+    # one true near-dup pair sharing real content
+    rows.append((100, "the quick brown fox jumps over the lazy dog today"))
+    rows.append((101, "the quick brown fox jumps over the lazy dog tonight"))
+    df = spark.createDataFrame(rows, ["doc_id", "text"])
+
+    uncapped = D.ngram_jaccard_pairs(df, k=3, threshold=0.3)
+    capped = D.ngram_jaccard_pairs(df, k=3, threshold=0.3, max_doc_freq=5)
+
+    # cap=None on a corpus with no hot shingles -> identical results
+    no_hot = spark.createDataFrame(rows[-2:], ["doc_id", "text"])
+    a = sorted((r.doc_a, r.doc_b, round(r.jaccard, 9))
+               for r in D.ngram_jaccard_pairs(no_hot, k=3, threshold=0.3).collect())
+    b = sorted((r.doc_a, r.doc_b, round(r.jaccard, 9))
+               for r in D.ngram_jaccard_pairs(
+                   no_hot, k=3, threshold=0.3, max_doc_freq=5).collect())
+    assert a == b
+
+    # the boilerplate-only pairs vanish with the cap; the true pair stays
+    got_capped = {(r.doc_a, r.doc_b) for r in capped.collect()}
+    got_uncapped = {(r.doc_a, r.doc_b) for r in uncapped.collect()}
+    assert (100, 101) in got_capped
+    boiler_pairs = {p for p in got_uncapped if p[0] < 20 and p[1] < 20}
+    assert boiler_pairs, "fixture should produce boilerplate pairs uncapped"
+    assert not (boiler_pairs & got_capped)
