@@ -51,7 +51,8 @@ def get_parser() -> argparse.ArgumentParser:
     p.add_argument("--xres", type=float, default=None)
     p.add_argument("--yres", type=float, default=None)
     p.add_argument("--resample", default="near",
-                   help="resampling method for --xres/--yres (near only)")
+                   choices=["near", "bilinear", "average"],
+                   help="resampling method for --xres/--yres")
     p.add_argument("--monitorjson", default=None)
     p.add_argument("--master", default=None, help="Spark master override (local runs)")
     return p
@@ -61,8 +62,6 @@ def main(argv: list[str] | None = None) -> None:
     args = get_parser().parse_args(argv)
     if not args.docs and not args.footprints:
         get_parser().error("one of --docs / --footprints is required")
-    if args.resample != "near":
-        get_parser().error("only nearest-neighbour resampling is implemented")
 
     from .mosaic import MosaicConfig, do_mosaic, write_mosaic
     from .monitoring import Monitoring
@@ -93,6 +92,7 @@ def main(argv: list[str] | None = None) -> None:
                 fp, blocks,
                 args.xres or args.yres, args.yres or args.xres,
                 src_blocksize=args.src_blocksize,
+                method=args.resample,
             )
 
     cfg = MosaicConfig(
