@@ -48,6 +48,9 @@ def get_parser() -> argparse.ArgumentParser:
                    help=">1: two-stage salted merge for hot tiles")
     p.add_argument("--batches", type=int, default=1,
                    help=">1 enables lineage-checkpointed batched execution")
+    p.add_argument("--out-epsg", type=int, default=None,
+                   help="warp inputs to this EPSG before mosaicking "
+                        "(built-in: 4326 + WGS84 UTM zones; others need pyproj)")
     p.add_argument("--xres", type=float, default=None)
     p.add_argument("--yres", type=float, default=None)
     p.add_argument("--resample", default="near",
@@ -84,7 +87,22 @@ def main(argv: list[str] | None = None) -> None:
             fp_meta = spark.read.parquet(args.docs + "_footprints")
             fp = footprints_from_docs(docs, fp_meta)
 
-    if args.xres or args.yres:
+    if args.out_epsg:
+        from .reproject import warp_blocks
+
+        xres = args.xres or args.yres
+        if xres is None:
+            # default: keep the first input's resolution (ref reproj.py:199-206)
+            first = fp.orderBy("priority").select("x_res", "y_res").first()
+            xres, yres = float(first.x_res), float(first.y_res)
+        else:
+            yres = args.yres or args.xres
+        with mon.ctx("warp"):
+            fp, blocks = warp_blocks(
+                fp, blocks, f"EPSG:{args.out_epsg}", xres, yres,
+                src_blocksize=args.src_blocksize, method=args.resample,
+            )
+    elif args.xres or args.yres:
         from .reproject import resample_blocks
 
         with mon.ctx("resample"):

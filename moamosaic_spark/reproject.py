@@ -8,8 +8,10 @@ Spark rebuild:
 * agreement validation (P6/P7)  -> mosaic.validate_projections
 * grid snap (P9, reproj.py:237-261)         -> snap_value / align_grid
 * corner envelope (P10, reproj.py:221-234)  -> reproject_corners
-  (pyproj-backed; gated — this container has no pyproj, and the
-  reference's own golden test is same-projection)
+  (pyproj when available; otherwise the built-in pure-numpy WGS84 TM
+  subset in crs.py — EPSG:4326 + UTM zones)
+* cross-CRS warp (reproj.py:130-218)        -> warp_blocks: the full
+  VRT-warp path as a windowed relation (see the warp section below)
 * resolution change, same CRS (the common mosaic-of-mixed-res case) ->
   resample_blocks: a WINDOWED regrid — the unit of work is one target
   chunk, whose needed source window is derived in closed-form column
@@ -64,25 +66,40 @@ def align_grid(x_min, x_max, y_min, y_max, xres, yres):
     )
 
 
-def reproject_corners(x_min, x_max, y_min, y_max, src_crs: str, dst_crs: str):
-    """P10 (reference reproj.py:221-234): transform the 4 corners, take
-    the envelope. Requires pyproj (axis order forced x,y — the P11
-    axis-swap guard)."""
+def _corner_transform(src_crs: str, dst_crs: str):
+    """(x, y) -> (x', y') callable. pyproj when available (any CRS);
+    otherwise the built-in pure-numpy WGS84 TM subset (crs.py:
+    EPSG:4326 + UTM 326zz/327zz). Axis order is always (x, y) — the
+    P11 axis-swap guard (reference reproj.py:264-271)."""
     try:
         from pyproj import Transformer
-    except ImportError as e:
-        raise MoaReprojectionError(
-            "cross-CRS reprojection requires pyproj, which is not "
-            "available in this environment; same-CRS resolution "
-            "resampling is supported without it"
-        ) from e
-    tr = Transformer.from_crs(src_crs, dst_crs, always_xy=True)
+
+        return Transformer.from_crs(src_crs, dst_crs, always_xy=True).transform
+    except ImportError:
+        from .crs import MoaCrsError, make_transform
+
+        try:
+            return make_transform(src_crs, dst_crs)
+        except MoaCrsError as e:
+            raise MoaReprojectionError(
+                f"{e} — cross-CRS reprojection outside the built-in "
+                "EPSG subset requires pyproj, which is not available "
+                "in this environment"
+            ) from e
+
+
+def reproject_corners(x_min, x_max, y_min, y_max, src_crs: str, dst_crs: str):
+    """P10 (reference reproj.py:221-234): transform the 4 corners, take
+    the envelope."""
+    tr = _corner_transform(src_crs, dst_crs)
     xs, ys = zip(
-        tr.transform(x_min, y_max),
-        tr.transform(x_max, y_max),
-        tr.transform(x_min, y_min),
-        tr.transform(x_max, y_min),
+        tr(x_min, y_max),
+        tr(x_max, y_max),
+        tr(x_min, y_min),
+        tr(x_max, y_min),
     )
+    xs = [float(v) for v in xs]
+    ys = [float(v) for v in ys]
     return (min(xs), max(xs), min(ys), max(ys))
 
 
@@ -123,6 +140,32 @@ def plan_rescaled_footprints(
 
 
 RESAMPLE_METHODS = ("near", "bilinear", "average")
+
+
+def _target_chunk_relation(meta: DataFrame, sbs: int) -> DataFrame:
+    """Explode per-footprint metadata to the target chunk relation
+    (band, tb_row, tb_col, tb_top, tb_left, tb_ysize, tb_xsize) —
+    JVM-generated, like the blocks fact table."""
+    t = meta.select(
+        "*", F.explode(F.sequence(F.lit(1), F.col("n_bands"))).alias("band")
+    ).select(
+        "*",
+        F.explode(
+            F.sequence(F.lit(0), ((F.col("nrows") - 1) / sbs).cast("int"))
+        ).alias("tb_row"),
+    ).select(
+        "*",
+        F.explode(
+            F.sequence(F.lit(0), ((F.col("ncols") - 1) / sbs).cast("int"))
+        ).alias("tb_col"),
+    )
+    return (
+        t.withColumn("tb_top", F.col("tb_row") * sbs)
+        .withColumn("tb_left", F.col("tb_col") * sbs)
+        .withColumn("tb_ysize", F.least(F.lit(sbs), F.col("nrows") - F.col("tb_top")))
+        .withColumn("tb_xsize", F.least(F.lit(sbs), F.col("ncols") - F.col("tb_left")))
+        .where((F.col("tb_ysize") > 0) & (F.col("tb_xsize") > 0))
+    )
 
 
 def _resample_window(g, rows, method: str, ox: float, oy: float) -> np.ndarray:
@@ -303,27 +346,7 @@ def resample_blocks(
     sbs = int(src_blocksize)
     ox, oy = float(out_xres), float(out_yres)
 
-    # target chunk relation (JVM-generated, like the blocks fact table)
-    t = meta.select(
-        "*", F.explode(F.sequence(F.lit(1), F.col("n_bands"))).alias("band")
-    ).select(
-        "*",
-        F.explode(
-            F.sequence(F.lit(0), ((F.col("nrows") - 1) / sbs).cast("int"))
-        ).alias("tb_row"),
-    ).select(
-        "*",
-        F.explode(
-            F.sequence(F.lit(0), ((F.col("ncols") - 1) / sbs).cast("int"))
-        ).alias("tb_col"),
-    )
-    t = (
-        t.withColumn("tb_top", F.col("tb_row") * sbs)
-        .withColumn("tb_left", F.col("tb_col") * sbs)
-        .withColumn("tb_ysize", F.least(F.lit(sbs), F.col("nrows") - F.col("tb_top")))
-        .withColumn("tb_xsize", F.least(F.lit(sbs), F.col("ncols") - F.col("tb_left")))
-        .where((F.col("tb_ysize") > 0) & (F.col("tb_xsize") > 0))
-    )
+    t = _target_chunk_relation(meta, sbs)
     # needed source-index window per chunk (superset across methods)
     sy_lo = F.floor((F.col("tb_top") * oy + (F.col("s_y0") - F.col("y0"))) / F.col("s_y_res")) - 2
     sy_hi = F.floor(((F.col("tb_top") + F.col("tb_ysize")) * oy + (F.col("s_y0") - F.col("y0"))) / F.col("s_y_res")) + 2
@@ -333,32 +356,8 @@ def resample_blocks(
         t.withColumn("_sy_lo", sy_lo).withColumn("_sy_hi", sy_hi)
         .withColumn("_sx_lo", sx_lo).withColumn("_sx_hi", sx_hi)
     )
-    covered_pred = (
-        (F.col("_sy_hi") >= 0) & (F.col("_sy_lo") <= F.col("s_nrows") - 1)
-        & (F.col("_sx_hi") >= 0) & (F.col("_sx_lo") <= F.col("s_ncols") - 1)
-    )
-    covered = t.where(covered_pred)
-    margin = t.where(~covered_pred)
-
-    # explode covered chunks to covering SOURCE chunk keys and join
-    work = covered.select(
-        "*",
-        F.explode(
-            F.sequence(
-                (F.greatest(F.col("_sy_lo"), F.lit(0)) / sbs).cast("int"),
-                (F.least(F.col("_sy_hi"), F.col("s_nrows") - 1) / sbs).cast("int"),
-            )
-        ).alias("b_row"),
-    ).select(
-        "*",
-        F.explode(
-            F.sequence(
-                (F.greatest(F.col("_sx_lo"), F.lit(0)) / sbs).cast("int"),
-                (F.least(F.col("_sx_hi"), F.col("s_ncols") - 1) / sbs).cast("int"),
-            )
-        ).alias("b_col"),
-    )
-    joined = work.join(blocks, on=["media_ref", "band", "b_row", "b_col"], how="inner")
+    covered, margin = _split_covered(t)
+    joined = _join_source_chunks(covered, blocks, sbs)
 
     def resample_group(pdf: pd.DataFrame) -> pd.DataFrame:
         g = pdf.iloc[0]
@@ -383,7 +382,48 @@ def resample_blocks(
     resampled = joined.groupBy("media_ref", "band", "tb_row", "tb_col").applyInPandas(
         resample_group, BLOCKS_SCHEMA
     )
-    null_chunks = margin.select(
+    new_blocks = resampled.unionByName(_null_margin_chunks(margin))
+    new_fp = vfp.drop("s_x0", "s_y0", "s_x_res", "s_y_res", "s_ncols", "s_nrows")
+    return new_fp, new_blocks
+
+
+def _split_covered(t: DataFrame) -> tuple[DataFrame, DataFrame]:
+    """Split the chunk relation (carrying _sy/_sx window bounds) into
+    chunks overlapping the source vs pure-margin chunks."""
+    covered_pred = (
+        (F.col("_sy_hi") >= 0) & (F.col("_sy_lo") <= F.col("s_nrows") - 1)
+        & (F.col("_sx_hi") >= 0) & (F.col("_sx_lo") <= F.col("s_ncols") - 1)
+    )
+    return t.where(covered_pred), t.where(~covered_pred)
+
+
+def _join_source_chunks(covered: DataFrame, blocks: DataFrame, sbs: int) -> DataFrame:
+    """Explode covered chunks to covering SOURCE chunk keys and pull
+    exactly those chunks via the equi-join."""
+    work = covered.select(
+        "*",
+        F.explode(
+            F.sequence(
+                (F.greatest(F.col("_sy_lo"), F.lit(0)) / sbs).cast("int"),
+                (F.least(F.col("_sy_hi"), F.col("s_nrows") - 1) / sbs).cast("int"),
+            )
+        ).alias("b_row"),
+    ).select(
+        "*",
+        F.explode(
+            F.sequence(
+                (F.greatest(F.col("_sx_lo"), F.lit(0)) / sbs).cast("int"),
+                (F.least(F.col("_sx_hi"), F.col("s_ncols") - 1) / sbs).cast("int"),
+            )
+        ).alias("b_col"),
+    )
+    return work.join(blocks, on=["media_ref", "band", "b_row", "b_col"], how="inner")
+
+
+def _null_margin_chunks(margin: DataFrame) -> DataFrame:
+    """Pure-margin chunks (outside the source after grid snap): nullval
+    arrays synthesized JVM-side, matching the warp's dstNodata fill."""
+    return margin.select(
         "media_ref",
         F.col("band").cast("int").alias("band"),
         F.col("tb_row").cast("int").alias("b_row"),
@@ -396,6 +436,284 @@ def resample_blocks(
             F.col("nullval").cast("int"), (F.col("tb_ysize") * F.col("tb_xsize")).cast("int")
         ).alias("pixels"),
     )
-    new_blocks = resampled.unionByName(null_chunks)
-    new_fp = vfp.drop("s_x0", "s_y0", "s_x_res", "s_y_res", "s_ncols", "s_nrows")
+
+
+# ---------------------------------------------------------------------------
+# Cross-CRS warp (the reference's full VRT-warp path, reproj.py:130-218,
+# as a windowed relation — no GDAL/pyproj needed for the built-in EPSG
+# subset; see crs.py)
+# ---------------------------------------------------------------------------
+
+WARP_METHODS = ("near", "bilinear")
+
+_WARPED_FP_EXTRA = [
+    ("s_x0", "double"), ("s_y0", "double"),
+    ("s_x_res", "double"), ("s_y_res", "double"),
+    ("s_ncols", "int"), ("s_nrows", "int"), ("s_projection", "string"),
+]
+
+
+def plan_warped_footprints(
+    footprints: DataFrame, dst_crs: str, out_xres: float, out_yres: float
+) -> DataFrame:
+    """Virtual footprints on the target CRS/resolution: corner envelope
+    (P10, reference reproj.py:221-234) transformed per footprint,
+    snapped to res multiples (P9, floor mins / ceil maxes). Runs as a
+    vectorized pandas map over the dim table — transforms are numpy
+    array ops, distributed, never a driver loop. Source geometry rides
+    along in s_* columns for the warp kernel."""
+    from .crs import make_transform, parse_epsg
+
+    dst_epsg = parse_epsg(dst_crs)
+    dst_name = f"EPSG:{dst_epsg}"
+    ox, oy = float(out_xres), float(out_yres)
+
+    out_fields = ", ".join(
+        [
+            "media_ref string", "priority int", "x0 double", "y0 double",
+            "x_res double", "y_res double", "ncols int", "nrows int",
+            "n_bands int", "dtype string", "nullval double",
+            "projection string",
+        ]
+        + [f"{n} {t}" for n, t in _WARPED_FP_EXTRA]
+    )
+
+    def plan(batches):
+        for pdf in batches:
+            outs = []
+            for proj, sub in pdf.groupby("projection"):
+                tr = make_transform(proj, dst_epsg)
+                x0 = sub["x0"].to_numpy(np.float64)
+                y0 = sub["y0"].to_numpy(np.float64)
+                xr = sub["x_res"].to_numpy(np.float64)
+                yr = sub["y_res"].to_numpy(np.float64)
+                nc = sub["ncols"].to_numpy(np.float64)
+                nr = sub["nrows"].to_numpy(np.float64)
+                x1 = x0 + nc * xr
+                y1 = y0 - nr * yr
+                cx = np.stack([x0, x1, x0, x1])   # 4 corners x footprint
+                cy = np.stack([y0, y0, y1, y1])
+                tx, ty = tr(cx, cy)
+                ex0 = np.floor(tx.min(axis=0) / ox) * ox
+                ex1 = np.ceil(tx.max(axis=0) / ox) * ox
+                ey1 = np.ceil(ty.max(axis=0) / oy) * oy
+                ey0 = np.floor(ty.min(axis=0) / oy) * oy
+                out = sub[["media_ref", "priority", "n_bands", "dtype", "nullval"]].copy()
+                out["x0"] = ex0
+                out["y0"] = ey1
+                out["x_res"] = ox
+                out["y_res"] = oy
+                out["ncols"] = np.round((ex1 - ex0) / ox).astype(np.int32)
+                out["nrows"] = np.round((ey1 - ey0) / oy).astype(np.int32)
+                out["projection"] = dst_name
+                out["s_x0"] = sub["x0"].to_numpy()
+                out["s_y0"] = sub["y0"].to_numpy()
+                out["s_x_res"] = sub["x_res"].to_numpy()
+                out["s_y_res"] = sub["y_res"].to_numpy()
+                out["s_ncols"] = sub["ncols"].to_numpy()
+                out["s_nrows"] = sub["nrows"].to_numpy()
+                out["s_projection"] = proj
+                outs.append(out)
+            cols = [
+                "media_ref", "priority", "x0", "y0", "x_res", "y_res",
+                "ncols", "nrows", "n_bands", "dtype", "nullval", "projection",
+            ] + [n for n, _ in _WARPED_FP_EXTRA]
+            yield (
+                pd.concat(outs)[cols]
+                if outs
+                else pd.DataFrame(columns=cols)
+            )
+
+    return footprints.mapInPandas(plan, out_fields)
+
+
+def _warp_window(g, rows, method: str, tr, ox: float, oy: float) -> np.ndarray:
+    """Warp ONE target chunk: per-pixel inverse transform (dst centers
+    -> src CRS, vectorized numpy over the chunk grid) + gather from the
+    bounded source window."""
+    nullval = int(g.nullval)
+    tb_top, tb_left = int(g.tb_top), int(g.tb_left)
+    tb_ys, tb_xs = int(g.tb_ysize), int(g.tb_xsize)
+    s_nrows, s_ncols = int(g.s_nrows), int(g.s_ncols)
+    sy_lo = max(0, int(g._sy_lo))
+    sy_hi = min(s_nrows - 1, int(g._sy_hi))
+    sx_lo = max(0, int(g._sx_lo))
+    sx_hi = min(s_ncols - 1, int(g._sx_hi))
+    win = np.full((sy_hi - sy_lo + 1, sx_hi - sx_lo + 1), nullval, dtype=np.int32)
+    for r in rows:
+        bt, bl = int(r.b_top), int(r.b_left)
+        bys, bxs = int(r.b_ysize), int(r.b_xsize)
+        y0c, y1c = max(bt, sy_lo), min(bt + bys, sy_hi + 1)
+        x0c, x1c = max(bl, sx_lo), min(bl + bxs, sx_hi + 1)
+        if y1c <= y0c or x1c <= x0c:
+            continue
+        chunk = np.asarray(r.pixels, dtype=np.int32).reshape(bys, bxs)
+        win[y0c - sy_lo: y1c - sy_lo, x0c - sx_lo: x1c - sx_lo] = chunk[
+            y0c - bt: y1c - bt, x0c - bl: x1c - bl
+        ]
+
+    # dst pixel centers -> src CRS -> fractional src indices (2D maps)
+    xw = g.x0 + (tb_left + np.arange(tb_xs, dtype=np.float64) + 0.5) * ox
+    yw = g.y0 - (tb_top + np.arange(tb_ys, dtype=np.float64) + 0.5) * oy
+    XW = np.broadcast_to(xw[None, :], (tb_ys, tb_xs))
+    YW = np.broadcast_to(yw[:, None], (tb_ys, tb_xs))
+    xs, ys = tr(XW.ravel(), YW.ravel())
+    colf = ((xs - g.s_x0) / g.s_x_res).reshape(tb_ys, tb_xs)
+    rowf = ((g.s_y0 - ys) / g.s_y_res).reshape(tb_ys, tb_xs)
+    dst = np.full((tb_ys, tb_xs), nullval, dtype=np.int32)
+
+    ci = np.floor(colf).astype(np.int64)
+    ri = np.floor(rowf).astype(np.int64)
+    # validity also clamps to the joined window (curvature beyond the
+    # sampled-bounds margin would otherwise index outside it)
+    valid = (
+        (ci >= 0) & (ci < s_ncols) & (ri >= 0) & (ri < s_nrows)
+        & (ci >= sx_lo) & (ci <= sx_hi) & (ri >= sy_lo) & (ri <= sy_hi)
+    )
+    if method == "near":
+        dst[valid] = win[ri[valid] - sy_lo, ci[valid] - sx_lo]
+        return dst
+    if method == "bilinear":
+        fy = rowf - 0.5
+        fx = colf - 0.5
+        y0i = np.floor(fy).astype(np.int64)
+        x0i = np.floor(fx).astype(np.int64)
+        wy = fy - y0i
+        wx = fx - x0i
+        y0c = np.clip(y0i, sy_lo, sy_hi) - sy_lo
+        y1c = np.clip(y0i + 1, sy_lo, sy_hi) - sy_lo
+        x0c = np.clip(x0i, sx_lo, sx_hi) - sx_lo
+        x1c = np.clip(x0i + 1, sx_lo, sx_hi) - sx_lo
+        p00 = win[y0c, x0c].astype(np.float64)
+        p01 = win[y0c, x1c].astype(np.float64)
+        p10 = win[y1c, x0c].astype(np.float64)
+        p11 = win[y1c, x1c].astype(np.float64)
+        val = (
+            p00 * (1 - wy) * (1 - wx)
+            + p01 * (1 - wy) * wx
+            + p10 * wy * (1 - wx)
+            + p11 * wy * wx
+        )
+        any_null = (
+            (p00 == nullval) | (p01 == nullval) | (p10 == nullval) | (p11 == nullval)
+        )
+        out = np.rint(val).astype(np.int32)
+        out[any_null | ~valid] = nullval
+        return np.where(valid, out, nullval).astype(np.int32)
+    raise ValueError(f"unknown warp method: {method}")
+
+
+def warp_blocks(
+    footprints: DataFrame,
+    blocks: DataFrame,
+    dst_crs: str,
+    out_xres: float,
+    out_yres: float,
+    src_blocksize: int = 256,
+    method: str = "near",
+) -> tuple[DataFrame, DataFrame]:
+    """Full cross-CRS warp: returns (new_footprints, new_blocks) on the
+    target CRS/resolution grid — feed straight into do_mosaic.
+
+    Same windowed shape as resample_blocks (the reference's
+    warp-at-windowed-read, reproj.py:209-213): target chunks are
+    JVM-generated; each chunk's source window is found by transforming
+    a 3x3 boundary sample of the chunk into the source CRS (vectorized
+    pandas map, margin 4 px for curvature between samples); the
+    equi-join pulls exactly those source chunks; a grouped kernel
+    builds the 2D per-pixel index maps with the same transforms and
+    gathers. Margin chunks never reach Python.
+    """
+    if method not in WARP_METHODS:
+        raise ValueError(
+            f"unknown warp method {method!r}; supported: {WARP_METHODS} "
+            "(area-weighted 'average' is not defined across CRSes here)"
+        )
+    from .crs import make_transform, parse_epsg
+    from .session import ensure_workers_can_import
+
+    ensure_workers_can_import(footprints.sparkSession)
+    dst_epsg = parse_epsg(dst_crs)
+    sbs = int(src_blocksize)
+    ox, oy = float(out_xres), float(out_yres)
+
+    vfp = plan_warped_footprints(footprints, dst_crs, out_xres, out_yres)
+    meta = vfp.select(
+        "media_ref", "n_bands", "x0", "y0", "ncols", "nrows", "nullval",
+        *[n for n, _ in _WARPED_FP_EXTRA],
+    )
+    t = _target_chunk_relation(meta, sbs)
+
+    bounds_fields = ", ".join(
+        [f"{f.name} {f.dataType.simpleString()}" for f in t.schema.fields]
+        + ["_sy_lo long", "_sy_hi long", "_sx_lo long", "_sx_hi long"]
+    )
+
+    def bounds(batches):
+        fr = np.array([0.0, 0.5, 1.0])
+        for pdf in batches:
+            if not len(pdf):
+                continue
+            outs = []
+            for proj, sub in pdf.groupby("s_projection"):
+                tr = make_transform(dst_epsg, proj)  # dst world -> src world
+                n = len(sub)
+                tb_top = sub["tb_top"].to_numpy(np.float64)
+                tb_left = sub["tb_left"].to_numpy(np.float64)
+                tb_ys = sub["tb_ysize"].to_numpy(np.float64)
+                tb_xs = sub["tb_xsize"].to_numpy(np.float64)
+                x0 = sub["x0"].to_numpy(np.float64)
+                y0 = sub["y0"].to_numpy(np.float64)
+                # 3x3 boundary sample per chunk, in dst world coords
+                gx = (tb_left[:, None] + fr[None, :] * tb_xs[:, None]) * ox
+                gy = (tb_top[:, None] + fr[None, :] * tb_ys[:, None]) * oy
+                XW = x0[:, None, None] + np.broadcast_to(
+                    gx[:, None, :], (n, 3, 3)
+                )
+                YW = y0[:, None, None] - np.broadcast_to(
+                    gy[:, :, None], (n, 3, 3)
+                )
+                xs, ys = tr(XW.ravel(), YW.ravel())
+                colf = ((xs.reshape(n, 9) - sub["s_x0"].to_numpy()[:, None])
+                        / sub["s_x_res"].to_numpy()[:, None])
+                rowf = ((sub["s_y0"].to_numpy()[:, None] - ys.reshape(n, 9))
+                        / sub["s_y_res"].to_numpy()[:, None])
+                out = sub.copy()
+                out["_sy_lo"] = np.floor(rowf.min(axis=1)).astype(np.int64) - 4
+                out["_sy_hi"] = np.floor(rowf.max(axis=1)).astype(np.int64) + 4
+                out["_sx_lo"] = np.floor(colf.min(axis=1)).astype(np.int64) - 4
+                out["_sx_hi"] = np.floor(colf.max(axis=1)).astype(np.int64) + 4
+                outs.append(out)
+            yield pd.concat(outs)
+
+    tb = t.mapInPandas(bounds, bounds_fields)
+    covered, margin = _split_covered(tb)
+    joined = _join_source_chunks(covered, blocks, sbs)
+
+    def warp_group(pdf: pd.DataFrame) -> pd.DataFrame:
+        g = pdf.iloc[0]
+        tr = make_transform(dst_epsg, g.s_projection)
+        dst = _warp_window(g, list(pdf.itertuples(index=False)), method, tr, ox, oy)
+        return pd.DataFrame(
+            [
+                {
+                    "media_ref": g.media_ref,
+                    "band": int(g.band),
+                    "b_row": int(g.tb_row),
+                    "b_col": int(g.tb_col),
+                    "b_top": int(g.tb_top),
+                    "b_left": int(g.tb_left),
+                    "b_ysize": int(g.tb_ysize),
+                    "b_xsize": int(g.tb_xsize),
+                    "pixels": dst.ravel(),
+                }
+            ],
+            columns=[f.name for f in BLOCKS_SCHEMA.fields],
+        )
+
+    warped = joined.groupBy("media_ref", "band", "tb_row", "tb_col").applyInPandas(
+        warp_group, BLOCKS_SCHEMA
+    )
+    new_blocks = warped.unionByName(_null_margin_chunks(margin))
+    new_fp = vfp.drop(*[n for n, _ in _WARPED_FP_EXTRA])
     return new_fp, new_blocks

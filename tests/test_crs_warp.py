@@ -1,0 +1,141 @@
+"""Built-in CRS transforms (crs.py) and the cross-CRS windowed warp
+(reproject.warp_blocks): published UTM anchors, round trips, identity
+equivalence with the same-CRS resample, a loop-based per-pixel golden,
+and a mixed-CRS mosaic end-to-end."""
+
+import numpy as np
+import pytest
+
+from moamosaic_spark import crs
+from moamosaic_spark import reproject as RP
+from moamosaic_spark.mosaic import MosaicConfig, do_mosaic
+from moamosaic_spark.sources import synth
+from tests.conftest import to_blocks, to_footprints
+
+
+def test_tm_anchors_and_roundtrip():
+    # classic published anchors: equator on the central meridian maps to
+    # (500000, 0); the zone-edge-at-equator easting is 166021.443 m
+    x, y = crs.tm_forward(3.0, 0.0, *crs.utm_params(32631))
+    assert abs(x - 500000.0) < 1e-6 and abs(y) < 1e-6
+    x, y = crs.tm_forward(0.0, 0.0, *crs.utm_params(32631))
+    assert abs(x - 166021.443) < 0.01 and abs(y) < 1e-6
+    _, y = crs.tm_forward(153.0, 0.0, *crs.utm_params(32756))
+    assert abs(y - 10000000.0) < 1e-6  # southern false northing
+
+    rng = np.random.default_rng(0)
+    lon = rng.uniform(150.1, 155.9, 500)
+    lat = rng.uniform(-60, -0.5, 500)
+    x, y = crs.tm_forward(lon, lat, *crs.utm_params(32756))
+    lon2, lat2 = crs.tm_inverse(x, y, *crs.utm_params(32756))
+    assert np.abs(lon2 - lon).max() < 1e-8
+    assert np.abs(lat2 - lat).max() < 1e-8
+
+    # cross-zone hop and back: sub-centimeter
+    tr = crs.make_transform(32756, 32755)
+    back = crs.make_transform(32755, 32756)
+    x1, y1 = crs.tm_forward(150.5, -33.0, *crs.utm_params(32756))
+    x3, y3 = back(*tr(x1, y1))
+    assert abs(float(x3) - x1) < 0.01 and abs(float(y3) - y1) < 0.01
+
+    with pytest.raises(crs.MoaCrsError, match="EPSG"):
+        crs.make_transform(3857, 4326)
+
+
+def _collect_canvas(nfp, nblocks, ref="r000"):
+    meta = [r for r in nfp.collect() if r.media_ref == ref][0]
+    got = np.full((meta.nrows, meta.ncols), -1, dtype=np.int32)
+    for r in nblocks.where(f"media_ref = '{ref}'").collect():
+        got[r.b_top: r.b_top + r.b_ysize, r.b_left: r.b_left + r.b_xsize] = np.asarray(
+            r.pixels, dtype=np.int32
+        ).reshape(r.b_ysize, r.b_xsize)
+    assert (got != -1).all()
+    return meta, got
+
+
+def test_warp_identity_crs_equals_resample(spark):
+    rasters = synth.make_rasters(
+        [dict(media_ref="r000", x0=300000.0, y0=7000000.0, nrows=100, ncols=130)]
+    )
+    fp = to_footprints(spark, synth.footprints_pdf(rasters))
+    blocks = to_blocks(spark, synth.blocks_pdf(rasters, 64))
+    _, w_blocks = RP.warp_blocks(fp, blocks, "EPSG:32756", 20.0, 20.0,
+                                 src_blocksize=64, method="near")
+    nfp, r_blocks = RP.resample_blocks(fp, blocks, 20.0, 20.0,
+                                       src_blocksize=64, method="near")
+    _, got_w = _collect_canvas(nfp, w_blocks)
+    _, got_r = _collect_canvas(nfp, r_blocks)
+    np.testing.assert_array_equal(got_w, got_r)
+
+
+def _oracle_warp_near(src, s_x0, s_y0, s_res, src_epsg, meta, out_res, dst_epsg, nullval):
+    tr = crs.make_transform(dst_epsg, src_epsg)
+    nrows, ncols = meta.nrows, meta.ncols
+    # vectorize the transform but keep indexing per-pixel and loop-free
+    # of the kernel's windowing machinery
+    u = np.arange(ncols) + 0.5
+    v = np.arange(nrows) + 0.5
+    XW = meta.x0 + np.broadcast_to(u[None, :] * out_res, (nrows, ncols))
+    YW = meta.y0 - np.broadcast_to(v[:, None] * out_res, (nrows, ncols))
+    xs, ys = tr(XW.ravel(), YW.ravel())
+    ci = np.floor((xs - s_x0) / s_res).reshape(nrows, ncols).astype(int)
+    ri = np.floor((s_y0 - ys) / s_res).reshape(nrows, ncols).astype(int)
+    dst = np.full((nrows, ncols), nullval, dtype=np.int32)
+    ok = (ci >= 0) & (ci < src.shape[1]) & (ri >= 0) & (ri < src.shape[0])
+    dst[ok] = src[ri[ok], ci[ok]]
+    return dst
+
+
+def test_warp_cross_zone_matches_golden(spark):
+    """UTM 56S raster warped onto the adjacent zone 55S grid."""
+    rasters = synth.make_rasters(
+        [dict(media_ref="r000", x0=300000.0, y0=6300000.0, nrows=100, ncols=130)]
+    )
+    rng = np.random.default_rng(3)
+    arr = rng.integers(1, 500, size=(100, 130)).astype(np.int32)
+    rasters[0].bands = [arr]
+    fp = to_footprints(spark, synth.footprints_pdf(rasters))
+    blocks = to_blocks(spark, synth.blocks_pdf(rasters, 64))
+
+    nfp, nblocks = RP.warp_blocks(fp, blocks, "EPSG:32755", 10.0, 10.0,
+                                  src_blocksize=64, method="near")
+    meta, got = _collect_canvas(nfp, nblocks)
+    assert meta.projection == "EPSG:32755"
+    want = _oracle_warp_near(arr, 300000.0, 6300000.0, 10.0, 32756,
+                             meta, 10.0, 32755, 0)
+    np.testing.assert_array_equal(got, want)
+    # the warped raster must actually contain source data
+    assert (got != 0).sum() > 0.5 * arr.size
+
+
+def test_mixed_crs_mosaic_end_to_end(spark):
+    """Two rasters in DIFFERENT UTM zones, warped to one grid, then
+    mosaicked — the reference's cross-CRS VRT use case end-to-end."""
+    a = synth.make_rasters(
+        [dict(media_ref="r000", x0=300000.0, y0=6300000.0, nrows=120, ncols=120)]
+    )
+    b = synth.make_rasters(
+        [dict(media_ref="r001", x0=840000.0, y0=6300000.0, nrows=120, ncols=120)]
+    )
+    pdf_a = synth.footprints_pdf(a)
+    pdf_b = synth.footprints_pdf(b)
+    pdf_b["projection"] = "EPSG:32755"  # zone 55: easting 840000 ~ lon 150.7E
+    pdf_b["priority"] = 1
+    import pandas as pd
+
+    fp = to_footprints(spark, pd.concat([pdf_a, pdf_b], ignore_index=True))
+    blocks_a = synth.blocks_pdf(a, 64)
+    blocks_b = synth.blocks_pdf(b, 64)
+    blocks = to_blocks(spark, pd.concat([blocks_a, blocks_b], ignore_index=True))
+
+    nfp, nblocks = RP.warp_blocks(fp, blocks, "EPSG:32756", 10.0, 10.0,
+                                  src_blocksize=64, method="near")
+    projs = {r.projection for r in nfp.collect()}
+    assert projs == {"EPSG:32756"}
+
+    cfg = MosaicConfig(blocksize=64, src_blocksize=64, with_overviews=False)
+    res = do_mosaic(spark, nfp, nblocks, cfg)  # passes validate_projections
+    tiles = res.tiles.collect()
+    assert tiles
+    nonnull = sum(r.px_count for r in tiles)
+    assert nonnull > 0

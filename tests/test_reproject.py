@@ -23,9 +23,19 @@ def test_snap_value_matches_reference_rule():
     )
 
 
-def test_cross_crs_gated_without_pyproj():
+def test_cross_crs_corners_without_pyproj():
+    """P10/P11 run for real on the built-in EPSG subset (no pyproj in
+    this container): UTM 56S -> geodetic envelope, x=lon y=lat order."""
+    env = RP.reproject_corners(
+        300000.0, 400000.0, 6200000.0, 6300000.0, "EPSG:32756", "EPSG:4326"
+    )
+    x_min, x_max, y_min, y_max = env
+    assert x_min < x_max and y_min < y_max
+    assert 148 < x_min < x_max < 157       # inside zone 56 longitudes
+    assert -40 < y_min < y_max < -30       # southern mid-latitudes
+    # outside the built-in subset still raises, pointing at pyproj
     with pytest.raises(RP.MoaReprojectionError, match="pyproj"):
-        RP.reproject_corners(0, 1, 0, 1, "EPSG:32756", "EPSG:4326")
+        RP.reproject_corners(0, 1, 0, 1, "EPSG:3857", "EPSG:4326")
 
 
 def _oracle_nearest(src: np.ndarray, s_x0, s_y0, s_res, x0, y0, out_res, ncols, nrows, nullval):
