@@ -119,6 +119,32 @@ def interval_union_seconds(
     return closes.agg(*agg_cols)
 
 
+def observe_gauges(df: DataFrame, name: str = "stitch_input"):
+    """A5 analog of the reference's MinMax cache/queue gauges
+    (monitoring.py:33-49): those measured reader->writer backpressure
+    through the block queue; the shuffle replaced the queue, so the
+    observable analog is the volume crossing it. Attach to the relation
+    feeding the stitch (or any shuffle boundary); after an action,
+    ``obs.get`` yields {rows, min_chunk_px, max_chunk_px, sum_px}.
+
+    Usage:
+        work, obs = observe_gauges(work)
+        ... run the job ...
+        mon.set_param("gauges_stitch_input", obs.get)
+    """
+    from pyspark.sql import Observation
+
+    obs = Observation(name)
+    d = df.observe(
+        obs,
+        F.count(F.lit(1)).alias("rows"),
+        F.min(F.size("pixels")).alias("min_chunk_px"),
+        F.max(F.size("pixels")).alias("max_chunk_px"),
+        F.sum(F.size("pixels")).alias("sum_px"),
+    )
+    return d, obs
+
+
 def append_metrics(
     spark: SparkSession,
     out_path: str,

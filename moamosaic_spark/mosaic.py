@@ -53,6 +53,10 @@ class MosaicConfig:
     kernel: str = "arrow"              # 'arrow' (applyInArrow) | 'pandas'
     merge_policy: str = "last"         # 'last' (reference) | 'nearest' (kNN ext)
     stitch_salt: int = 1               # >1: two-stage salted merge for hot tiles
+    # tiles with fewer contributors than this skip the two-stage path
+    # (stage 1 only pays off when contributors >> buckets);
+    # None -> 2 * stitch_salt
+    stitch_hot_threshold: int | None = None
 
 
 @dataclass
@@ -338,9 +342,26 @@ def do_mosaic(
                 "_ssalt"
             ),
         )
-        salted = work.join(F.broadcast(buckets), on="priority", how="inner")
-        work = salted.groupBy("band", "tile_row", "tile_col", "_ssalt").applyInArrow(
+        # HOT/COLD split: stage 1 only pays off when a tile has many
+        # more contributors than buckets — a 2-contributor tile routed
+        # through it does a pointless extra kernel pass. Contributor
+        # counts come from the (small) assignments relation; hot rows
+        # take the two-stage path, cold rows go straight to the final
+        # stitch (union is schema-aligned: the stitch kernel consumes
+        # the PARTIAL_MERGE column set either way).
+        threshold = config.stitch_hot_threshold or max(2, 2 * config.stitch_salt)
+        counts = assignments.groupBy("tile_row", "tile_col").agg(
+            F.count("*").alias("_nc")
+        )
+        work_c = work.join(counts, on=["tile_row", "tile_col"], how="inner")
+        work_hot = work_c.where(F.col("_nc") >= threshold).drop("_nc")
+        work_cold = work_c.where(F.col("_nc") < threshold).drop("_nc")
+        salted = work_hot.join(F.broadcast(buckets), on="priority", how="inner")
+        merged_hot = salted.groupBy("band", "tile_row", "tile_col", "_ssalt").applyInArrow(
             make_partial_merge_fn_arrow(grid), PARTIAL_MERGE_SCHEMA
+        )
+        work = merged_hot.unionByName(
+            work_cold.select(*[f.name for f in PARTIAL_MERGE_SCHEMA.fields])
         )
 
     grouped = work.groupBy("band", "tile_row", "tile_col")

@@ -54,3 +54,20 @@ def test_metrics_append(spark, tmp_path):
     m = spark.read.parquet(f"{out}/metrics")
     assert m.count() == 2
     assert {r.run_id for r in m.collect()} == {"run1", "run2"}
+
+
+def test_observe_gauges(spark):
+    """A5 gauge analog: volumes crossing the stitch shuffle, surfaced
+    per run via df.observe."""
+    from moamosaic_spark.monitoring import observe_gauges
+    import pyspark.sql.functions as F
+
+    df = spark.createDataFrame(
+        [(1, list(range(4))), (2, list(range(7))), (3, list(range(2)))],
+        "id int, pixels array<int>",
+    )
+    d, obs = observe_gauges(df, "t")
+    d.agg(F.count("*")).collect()
+    g = obs.get
+    assert g["rows"] == 3
+    assert g["min_chunk_px"] == 2 and g["max_chunk_px"] == 7 and g["sum_px"] == 13

@@ -97,3 +97,50 @@ def test_salted_rejects_nearest_policy(spark):
             spark, fp, blocks,
             MosaicConfig(blocksize=64, stitch_salt=2, merge_policy="nearest"),
         )
+
+
+def test_hot_cold_split_mixed_corpus(spark):
+    """Round-2: only tiles with >= threshold contributors take the
+    two-stage path; cold tiles go straight to the final stitch. A mixed
+    corpus (one 20-deep hot stack + one far-away single raster) must
+    still be byte-identical to the unsalted run, and the split itself
+    must classify tiles as expected."""
+    import pandas as pd
+    from pyspark.sql import functions as F
+
+    hot = synth.hot_cell(20, 128, 128)
+    cold = synth.make_rasters(
+        [dict(media_ref="rcold", x0=300000.0 + 50000.0, y0=7000000.0,
+              nrows=128, ncols=128)]
+    )
+    rasters = hot + cold
+    pdf = synth.footprints_pdf(rasters)
+    pdf["priority"] = range(len(pdf))
+    fp = to_footprints(spark, pdf)
+    blocks = to_blocks(spark, synth.blocks_pdf(rasters, 256))
+    base = dict(blocksize=64, src_blocksize=256, with_overviews=False)
+
+    plain_res = do_mosaic(spark, fp, blocks, MosaicConfig(**base))
+    plain = tiles_of(plain_res)
+    salted = tiles_of(
+        do_mosaic(spark, fp, blocks, MosaicConfig(**base, stitch_salt=4))
+    )
+    assert set(plain) == set(salted)
+    for k in plain:
+        np.testing.assert_array_equal(salted[k], plain[k], err_msg=f"tile {k}")
+
+    # the classifier itself: the cold raster's tiles are all below the
+    # default threshold (2 * salt = 8), the hot stack's are all above
+    counts = plain_res.assignments.groupBy("tile_row", "tile_col").agg(
+        F.count("*").alias("nc")
+    )
+    cold_tiles = {
+        (r.tile_row, r.tile_col)
+        for r in plain_res.assignments.where("media_ref = 'rcold'")
+        .select("tile_row", "tile_col").distinct().collect()
+    }
+    for r in counts.collect():
+        if (r.tile_row, r.tile_col) in cold_tiles:
+            assert r.nc < 8, f"cold tile {r} misclassified as hot"
+        else:
+            assert r.nc >= 8, f"hot tile {r} misclassified as cold"
