@@ -167,7 +167,12 @@ def run_headline(spark) -> dict:
     timed("dedup_minhash", lambda: DC.q_dedup_minhash_sig(spark, sf).count())
     timed("dedup_ngram", lambda: DC.q_dedup_ngram_pairs(spark, sf).count())
     timed("dedup_simhash", lambda: DC.q_dedup_simhash(spark, sf).count())
+    timed("dedup_lsh", lambda: DC.q_dedup_lsh_candidates(spark, sf).count())
     timed("embedding_topk", lambda: DC.q_embedding_topk(spark, sf).collect())
+    timed(
+        "embedding_neardup",
+        lambda: DC.q_embedding_neardup_pairs(spark, sf).count(),
+    )
     timed("doc_token_stats", lambda: DC.q_doc_token_stats(spark, sf).count())
     timed("lineitem_agg", lambda: DC.q_lineitem_agg(spark, sf).collect())
     timed("events_hourly", lambda: DC.q_events_hourly(spark, sf).count())
