@@ -354,6 +354,96 @@ def q_mosaic_overview_checksums(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+RS_RES = 20.0  # resample target: 10m -> 20m (exact 2x, snap margins empty)
+
+
+def q_mosaic_resampled_checksums(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """S4 oracle gate: the REAL windowed nearest resample
+    (reproject.resample_blocks, 10m -> 20m) feeding the REAL mosaic,
+    checksummed per tile. The oracle replays the closed form: on this
+    corpus the 20m grid aligns exactly (strides divisible by 20), so
+    the resampled local value at column u is src column index
+    floor(((u+0.5)*20)/10) = 2u+1 — merged by priority as usual."""
+    from .reproject import resample_blocks
+
+    fp = derived_footprints(spark, sf_dir)
+    blocks = derived_blocks(fp)
+    nfp, nblocks = resample_blocks(fp, blocks, RS_RES, RS_RES, src_blocksize=SRC_BS)
+    cfg = MosaicConfig(
+        blocksize=BLOCKSIZE, src_blocksize=SRC_BS, with_overviews=False
+    )
+    res = do_mosaic(spark, nfp, nblocks, cfg)
+    nn = _nonnull(F.col("pixels"))
+    return res.tiles.where(F.col("px_count") > 0).select(
+        "band",
+        "tile_row",
+        "tile_col",
+        F.col("px_count").cast("long").alias("n_valid"),
+        F.aggregate(nn, F.lit(0).cast("long"), lambda a, x: a + x).alias("sum_val"),
+        F.array_min(nn).cast("int").alias("min_val"),
+        F.array_max(nn).cast("int").alias("max_val"),
+    )
+
+
+def _resampled_checksums_sql() -> str:
+    stride = R_STRIDE * RES
+    n20 = int(R_SIZE * RES / RS_RES)  # 100 local px per raster at 20m
+    return f"""
+WITH fp AS (
+  SELECT CAST(n_nationkey AS INT) AS priority,
+         {X0} + (n_nationkey % {N_GRID}) * {stride} AS x0,
+         {Y0} - CAST(floor(n_nationkey / {N_GRID}) AS INT) * {stride} AS y0
+  FROM nation
+),
+ext AS (
+  SELECT min(x0) AS x_min, max(x0 + {R_SIZE * RES}) AS x_max,
+         min(y0 - {R_SIZE * RES}) AS y_min, max(y0) AS y_max
+  FROM fp
+),
+grid AS (
+  SELECT x_min, y_max,
+         CAST(round((x_max - x_min) / {RS_RES}) AS INT) AS g_ncols,
+         CAST(round((y_max - y_min) / {RS_RES}) AS INT) AS g_nrows
+  FROM ext
+),
+nb AS (
+  SELECT g_ncols, g_nrows,
+         greatest(1, CAST(floor((g_nrows - {BLOCKSIZE // 4}) * 1.0 / {BLOCKSIZE}) AS INT) + 1) AS nb_r,
+         greatest(1, CAST(floor((g_ncols - {BLOCKSIZE // 4}) * 1.0 / {BLOCKSIZE}) AS INT) + 1) AS nb_c
+  FROM grid
+),
+fpx AS (
+  SELECT f.priority,
+         CAST(round((g.y_max - f.y0) / {RS_RES}) AS INT) AS row0,
+         CAST(round((f.x0 - g.x_min) / {RS_RES}) AS INT) AS col0
+  FROM fp f, grid g
+),
+contrib AS (
+  -- resampled value at local (v, u): nearest source column index
+  -- floor(((u+0.5)*{RS_RES})/{RES}) = 2u+1; never the null value 0
+  SELECT f.row0 + lv.i AS r, f.col0 + lu.i AS c, f.priority,
+         2 * lu.i + 1 AS val
+  FROM fpx f,
+       generate_series(0, {n20 - 1}) lv(i),
+       generate_series(0, {n20 - 1}) lu(i)
+),
+merged AS (
+  SELECT r, c, arg_max(val, priority) AS val
+  FROM contrib
+  GROUP BY r, c
+)
+SELECT 1 AS band,
+       CAST(least(floor(m.r * 1.0 / {BLOCKSIZE}), nb.nb_r - 1) AS INT) AS tile_row,
+       CAST(least(floor(m.c * 1.0 / {BLOCKSIZE}), nb.nb_c - 1) AS INT) AS tile_col,
+       CAST(count(*) AS BIGINT) AS n_valid,
+       CAST(sum(m.val) AS BIGINT) AS sum_val,
+       CAST(min(m.val) AS INT) AS min_val,
+       CAST(max(m.val) AS INT) AS max_val
+FROM merged m, nb
+GROUP BY 1, 2, 3
+"""
+
+
 def q_cell_covers(spark: SparkSession, sf_dir: str) -> DataFrame:
     from .plans.spatial_join import _footprint_cell_covers
 
@@ -873,6 +963,7 @@ def queries() -> dict:
         "mosaic_tile_checksums": q_mosaic_tile_checksums,
         "mosaic_stats": q_mosaic_stats,
         "mosaic_overview_checksums": q_mosaic_overview_checksums,
+        "mosaic_resampled_checksums": q_mosaic_resampled_checksums,
         "cell_covers": q_cell_covers,
         "doc_token_stats": q_doc_token_stats,
         "dedup_exact": q_dedup_exact,
@@ -900,6 +991,7 @@ def oracle_sql() -> dict:
         "mosaic_tile_checksums": SQL_MOSAIC_TILE_CHECKSUMS,
         "mosaic_stats": SQL_MOSAIC_STATS,
         "mosaic_overview_checksums": SQL_MOSAIC_OVERVIEW_CHECKSUMS,
+        "mosaic_resampled_checksums": _resampled_checksums_sql(),
         "cell_covers": _cell_covers_sql(),
         "doc_token_stats": SQL_DOC_TOKEN_STATS,
         "dedup_exact": SQL_DEDUP_EXACT,

@@ -14,7 +14,6 @@ from __future__ import annotations
 
 from pyspark.sql import Column, DataFrame, functions as F
 
-from .portable import hash32
 
 
 def dot(a: Column, b: Column) -> Column:
@@ -49,17 +48,26 @@ def brute_force_topk(
     return scored.orderBy(F.col("cos_sim").desc(), F.col("vec_id")).limit(k)
 
 
+def _plane_signs(plane_idx: int, dim: int) -> list[float]:
+    """±1 hyperplane entries from the portable hash of 'hp{p}:{d}' —
+    deterministic, so they are computed HERE and emitted as a single
+    array Literal (building them as per-dim hash expressions bloats the
+    plan linearly with dim; the values are identical either way and
+    still replayable in SQL from the same md5 rule)."""
+    import hashlib
+
+    return [
+        1.0
+        if (int(hashlib.md5(f"hp{plane_idx}:{d}".encode()).hexdigest()[:8], 16) & 1) == 1
+        else -1.0
+        for d in range(dim)
+    ]
+
+
 def hyperplane_sign(vec: Column, plane_idx: int, dim: int) -> Column:
     """Sign bit of <vec, h_plane> where h_plane[d] = ±1 derived from the
     portable hash of 'plane:d' — deterministic and replayable in SQL."""
-    signs = F.array(
-        *[
-            F.when(
-                hash32(F.lit(f"hp{plane_idx}:{d}")).bitwiseAND(F.lit(1)) == 1, F.lit(1.0)
-            ).otherwise(F.lit(-1.0))
-            for d in range(dim)
-        ]
-    )
+    signs = F.lit(_plane_signs(plane_idx, dim))
     return (dot(vec, signs) > 0).cast("int")
 
 
@@ -78,14 +86,7 @@ def _unit_projection(vec: Column, plane_idx: int, dim: int) -> Column:
     shifted-grid candidate generator relies on."""
     import math
 
-    signs = F.array(
-        *[
-            F.when(
-                hash32(F.lit(f"hp{plane_idx}:{d}")).bitwiseAND(F.lit(1)) == 1, F.lit(1.0)
-            ).otherwise(F.lit(-1.0))
-            for d in range(dim)
-        ]
-    )
+    signs = F.lit(_plane_signs(plane_idx, dim))
     return dot(vec, signs) / F.lit(math.sqrt(dim))
 
 
