@@ -169,3 +169,80 @@ def make_transform(src_crs: str | int, dst_crs: str | int):
         return fwd(lon, lat)
 
     return transform
+
+
+# ---------------------------------------------------------------------------
+# SQL renderers: the SAME series as lateral-alias column chains, so a
+# DuckDB oracle can replay the warp per-pixel. Constants are emitted
+# with full double precision from the definitions above; trig ops map
+# 1:1 (sin/cos/tan/sqrt/pow), so any engine/libm divergence is a few
+# ulps — orders of magnitude below the pixel-index floor boundaries.
+# ---------------------------------------------------------------------------
+
+DEG2RAD = float(np.deg2rad(1.0))
+RAD2DEG = float(np.rad2deg(1.0))
+
+_D1 = 3 * _E1 / 2 - 27 * _E1**3 / 32
+_D2 = 21 * _E1**2 / 16 - 55 * _E1**4 / 32
+_D3 = 151 * _E1**3 / 96
+_D4 = 1097 * _E1**4 / 512
+
+
+def tm_inverse_sql(x_expr: str, y_expr: str, epsg: int, p: str = "q"):
+    """Column-step list computing geodetic DEGREES (p_lon, p_lat) from
+    TM coords — mirror of tm_inverse. Returns (steps, lon_alias,
+    lat_alias); steps are 'expr AS alias' strings relying on DuckDB
+    lateral column aliases."""
+    lon0, fn = utm_params(epsg)
+    s = [
+        f"(({y_expr}) - {fn!r}) / {K0!r} / {A * _M1!r} AS {p}_mu",
+        f"{p}_mu + {_D1!r}*sin(2*{p}_mu) + {_D2!r}*sin(4*{p}_mu)"
+        f" + {_D3!r}*sin(6*{p}_mu) + {_D4!r}*sin(8*{p}_mu) AS {p}_phi1",
+        f"sin({p}_phi1) AS {p}_sin1",
+        f"cos({p}_phi1) AS {p}_cos1",
+        f"tan({p}_phi1) AS {p}_tan1",
+        f"{EP2!r} * {p}_cos1 * {p}_cos1 AS {p}_c1",
+        f"{p}_tan1 * {p}_tan1 AS {p}_t1",
+        f"{A!r} / sqrt(1 - {E2!r}*{p}_sin1*{p}_sin1) AS {p}_n1",
+        f"{A * (1 - E2)!r} / pow(1 - {E2!r}*{p}_sin1*{p}_sin1, 1.5) AS {p}_r1",
+        f"(({x_expr}) - {FE!r}) / ({p}_n1 * {K0!r}) AS {p}_d",
+        f"{p}_phi1 - ({p}_n1*{p}_tan1/{p}_r1) * ("
+        f"{p}_d*{p}_d/2"
+        f" - (5 + 3*{p}_t1 + 10*{p}_c1 - 4*{p}_c1*{p}_c1 - {9 * EP2!r})"
+        f"*pow({p}_d, 4)/24"
+        f" + (61 + 90*{p}_t1 + 298*{p}_c1 + 45*{p}_t1*{p}_t1 - {252 * EP2!r}"
+        f" - 3*{p}_c1*{p}_c1)*pow({p}_d, 6)/720) AS {p}_phi",
+        f"{lon0!r} + ({p}_d - (1 + 2*{p}_t1 + {p}_c1)*pow({p}_d, 3)/6"
+        f" + (5 - 2*{p}_c1 + 28*{p}_t1 - 3*{p}_c1*{p}_c1 + {8 * EP2!r}"
+        f" + 24*{p}_t1*{p}_t1)*pow({p}_d, 5)/120) / {p}_cos1 AS {p}_lam",
+        f"{p}_lam * {RAD2DEG!r} AS {p}_lon",
+        f"{p}_phi * {RAD2DEG!r} AS {p}_lat",
+    ]
+    return s, f"{p}_lon", f"{p}_lat"
+
+
+def tm_forward_sql(lon_expr: str, lat_expr: str, epsg: int, p: str = "r"):
+    """Column-step list computing TM coords (p_x, p_y) from geodetic
+    DEGREES — mirror of tm_forward. Returns (steps, x_alias, y_alias)."""
+    lon0, fn = utm_params(epsg)
+    s = [
+        f"({lat_expr}) * {DEG2RAD!r} AS {p}_phi",
+        f"({lon_expr}) * {DEG2RAD!r} AS {p}_lam",
+        f"sin({p}_phi) AS {p}_sin",
+        f"cos({p}_phi) AS {p}_cos",
+        f"tan({p}_phi) AS {p}_tan",
+        f"{A!r} / sqrt(1 - {E2!r}*{p}_sin*{p}_sin) AS {p}_n",
+        f"{p}_tan * {p}_tan AS {p}_t",
+        f"{EP2!r} * {p}_cos * {p}_cos AS {p}_c",
+        f"({p}_lam - {lon0!r}) * {p}_cos AS {p}_a",
+        f"{A!r} * ({_M1!r}*{p}_phi - {_M2!r}*sin(2*{p}_phi)"
+        f" + {_M3!r}*sin(4*{p}_phi) - {_M4!r}*sin(6*{p}_phi)) AS {p}_m",
+        f"{FE!r} + {K0!r}*{p}_n*({p}_a + (1 - {p}_t + {p}_c)*pow({p}_a, 3)/6"
+        f" + (5 - 18*{p}_t + {p}_t*{p}_t + 72*{p}_c - {58 * EP2!r})"
+        f"*pow({p}_a, 5)/120) AS {p}_x",
+        f"{fn!r} + {K0!r}*({p}_m + {p}_n*{p}_tan*({p}_a*{p}_a/2"
+        f" + (5 - {p}_t + 9*{p}_c + 4*{p}_c*{p}_c)*pow({p}_a, 4)/24"
+        f" + (61 - 58*{p}_t + {p}_t*{p}_t + 600*{p}_c - {330 * EP2!r})"
+        f"*pow({p}_a, 6)/720)) AS {p}_y",
+    ]
+    return s, f"{p}_x", f"{p}_y"

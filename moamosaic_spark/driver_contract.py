@@ -444,6 +444,159 @@ GROUP BY 1, 2, 3
 """
 
 
+WARP_DST = 32755  # derived corpus lives in zone 56S; warp to 55S
+
+
+def q_mosaic_warped_checksums(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cross-CRS gate: the REAL warp (reproject.warp_blocks, UTM 56S ->
+    55S via the built-in TM transforms) feeding the REAL mosaic,
+    checksummed per tile. The oracle replays the whole thing in DuckDB:
+    the TM series renders as SQL (crs.tm_*_sql — same constants), the
+    per-pixel dst->src mapping yields value = source column index in
+    closed form, merged by priority."""
+    from .reproject import warp_blocks
+
+    fp = derived_footprints(spark, sf_dir)
+    blocks = derived_blocks(fp)
+    nfp, nblocks = warp_blocks(
+        fp, blocks, f"EPSG:{WARP_DST}", RES, RES,
+        src_blocksize=SRC_BS, method="near",
+    )
+    cfg = MosaicConfig(
+        blocksize=BLOCKSIZE, src_blocksize=SRC_BS, with_overviews=False
+    )
+    res = do_mosaic(spark, nfp, nblocks, cfg)
+    nn = _nonnull(F.col("pixels"))
+    return res.tiles.where(F.col("px_count") > 0).select(
+        "band",
+        "tile_row",
+        "tile_col",
+        F.col("px_count").cast("long").alias("n_valid"),
+        F.aggregate(nn, F.lit(0).cast("long"), lambda a, x: a + x).alias("sum_val"),
+        F.array_min(nn).cast("int").alias("min_val"),
+        F.array_max(nn).cast("int").alias("max_val"),
+    )
+
+
+def _chain_steps(inner_sql: str, steps: list[str]) -> str:
+    """Nest each transform step as its own projection layer. DuckDB's
+    lateral column aliases substitute the full referenced subexpression
+    at bind time — a 14-step series chained through aliases in ONE
+    select re-expands combinatorially (measured: minutes for 1M rows);
+    as stacked projections each step evaluates once per row (~1 s)."""
+    q = inner_sql
+    for s in steps:
+        q = f"SELECT *, {s} FROM ({q})"
+    return q
+
+
+def _warped_checksums_sql() -> str:
+    from .crs import tm_forward_sql, tm_inverse_sql
+
+    stride = R_STRIDE * RES
+    ext_m = R_SIZE * RES  # 2000 m raster extent
+
+    # corners: src (zone 56) -> dst (zone 55)
+    ci, lon_c, lat_c = tm_inverse_sql("xsrc", "ysrc", 32756, "q")
+    cf, cx_a, cy_a = tm_forward_sql(lon_c, lat_c, WARP_DST, "r")
+    corner_chain = _chain_steps("SELECT * FROM corners", ci + cf)
+    # pixels: dst (zone 55) center -> src (zone 56)
+    pi, lon_p, lat_p = tm_inverse_sql("xd", "yd", WARP_DST, "q")
+    pf, px_a, py_a = tm_forward_sql(lon_p, lat_p, 32756, "r")
+    pixel_chain = _chain_steps("SELECT * FROM px", pi + pf)
+
+    return f"""
+WITH fp AS (
+  SELECT CAST(n_nationkey AS INT) AS priority,
+         {X0} + (n_nationkey % {N_GRID}) * {stride} AS s_x0,
+         {Y0} - CAST(floor(n_nationkey / {N_GRID}) AS INT) * {stride} AS s_y0
+  FROM nation
+),
+corners AS (
+  SELECT f.priority, f.s_x0, f.s_y0,
+         f.s_x0 + cx.o AS xsrc, f.s_y0 - cy.o AS ysrc
+  FROM fp f,
+       (VALUES (0.0), ({ext_m})) cx(o),
+       (VALUES (0.0), ({ext_m})) cy(o)
+),
+corner_t AS MATERIALIZED (
+  {corner_chain}
+),
+env AS (
+  SELECT priority, s_x0, s_y0,
+         floor(min({cx_a}) / {RES}) * {RES} AS x0,
+         ceil(max({cx_a}) / {RES}) * {RES} AS x1,
+         floor(min({cy_a}) / {RES}) * {RES} AS ylo,
+         ceil(max({cy_a}) / {RES}) * {RES} AS y0
+  FROM corner_t
+  GROUP BY 1, 2, 3
+),
+envd AS (
+  SELECT *, CAST(round((x1 - x0) / {RES}) AS INT) AS ncols,
+            CAST(round((y0 - ylo) / {RES}) AS INT) AS nrows
+  FROM env
+),
+ext AS (
+  SELECT min(x0) AS x_min, max(x1) AS x_max, min(ylo) AS y_min, max(y0) AS y_max
+  FROM envd
+),
+grid AS (
+  SELECT x_min, y_max,
+         CAST(round((x_max - x_min) / {RES}) AS INT) AS g_ncols,
+         CAST(round((y_max - y_min) / {RES}) AS INT) AS g_nrows
+  FROM ext
+),
+nb AS (
+  SELECT g_ncols, g_nrows,
+         greatest(1, CAST(floor((g_nrows - {BLOCKSIZE // 4}) * 1.0 / {BLOCKSIZE}) AS INT) + 1) AS nb_r,
+         greatest(1, CAST(floor((g_ncols - {BLOCKSIZE // 4}) * 1.0 / {BLOCKSIZE}) AS INT) + 1) AS nb_c
+  FROM grid
+),
+px AS (
+  SELECT f.priority, f.s_x0, f.s_y0,
+         CAST(round((g.y_max - f.y0) / {RES}) AS INT) + lv.i AS r,
+         CAST(round((f.x0 - g.x_min) / {RES}) AS INT) + lu.i AS c,
+         f.x0 + (lu.i + 0.5) * {RES} AS xd,
+         f.y0 - (lv.i + 0.5) * {RES} AS yd
+  FROM envd f, grid g,
+       generate_series(0, 299) lv(i),
+       generate_series(0, 299) lu(i)
+  WHERE lv.i < f.nrows AND lu.i < f.ncols
+),
+-- MATERIALIZED: without it DuckDB pushes downstream predicates through
+-- the projection stack, re-expanding the series expressions
+-- combinatorially (measured: minutes instead of ~2 s)
+px_t AS MATERIALIZED (
+  {pixel_chain}
+),
+contrib AS (
+  SELECT r, c, priority,
+         CAST(floor(({px_a} - s_x0) / {RES}) AS INT) AS sx,
+         CAST(floor((s_y0 - {py_a}) / {RES}) AS INT) AS sy
+  FROM px_t
+),
+valid AS (
+  SELECT r, c, priority, sx AS val
+  FROM contrib
+  WHERE sx >= 0 AND sx < {R_SIZE} AND sy >= 0 AND sy < {R_SIZE} AND sx != 0
+),
+merged AS (
+  SELECT r, c, arg_max(val, priority) AS val
+  FROM valid
+  GROUP BY r, c
+)
+SELECT 1 AS band,
+       CAST(least(floor(m.r * 1.0 / {BLOCKSIZE}), nb.nb_r - 1) AS INT) AS tile_row,
+       CAST(least(floor(m.c * 1.0 / {BLOCKSIZE}), nb.nb_c - 1) AS INT) AS tile_col,
+       CAST(count(*) AS BIGINT) AS n_valid,
+       CAST(sum(m.val) AS BIGINT) AS sum_val,
+       CAST(min(m.val) AS INT) AS min_val,
+       CAST(max(m.val) AS INT) AS max_val
+FROM merged m, nb
+GROUP BY 1, 2, 3
+"""
+
+
 def q_cell_covers(spark: SparkSession, sf_dir: str) -> DataFrame:
     from .plans.spatial_join import _footprint_cell_covers
 
@@ -964,6 +1117,7 @@ def queries() -> dict:
         "mosaic_stats": q_mosaic_stats,
         "mosaic_overview_checksums": q_mosaic_overview_checksums,
         "mosaic_resampled_checksums": q_mosaic_resampled_checksums,
+        "mosaic_warped_checksums": q_mosaic_warped_checksums,
         "cell_covers": q_cell_covers,
         "doc_token_stats": q_doc_token_stats,
         "dedup_exact": q_dedup_exact,
@@ -992,6 +1146,7 @@ def oracle_sql() -> dict:
         "mosaic_stats": SQL_MOSAIC_STATS,
         "mosaic_overview_checksums": SQL_MOSAIC_OVERVIEW_CHECKSUMS,
         "mosaic_resampled_checksums": _resampled_checksums_sql(),
+        "mosaic_warped_checksums": _warped_checksums_sql(),
         "cell_covers": _cell_covers_sql(),
         "doc_token_stats": SQL_DOC_TOKEN_STATS,
         "dedup_exact": SQL_DEDUP_EXACT,

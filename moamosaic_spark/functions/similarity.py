@@ -138,8 +138,17 @@ def neardup_pairs(
     )
     projs = [_unit_projection(F.col("u"), p, dim) for p in range(n_grid_dims)]
     base = base.select(
-        "vec_id", "vec", *[pr.alias(f"_p{i}") for i, pr in enumerate(projs)]
+        "vec_id", "vec", "_n",
+        *[pr.alias(f"_p{i}") for i, pr in enumerate(projs)],
     )
+
+    # SLIM candidate generation: the grid-replicated join and the
+    # pair-dedup shuffle carry only ids + projections — never the
+    # vectors (a pair matching in several of the 2^j grids would
+    # otherwise shuffle its vector payload once per grid; measured 70x
+    # slower at 2k vectors / loose threshold).
+    proj_cols = [f"_p{d}" for d in range(n_grid_dims)]
+    slim = base.select("vec_id", *proj_cols)
 
     # one row per shifted grid g in {0,1}^j: cell_d = floor((p_d + g_d*d_max)/cell_w)
     grids = []
@@ -151,24 +160,45 @@ def neardup_pairs(
             for d in range(n_grid_dims)
         ]
         grids.append(F.struct(F.lit(g).alias("_g"), *cells))
-    keyed = base.select(
-        "vec_id", "vec", F.explode(F.array(*grids)).alias("_k")
-    ).select("vec_id", "vec", "_k.*")
+    keyed = slim.select(
+        "vec_id", *proj_cols, F.explode(F.array(*grids)).alias("_k")
+    ).select("vec_id", *proj_cols, "_k.*")
 
     join_keys = ["_g"] + [f"_c{d}" for d in range(n_grid_dims)]
     a = keyed.select(
-        *join_keys, F.col("vec_id").alias("id_a"), F.col("vec").alias("va")
+        *join_keys, F.col("vec_id").alias("id_a"),
+        *[F.col(p).alias(f"{p}_a") for p in proj_cols],
     )
     b = keyed.select(
-        *join_keys, F.col("vec_id").alias("id_b"), F.col("vec").alias("vb")
+        *join_keys, F.col("vec_id").alias("id_b"),
+        *[F.col(p).alias(f"{p}_b") for p in proj_cols],
     )
-    cand = (
-        a.join(b, on=join_keys, how="inner")
-        .where(F.col("id_a") < F.col("id_b"))
-        .dropDuplicates(["id_a", "id_b"])  # a pair may share cells in >1 grid
+    cand = a.join(b, on=join_keys, how="inner").where(F.col("id_a") < F.col("id_b"))
+    # exact-safe residual: qualifying pairs satisfy |p_a - p_b| <= d_max
+    # in EVERY projected dim (projection distance <= vector distance)
+    for p in proj_cols:
+        cand = cand.where(
+            F.abs(F.col(f"{p}_a") - F.col(f"{p}_b")) <= F.lit(d_max)
+        )
+    cand = cand.select("id_a", "id_b").dropDuplicates(["id_a", "id_b"])
+
+    # exact re-rank: attach vectors (+ precomputed norms) per pair once
+    va = base.select(
+        F.col("vec_id").alias("id_a"), F.col("vec").alias("_va"),
+        F.col("_n").alias("_na"),
     )
-    scored = cand.select(
-        "id_a", "id_b", cosine(F.col("va"), F.col("vb")).alias("cos_sim")
+    vb = base.select(
+        F.col("vec_id").alias("id_b"), F.col("vec").alias("_vb"),
+        F.col("_n").alias("_nb"),
+    )
+    scored = (
+        cand.join(va, on="id_a").join(vb, on="id_b")
+        .select(
+            "id_a", "id_b",
+            (dot(F.col("_va"), F.col("_vb")) / (F.col("_na") * F.col("_nb"))).alias(
+                "cos_sim"
+            ),
+        )
     )
     return scored.where(F.col("cos_sim") >= F.lit(float(threshold)))
 
