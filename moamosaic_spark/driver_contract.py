@@ -654,6 +654,38 @@ FROM toks
 """
 
 
+ROLL_K = 16
+
+
+def q_doc_fingerprints(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """BPE-ish pretoken counts (LLM token-count proxy) + rolling-hash
+    document fingerprint (min portable hash over 16-char grams)."""
+    docs = _read_docs(spark, sf_dir)
+    return docs.select(
+        F.col("doc_id").cast("long").alias("doc_id"),
+        T.bpe_ish_token_count(F.col("text")).cast("long").alias("n_bpe_tokens"),
+        T.rolling_min_fingerprint(F.col("text"), ROLL_K).cast("long").alias("roll_fp"),
+    )
+
+
+def _doc_fingerprints_sql() -> str:
+    from .functions.text import BPE_ISH_PATTERN
+
+    pat = BPE_ISH_PATTERN.replace("'", "''")
+    gram_hash = hash32_sql(f"substr(text, CAST(i AS INT), {ROLL_K})")
+    whole_hash = hash32_sql("text")
+    return f"""
+SELECT CAST(doc_id AS BIGINT) AS doc_id,
+       CAST(len(regexp_extract_all(text, '{pat}')) AS BIGINT) AS n_bpe_tokens,
+       CAST(CASE WHEN length(text) >= {ROLL_K}
+            THEN list_min(list_transform(
+                   generate_series(1, length(text) - {ROLL_K - 1}),
+                   i -> {gram_hash}))
+            ELSE {whole_hash} END AS BIGINT) AS roll_fp
+FROM documents
+"""
+
+
 def q_dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = _read_docs(spark, sf_dir)
     return D.exact_duplicates(docs).select(
@@ -1120,6 +1152,7 @@ def queries() -> dict:
         "mosaic_warped_checksums": q_mosaic_warped_checksums,
         "cell_covers": q_cell_covers,
         "doc_token_stats": q_doc_token_stats,
+        "doc_fingerprints": q_doc_fingerprints,
         "dedup_exact": q_dedup_exact,
         "dedup_ngram_pairs": q_dedup_ngram_pairs,
         "dedup_minhash_sig": q_dedup_minhash_sig,
@@ -1149,6 +1182,7 @@ def oracle_sql() -> dict:
         "mosaic_warped_checksums": _warped_checksums_sql(),
         "cell_covers": _cell_covers_sql(),
         "doc_token_stats": SQL_DOC_TOKEN_STATS,
+        "doc_fingerprints": _doc_fingerprints_sql(),
         "dedup_exact": SQL_DEDUP_EXACT,
         "dedup_ngram_pairs": SQL_DEDUP_NGRAM_PAIRS,
         "dedup_minhash_sig": _minhash_sig_sql(),

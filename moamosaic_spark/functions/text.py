@@ -94,6 +94,41 @@ def fingerprint(col: Column) -> Column:
     return F.md5(F.regexp_replace(F.lower(F.trim(col)), r"\s+", " "))
 
 
+# GPT-2-style pretokenizer, restricted to constructs RE2 (DuckDB) and
+# Java regex (Spark) evaluate identically: contractions, optional-space
+# letter runs, digit runs, punctuation runs, whitespace runs. (The
+# original's lookahead `\s+(?!\S)` is dropped — RE2 has no lookahead.)
+BPE_ISH_PATTERN = r"'(?:s|t|re|ve|m|ll|d)| ?[A-Za-z]+| ?[0-9]+| ?[^A-Za-z0-9\s']+|\s+"
+
+
+def bpe_ish_tokens(col: Column) -> Column:
+    """BPE-ish pretokens (the standard LLM token-count proxy when no
+    tokenizer model ships with the engine)."""
+    return F.regexp_extract_all(col, F.lit(BPE_ISH_PATTERN), 0)
+
+
+def bpe_ish_token_count(col: Column) -> Column:
+    return F.size(bpe_ish_tokens(col))
+
+
+def char_ngrams(col: Column, k: int) -> Column:
+    """All k-char substrings (the rolling window); shorter docs yield
+    the whole text as one gram."""
+    n = F.length(col)
+    grams = F.transform(
+        F.sequence(F.lit(1), n - k + 1), lambda i: F.substring(col, i, k)
+    )
+    return F.when(n >= k, grams).otherwise(F.array(col))
+
+
+def rolling_min_fingerprint(col: Column, k: int = 16) -> Column:
+    """Rolling-hash document fingerprint: min of the portable 32-bit
+    hash over all k-char grams (winnowing with window = whole doc).
+    Robust to local edits — two documents sharing their minimizing gram
+    collide; pure column algebra, DuckDB-replayable."""
+    return F.array_min(F.transform(char_ngrams(col, k), hash32))
+
+
 def word_shingles(col: Column, k: int = 3) -> Column:
     """Word k-shingles as an array of 'w1 w2 w3' strings — the unit of
     n-gram Jaccard / MinHash dedup. Documents shorter than k words get

@@ -86,3 +86,35 @@ def test_predict_lang_votes(spark):
     assert out["1"] == "en"
     assert out["2"] == "de"
     assert out["3"] == "und"
+
+
+def test_bpe_ish_tokens_and_rolling_fp(spark):
+    df = spark.createDataFrame(
+        [("1", "The cat's hat, 42 times!"), ("2", ""), ("3", "tiny")],
+        ["doc_id", "text"],
+    )
+    rows = {
+        r.doc_id: r
+        for r in df.select(
+            "doc_id",
+            T.bpe_ish_tokens(F.col("text")).alias("toks"),
+            T.rolling_min_fingerprint(F.col("text"), 4).alias("fp"),
+        ).collect()
+    }
+    # contractions split, punctuation separate, digit runs grouped
+    assert rows["1"].toks == ["The", " cat", "'s", " hat", ",", " 42", " times", "!"]
+    assert rows["2"].toks == []
+    # short doc: whole text is the single gram -> fp = hash of the text
+    import hashlib
+
+    want = int(hashlib.md5(b"tiny").hexdigest()[:8], 16)
+    assert rows["3"].fp == want
+    # fp robust to a suffix edit when the minimizing gram survives
+    a, b = "abcdefghij klmnop", "abcdefghij klmnoX"
+    two = spark.createDataFrame([(a,), (b,)], ["text"]).select(
+        T.rolling_min_fingerprint(F.col("text"), 4).alias("fp")
+    ).collect()
+    grams = lambda s: {s[i:i+4] for i in range(len(s)-3)}
+    h = lambda g: int(hashlib.md5(g.encode()).hexdigest()[:8], 16)
+    assert two[0].fp == min(map(h, grams(a)))
+    assert two[1].fp == min(map(h, grams(b)))
