@@ -244,3 +244,66 @@ def lsh_topk(
         .orderBy(F.col("cos_sim").desc(), F.col("vec_id"))
         .limit(k)
     )
+
+
+def ivf_topk(
+    embeddings: DataFrame,
+    query_vec: list[float],
+    k: int = 10,
+    n_centroids: int = 16,
+    nprobe: int = 4,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """IVF-style ANN top-k: a deterministic coarse quantizer (the
+    n_centroids vectors whose portable-hashed ids are smallest — a
+    seeded sample, so no training job) partitions the corpus into
+    inverted lists; the query exactly re-ranks only the ``nprobe``
+    lists whose centroids are nearest to it.
+
+    Scale shape: one tiny driver collect (the centroid sample), one
+    scan with a JVM-side argmin over broadcast centroid literals, a
+    partition-pruning filter on the list id, exact cosine on ~nprobe/
+    n_centroids of the corpus. At 100 TB the assignment would be
+    precomputed once and stored as a partition column; recall < 1 by
+    design — brute_force_topk is the exactness gate.
+    """
+    import math as _m
+
+    v = F.col(vec_col).cast("array<double>")
+    ids = embeddings.select(
+        F.col(id_col).alias("vec_id"), v.alias("vec"),
+        F.conv(F.substring(F.md5(F.col(id_col).cast("string")), 1, 8), 16, 10)
+        .cast("long").alias("_h"),
+    )
+    cents = [
+        [float(x) for x in r.vec]
+        for r in ids.orderBy("_h", "vec_id").limit(n_centroids).collect()
+    ]
+
+    def d2_expr(c):
+        lit = F.lit(c)
+        return F.aggregate(
+            F.zip_with(F.col("vec"), lit, lambda a, b: (a - b) * (a - b)),
+            F.lit(0.0),
+            lambda acc, x: acc + x,
+        )
+
+    dists = F.array(*[d2_expr(c) for c in cents])
+    assigned = ids.select(
+        "vec_id", "vec",
+        (F.array_position(dists, F.array_min(dists)) - 1).alias("list_id"),
+    )
+
+    def d2(a, b):
+        return sum((x - y) ** 2 for x, y in zip(a, b))
+
+    q = [float(x) for x in query_vec]
+    probe = sorted(range(len(cents)), key=lambda i: d2(q, cents[i]))[:nprobe]
+    qlit = F.array(*[F.lit(x) for x in q])
+    return (
+        assigned.where(F.col("list_id").isin(*probe))
+        .select("vec_id", cosine(F.col("vec"), qlit).alias("cos_sim"))
+        .orderBy(F.col("cos_sim").desc(), F.col("vec_id"))
+        .limit(k)
+    )

@@ -118,3 +118,19 @@ def test_bpe_ish_tokens_and_rolling_fp(spark):
     h = lambda g: int(hashlib.md5(g.encode()).hexdigest()[:8], 16)
     assert two[0].fp == min(map(h, grams(a)))
     assert two[1].fp == min(map(h, grams(b)))
+
+
+def test_ivf_topk_recall(spark, emb):
+    """IVF ANN: ranked subset of the corpus; the query's own list is
+    probed (its nearest centroid is among the nprobe probed), so the
+    query vector itself always survives; recall vs exact reported."""
+    vectors = {r.vec_id: np.array(r.embedding, dtype=np.float64) for r in emb.collect()}
+    q = vectors[3]
+    exact = {v for v, _ in numpy_topk(vectors, q, 10)}
+    got = [(r.vec_id, r.cos_sim) for r in
+           S.ivf_topk(emb, list(q), k=10, n_centroids=16, nprobe=4).collect()]
+    assert got[0][0] == 3 and abs(got[0][1] - 1.0) < 1e-9
+    sims = [s for _, s in got]
+    assert sims == sorted(sims, reverse=True)
+    recall = len(exact & {v for v, _ in got}) / 10
+    assert recall >= 0.2
