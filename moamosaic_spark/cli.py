@@ -14,8 +14,11 @@ Option mapping (reference option -> here):
     --nullval        -> --nullval
     --minoverviewsize-> --minoverviewsize
     -d/--driver,--co -> (dropped: table formats replace GDAL drivers)
-    --outprojepsg/--outprojwktfile/--resample -> --xres/--yres/--resample
-                        (same-CRS rescale; cross-CRS needs pyproj)
+    --outprojepsg    -> --out-epsg (cross-CRS warp; built-in WGS84 TM
+                        subset, pyproj for other CRSes)
+    --outprojwktfile -> (dropped: EPSG codes only without pyproj)
+    --resample       -> --resample near|bilinear|average
+                        (+ --xres/--yres same-CRS rescale)
     --monitorjson    -> --monitorjson
 Extras: --strategy/--cell-size-px/--salt (join physical strategy),
 --kernel, --merge-policy, --batches/--resume (lineage checkpointing).
