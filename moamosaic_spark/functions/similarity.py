@@ -128,7 +128,13 @@ def neardup_pairs(
         else:
             dim = int(first[0][0])
     d_max = math.sqrt(max(2.0 - 2.0 * threshold, 1e-12))
-    cell_w = 2.0 * d_max
+    # grid geometry uses a PADDED step: the one-boundary-per-interval
+    # argument needs separation STRICTLY below the step, and a pair at
+    # exactly d_max with a point exactly on a cell boundary would
+    # otherwise straddle both shifts (hypothesis-found edge case). The
+    # pad also absorbs ulp-level rounding in the cell arithmetic.
+    d_pad = d_max * (1.0 + 1e-9)
+    cell_w = 2.0 * d_pad
 
     v = F.col(vec_col).cast("array<double>")
     base = (
@@ -155,7 +161,7 @@ def neardup_pairs(
     for g in range(2 ** n_grid_dims):
         cells = [
             F.floor(
-                (F.col(f"_p{d}") + F.lit(d_max * ((g >> d) & 1))) / F.lit(cell_w)
+                (F.col(f"_p{d}") + F.lit(d_pad * ((g >> d) & 1))) / F.lit(cell_w)
             ).cast("long").alias(f"_c{d}")
             for d in range(n_grid_dims)
         ]

@@ -96,3 +96,54 @@ def test_nearest_policy_is_order_insensitive_without_ties(seed, size):
     if not ties:
         np.testing.assert_array_equal(out[0], out[1])
         np.testing.assert_array_equal(out[0], out[2])
+
+
+# ---------------------------------------------------------------------------
+# Round-2 math: TM transforms and the shifted-grid candidate guarantee
+# ---------------------------------------------------------------------------
+
+@given(
+    lon=st.floats(150.05, 155.95),
+    lat=st.floats(-75.0, -0.2),
+)
+@settings(max_examples=300, deadline=None)
+def test_tm_roundtrip_property(lon, lat):
+    from moamosaic_spark import crs
+
+    x, y = crs.tm_forward(lon, lat, *crs.utm_params(32756))
+    lon2, lat2 = crs.tm_inverse(x, y, *crs.utm_params(32756))
+    assert abs(float(lon2) - lon) < 1e-7
+    assert abs(float(lat2) - lat) < 1e-7
+
+
+@given(
+    data=st.data(),
+    j=st.integers(1, 4),
+    d_max=st.floats(0.01, 1.5),
+)
+@settings(max_examples=300, deadline=None)
+def test_shifted_grid_guarantee(data, j, d_max):
+    """The neardup candidate scheme's core claim: two points whose
+    per-dim distance is <= d_max share a full cell tuple in at least
+    one of the 2^j shifted grids (cell width 2*d_max, shifts 0/d_max)."""
+    import math
+
+    pa = [data.draw(st.floats(-2.0, 2.0)) for _ in range(j)]
+    pb = [
+        min(2.0, max(-2.0, pa[d] + data.draw(st.floats(-1.0, 1.0)) * d_max))
+        for d in range(j)
+    ]
+    # padded step, exactly as neardup_pairs computes it: a pair at
+    # distance exactly d_max landing exactly on a boundary straddles
+    # both shifts of an UNpadded grid (hypothesis found it)
+    d_pad = d_max * (1.0 + 1e-9)
+    cell_w = 2.0 * d_pad
+
+    def cells(p, g):
+        return tuple(
+            math.floor((p[d] + d_pad * ((g >> d) & 1)) / cell_w) for d in range(j)
+        )
+
+    assert any(cells(pa, g) == cells(pb, g) for g in range(2 ** j)), (
+        pa, pb, d_max,
+    )
