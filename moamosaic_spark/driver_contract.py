@@ -1025,6 +1025,60 @@ WHERE rk <= 3
 """
 
 
+SESSION_GAP_S = 900.0
+
+
+def q_user_sessions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-user sessionization (gaps-and-islands; the batch/exact twin
+    of the applyInPandasWithState streaming operator in
+    streaming/sessions.py)."""
+    from .streaming.sessions import sessionize
+
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet")
+    spark.conf.set("spark.sql.session.timeZone", "UTC")
+    # integer MICROSECONDS, not float epoch: Spark's and DuckDB's
+    # float epoch conversions disagree in the last ulp, which any fixed
+    # decimal rounding can straddle; unix_micros/epoch_us are exact.
+    epoch = F.unix_micros(F.col("ts").cast("timestamp_ltz"))
+    sess = sessionize(
+        ev.select("user_id", epoch.alias("epoch"), "value"),
+        SESSION_GAP_S * 1e6,
+    )
+    return sess.select(
+        F.col("user_id").cast("long").alias("user_id"),
+        F.col("session_start").cast("long").alias("session_start_us"),
+        F.col("session_end").cast("long").alias("session_end_us"),
+        F.col("n_events").cast("long").alias("n_events"),
+        F.round("sum_value", 4).alias("sum_value"),
+    )
+
+
+SQL_USER_SESSIONS = f"""
+WITH ev AS (
+  SELECT user_id, epoch_us(ts) AS e, value FROM events
+),
+lagd AS (
+  SELECT user_id, e, value,
+         CASE WHEN lag(e) OVER (PARTITION BY user_id ORDER BY e) IS NULL
+                OR e - lag(e) OVER (PARTITION BY user_id ORDER BY e) > {int(SESSION_GAP_S * 1e6)}
+              THEN 1 ELSE 0 END AS ns
+  FROM ev
+),
+run AS (
+  SELECT *, sum(ns) OVER (PARTITION BY user_id ORDER BY e
+                          ROWS UNBOUNDED PRECEDING) AS sess
+  FROM lagd
+)
+SELECT CAST(user_id AS BIGINT) AS user_id,
+       CAST(min(e) AS BIGINT) AS session_start_us,
+       CAST(max(e) AS BIGINT) AS session_end_us,
+       CAST(count(*) AS BIGINT) AS n_events,
+       round(sum(value), 4) AS sum_value
+FROM run
+GROUP BY user_id, sess
+"""
+
+
 def q_doc_lang_pred(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = _read_docs(spark, sf_dir)
     return T.predict_lang(docs).select(
@@ -1164,6 +1218,7 @@ def queries() -> dict:
         "orders_by_nation": q_orders_by_nation,
         "events_interval_union": q_events_interval_union,
         "top_events_per_user": q_top_events_per_user,
+        "user_sessions": q_user_sessions,
         "doc_lang_pred": q_doc_lang_pred,
         "corpus_clean": q_corpus_clean,
         "embedding_neardup_pairs": q_embedding_neardup_pairs,
@@ -1194,6 +1249,7 @@ def oracle_sql() -> dict:
         "orders_by_nation": SQL_ORDERS_BY_NATION,
         "events_interval_union": SQL_EVENTS_INTERVAL_UNION,
         "top_events_per_user": SQL_TOP_EVENTS_PER_USER,
+        "user_sessions": SQL_USER_SESSIONS,
         "doc_lang_pred": _lang_pred_sql(),
         "corpus_clean": SQL_CORPUS_CLEAN,
         "embedding_neardup_pairs": SQL_EMBEDDING_NEARDUP_PAIRS,

@@ -1,0 +1,119 @@
+"""Sessionization: batch gaps-and-islands vs a pandas golden, and the
+applyInPandasWithState streaming operator across micro-batches (state
+carries open sessions between batches; later data closes and emits
+them; checkpoint resume keeps state)."""
+
+import pandas as pd
+import pytest
+from pyspark.sql import functions as F
+from pyspark.sql.types import (
+    DoubleType, LongType, StructField, StructType,
+)
+
+from moamosaic_spark.streaming.sessions import sessionize, sessionize_stream
+
+EV_SCHEMA = StructType([
+    StructField("user_id", LongType()),
+    StructField("epoch", DoubleType()),
+    StructField("value", DoubleType()),
+])
+
+GAP = 100.0
+
+
+def golden_sessions(rows):
+    """Independent pandas implementation."""
+    out = []
+    df = pd.DataFrame(rows, columns=["user_id", "epoch", "value"])
+    for uid, g in df.groupby("user_id"):
+        g = g.sort_values("epoch")
+        start = last = None
+        n, sv = 0, 0.0
+        for ep, val in zip(g["epoch"], g["value"]):
+            if start is None:
+                start, last, n, sv = ep, ep, 1, val
+            elif ep - last > GAP:
+                out.append((uid, start, last, n, sv))
+                start, last, n, sv = ep, ep, 1, val
+            else:
+                last, n, sv = ep, n + 1, sv + val
+        if start is not None:
+            out.append((uid, start, last, n, sv))
+    return sorted(out)
+
+
+ROWS_B1 = [
+    (1, 10.0, 1.0), (1, 50.0, 2.0),            # user 1 session A (open)
+    (2, 0.0, 5.0),                               # user 2 session A (open)
+    (1, 400.0, 3.0),                             # closes A, opens B
+]
+ROWS_B2 = [
+    (1, 450.0, 4.0),                             # extends B
+    (2, 1000.0, 6.0),                            # closes user2 A, opens B
+    (1, 2000.0, 7.0),                            # closes B, opens C
+    (3, 5.0, 9.0),                               # user 3 session A (open)
+]
+
+
+def test_batch_sessionize_matches_golden(spark):
+    df = spark.createDataFrame(ROWS_B1 + ROWS_B2, EV_SCHEMA)
+    got = sorted(
+        (r.user_id, r.session_start, r.session_end, r.n_events, r.sum_value)
+        for r in sessionize(df, GAP).collect()
+    )
+    assert got == golden_sessions(ROWS_B1 + ROWS_B2)
+
+
+def test_streaming_sessions_across_batches(spark, tmp_path):
+    src = tmp_path / "ev_src"
+    out = str(tmp_path / "sessions")
+    ckpt = str(tmp_path / "ckpt")
+    src.mkdir()
+
+    def feed(rows, name):
+        spark.createDataFrame(rows, EV_SCHEMA).coalesce(1).write.parquet(
+            str(src / name)
+        )
+
+    def run():
+        stream = (
+            spark.readStream.schema(EV_SCHEMA)
+            .option("maxFilesPerTrigger", "1")
+            .parquet(str(src) + "/*")
+        )
+        q = sessionize_stream(stream, GAP, ckpt, out)
+        q.awaitTermination(300)
+
+    feed(ROWS_B1, "b1")
+    run()
+    # only sessions CLOSED by in-batch data so far: user1 session A
+    got1 = sorted(
+        (r.user_id, r.session_start, r.session_end, r.n_events, r.sum_value)
+        for r in spark.read.parquet(out).collect()
+    )
+    assert got1 == [(1, 10.0, 50.0, 2, 3.0)]
+
+    # second availableNow run picks up ONLY the new file via the
+    # checkpoint; state (open sessions) survived the restart
+    feed(ROWS_B2, "b2")
+    run()
+    got2 = sorted(
+        (r.user_id, r.session_start, r.session_end, r.n_events, r.sum_value)
+        for r in spark.read.parquet(out).collect()
+    )
+    all_rows = ROWS_B1 + ROWS_B2
+    golden_all = golden_sessions(all_rows)
+    # emitted = every golden session that is CLOSED (a later event for
+    # the same user exists beyond the gap); open tails stay in state
+    open_tails = set()
+    df = pd.DataFrame(all_rows, columns=["user_id", "epoch", "value"])
+    for uid, g in df.groupby("user_id"):
+        open_tails.add(uid)
+    want_closed = [
+        s for s in golden_all
+        if not (s[0] in open_tails and s == max(
+            [t for t in golden_all if t[0] == s[0]], key=lambda t: t[1]))
+    ]
+    assert got2 == sorted(want_closed)
+    # user 3 never closed: absent
+    assert all(r[0] != 3 for r in got2)
