@@ -139,3 +139,30 @@ def sessionize_stream(
     if trigger_available_now:
         writer = writer.trigger(availableNow=True)
     return writer.start()
+
+
+def windowed_event_counts(
+    events_stream: DataFrame,
+    window: str = "1 hour",
+    watermark: str = "2 hours",
+    ts_col: str = "ts",
+):
+    """Watermarked tumbling-window aggregation over an event stream —
+    the built-in late-data pattern (events later than ``watermark``
+    behind the max seen event time are dropped; windows finalize once
+    the watermark passes their end). Returns a streaming DataFrame
+    (window, event_type, n, sum_value); semantics on bounded input
+    match the batch groupBy(F.window(ts)) equivalent, which tests use
+    as the golden."""
+    # watermarks require TIMESTAMP (with timezone); NTZ event tables are
+    # interpreted under the session timezone (set it to UTC for
+    # determinism across runs)
+    ev = events_stream.withColumn("_ts", F.col(ts_col).cast("timestamp"))
+    return (
+        ev.withWatermark("_ts", watermark)
+        .groupBy(F.window("_ts", window).alias("window"), "event_type")
+        .agg(
+            F.count("*").alias("n"),
+            F.round(F.sum("value"), 4).alias("sum_value"),
+        )
+    )

@@ -117,3 +117,49 @@ def test_streaming_sessions_across_batches(spark, tmp_path):
     assert got2 == sorted(want_closed)
     # user 3 never closed: absent
     assert all(r[0] != 3 for r in got2)
+
+
+def test_windowed_event_counts_matches_batch(spark, tmp_path):
+    """readStream + watermark + tumbling window == the batch windowed
+    aggregation on the same bounded input (append mode emits only
+    watermark-finalized windows; availableNow + bounded input finalizes
+    all but the trailing window, so compare on the emitted set)."""
+    from moamosaic_spark.streaming.sessions import windowed_event_counts
+
+    src = str(tmp_path / "ev.parquet")
+    out = str(tmp_path / "win_out")
+    ev = spark.read.parquet("/root/testdata/sf0.001/events.parquet")
+    ev.write.parquet(src)
+
+    stream = spark.readStream.schema(ev.schema).parquet(src)
+    q = (
+        windowed_event_counts(stream, "1 hour", "2 hours")
+        .writeStream.format("parquet")
+        .option("path", out)
+        .option("checkpointLocation", str(tmp_path / "ckpt"))
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(300)
+
+    got = {
+        (r.window.start, r.event_type): (r.n, r.sum_value)
+        for r in spark.read.parquet(out).collect()
+    }
+    assert got, "no finalized windows emitted"
+    want = {
+        (r.window.start, r.event_type): (r.n, r.sum_value)
+        for r in ev.withColumn("_ts", F.col("ts").cast("timestamp"))
+        .groupBy(F.window("_ts", "1 hour"), "event_type")
+        .agg(F.count("*").alias("n"), F.round(F.sum("value"), 4).alias("sum_value"))
+        .collect()
+    }
+    # every emitted (finalized) window must equal the batch value, and
+    # only trailing windows past the final watermark may be missing
+    for k, v in got.items():
+        assert want[k] == v, k
+    missing_starts = {k[0] for k in want} - {k[0] for k in got}
+    if missing_starts:
+        max_emitted = max(k[0] for k in got)
+        assert all(s > max_emitted for s in missing_starts)
