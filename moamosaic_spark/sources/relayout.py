@@ -97,10 +97,16 @@ def stitch_from_relayout(
     spark: SparkSession,
     table: str,
     config: MosaicConfig | None = None,
+    tile_row_range: tuple[int, int] | None = None,
 ) -> MosaicResult:
     """Stitch straight off the bucketed work table — no join, no
     Exchange. ``config`` may override kernel/merge_policy/overviews; the
-    grid and tiling geometry come from the relayout metadata."""
+    grid and tiling geometry come from the relayout metadata.
+
+    ``tile_row_range=(lo, hi)`` restricts the stitch to a tile-row
+    range; the predicate lands in the bucketed SCAN (PushedFilters), so
+    a resumable batch off a relayout reads only its own rows AND skips
+    the shuffle — the cheapest possible re-stitch."""
     config = config or MosaicConfig()
     if config.stitch_salt > 1:
         raise ValueError(
@@ -124,6 +130,11 @@ def stitch_from_relayout(
         else []
     )
     work = spark.table(table)
+    if tile_row_range is not None:
+        lo, hi = tile_row_range
+        work = work.where(
+            (F.col("tile_row") >= F.lit(int(lo))) & (F.col("tile_row") < F.lit(int(hi)))
+        )
     grouped = work.groupBy("band", "tile_row", "tile_col")
     if config.kernel == "arrow":
         stitched = grouped.applyInArrow(
@@ -135,6 +146,11 @@ def stitch_from_relayout(
         )
 
     tiles = make_tile_relation(spark, grid, blocksize)
+    if tile_row_range is not None:
+        lo, hi = tile_row_range
+        tiles = tiles.where(
+            (F.col("tile_row") >= F.lit(int(lo))) & (F.col("tile_row") < F.lit(int(hi)))
+        )
     gap_tiles = tiles.join(
         work.select("tile_row", "tile_col").distinct(),
         on=["tile_row", "tile_col"],

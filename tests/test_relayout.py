@@ -66,3 +66,45 @@ def test_relayout_equals_direct_and_no_exchange(spark, tmp_path):
     assert set(ann) == set(bnn)
     for k in ann:
         np.testing.assert_array_equal(ann[k], bnn[k])
+
+
+def test_relayout_tile_range_pruned_scan(spark):
+    """Batch stitch off the relayout: the tile predicate reaches the
+    bucketed SCAN (PushedFilters) with still no Exchange, and the
+    row-range pieces reassemble the full mosaic exactly."""
+    rasters = synth.grid3x3(150, 150)
+    fp = to_footprints(spark, synth.footprints_pdf(rasters))
+    blocks = to_blocks(spark, synth.blocks_pdf(rasters, 256))
+    cfg = MosaicConfig(blocksize=64, src_blocksize=256, with_overviews=False)
+
+    relayout_to_table(spark, fp, blocks, "work_rng", cfg, n_buckets=8)
+    full = stitch_from_relayout(spark, "work_rng", cfg)
+    full_tiles = {
+        (r.band, r.tile_row, r.tile_col): np.asarray(r.pixels, dtype=np.int32)
+        for r in full.tiles.collect()
+    }
+    rows = sorted({tr for (_b, tr, _tc) in full_tiles})
+    mid = rows[len(rows) // 2]
+
+    part = stitch_from_relayout(spark, "work_rng", cfg, tile_row_range=(0, mid))
+    plan = part.stitched._jdf.queryExecution().explainString(
+        spark._jvm.org.apache.spark.sql.execution.ExplainMode.fromString("simple")
+    )
+    flatmap_region = plan.split("FlatMapGroupsInArrow")[1]
+    scan_pos = flatmap_region.find("FileScan")
+    assert "Exchange" not in flatmap_region[:scan_pos], "stitch input was shuffled"
+    scan_line = flatmap_region[scan_pos: flatmap_region.find("\n", scan_pos)]
+    assert "tile_row" in scan_line and "PushedFilters" in scan_line, scan_line
+
+    got = {
+        (r.band, r.tile_row, r.tile_col): np.asarray(r.pixels, dtype=np.int32)
+        for r in part.tiles.collect()
+    }
+    rest = stitch_from_relayout(spark, "work_rng", cfg, tile_row_range=(mid, rows[-1] + 1))
+    got.update({
+        (r.band, r.tile_row, r.tile_col): np.asarray(r.pixels, dtype=np.int32)
+        for r in rest.tiles.collect()
+    })
+    assert set(got) == set(full_tiles)
+    for k in got:
+        np.testing.assert_array_equal(got[k], full_tiles[k])
