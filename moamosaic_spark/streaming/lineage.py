@@ -77,10 +77,18 @@ def resumable_mosaic(
     n_batches: int = 8,
     run_id: str | None = None,
     fail_after: int | None = None,
+    relayout_table: str | None = None,
 ) -> dict:
     """Run the mosaic in ``n_batches`` idempotent row-range batches with
     lineage checkpointing; re-invocation with the same ``out_path``
     resumes, skipping completed batches.
+
+    ``relayout_table`` (optional): stitch each batch off a bucketed
+    relayout table (sources/relayout.py) instead of the live
+    join+shuffle plan — the range predicate lands in the bucketed scan
+    and the stitch has no Exchange, making resume batches the cheapest
+    possible re-stitch. ``footprints``/``blocks`` may be None in that
+    mode; the grid comes from the relayout metadata.
 
     ``fail_after`` (testing hook) raises after that many batches,
     simulating a killed run.
@@ -92,8 +100,22 @@ def resumable_mosaic(
     config = config or MosaicConfig()
     run_id = run_id or uuid.uuid4().hex[:12]
 
-    grid = make_output_grid(footprints, config.nullval)
-    nb_r = n_blocks(grid.nrows, config.blocksize)
+    if relayout_table is not None:
+        from ..sources.relayout import _load_meta
+        from ..plans.grid import OutputGrid
+
+        m = _load_meta(spark, relayout_table)
+        grid = OutputGrid(
+            x_min=m["x_min"], y_max=m["y_max"], x_res=m["x_res"],
+            y_res=m["y_res"], ncols=m["ncols"], nrows=m["nrows"],
+            n_bands=m["n_bands"], nullval=m["nullval"], dtype=m["dtype"],
+            projection=m["projection"],
+        )
+        blocksize = int(m["blocksize"])
+    else:
+        grid = make_output_grid(footprints, config.nullval)
+        blocksize = config.blocksize
+    nb_r = n_blocks(grid.nrows, blocksize)
     n_batches = min(n_batches, nb_r)
 
     # A lineage row from a run with a different n_batches describes
@@ -113,7 +135,7 @@ def resumable_mosaic(
 
     # Projection agreement is batch-invariant: validate once up front,
     # then skip it inside the per-batch pruned plans.
-    if config.check_projections:
+    if relayout_table is None and config.check_projections:
         from ..mosaic import validate_projections
 
         validate_projections(footprints)
@@ -131,10 +153,17 @@ def resumable_mosaic(
         lo = b * nb_r // n_batches
         hi = (b + 1) * nb_r // n_batches
         t0 = time.time()
-        res = do_mosaic(
-            spark, footprints, blocks, batch_config, grid=grid,
-            tile_row_range=(lo, hi),
-        )
+        if relayout_table is not None:
+            from ..sources.relayout import stitch_from_relayout
+
+            res = stitch_from_relayout(
+                spark, relayout_table, batch_config, tile_row_range=(lo, hi)
+            )
+        else:
+            res = do_mosaic(
+                spark, footprints, blocks, batch_config, grid=grid,
+                tile_row_range=(lo, hi),
+            )
         obs = Observation()
         batch_tiles = (
             res.tiles.withColumn("batch", F.lit(b))

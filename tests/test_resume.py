@@ -69,3 +69,29 @@ def test_uninterrupted_equals_oracle(spark, tmp_path, corpus):
     assert set(tiles.keys()) == set(want.tiles.keys())
     for key, arr in tiles.items():
         np.testing.assert_array_equal(arr, want.tiles[key])
+
+
+def test_resume_from_relayout(spark, tmp_path, corpus):
+    """Resumable batches off a bucketed relayout table: kill, resume,
+    pixel-identical to the oracle — each batch is a pruned,
+    shuffle-free stitch."""
+    from moamosaic_spark.sources.relayout import relayout_to_table
+
+    fp, blocks, want, cfg = corpus
+    relayout_to_table(spark, fp, blocks, "work_resume", cfg, n_buckets=8)
+    out = str(tmp_path / "mosaic_rl")
+
+    with pytest.raises(RuntimeError, match="simulated failure"):
+        resumable_mosaic(
+            spark, None, None, out, cfg, n_batches=4, fail_after=2,
+            relayout_table="work_resume",
+        )
+    r = resumable_mosaic(
+        spark, None, None, out, cfg, n_batches=4, relayout_table="work_resume"
+    )
+    assert r["batches_skipped"] == 2 and r["batches_run"] == 2
+
+    tiles = _read_tiles(spark, out)
+    assert set(tiles.keys()) == set(want.tiles.keys())
+    for key, arr in tiles.items():
+        np.testing.assert_array_equal(arr, want.tiles[key], err_msg=f"tile {key}")
