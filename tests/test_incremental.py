@@ -73,3 +73,21 @@ def test_streaming_wrapper(spark, tmp_path):
     )
     q.awaitTermination(300)
     check_covered_tiles(spark, out, want)
+
+
+def test_two_batches_cell_strategy(spark, tmp_path):
+    """Incremental micro-batches under the cell-keyed join strategy
+    (the touched-tile join and the pruned full run both route through
+    assign_inputs_cell)."""
+    rasters, fp_meta, blocks, docs_pdf, want, cfg = make_corpus(spark)
+    import dataclasses
+
+    cfg = dataclasses.replace(cfg, strategy="cell", cell_size_px=128, salt=2)
+    out = str(tmp_path / "inc_cell")
+
+    half = len(docs_pdf) // 2
+    b0 = to_documents(spark, docs_pdf.iloc[:half])
+    b1 = to_documents(spark, docs_pdf.iloc[half:])
+    process_batch(b0, 0, spark, fp_meta, blocks, out, cfg)
+    process_batch(b1, 1, spark, fp_meta, blocks, out, cfg)
+    check_covered_tiles(spark, out, want)
