@@ -823,6 +823,68 @@ GROUP BY 1, 2
 """
 
 
+def q_dedup_lsh_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The full bucketed dedup pipeline: LSH candidates -> exact
+    Jaccard re-rank on candidates only (the 100-TB path end-to-end)."""
+    docs = _read_docs(spark, sf_dir)
+    pairs = D.lsh_neardup_pairs(
+        docs, k=3, num_hashes=N_MINHASH, bands=N_LSH_BANDS, threshold=0.2
+    )
+    return pairs.select(
+        F.col("doc_a").cast("long").alias("doc_a"),
+        F.col("doc_b").cast("long").alias("doc_b"),
+        F.round("jaccard", 6).alias("jaccard"),
+    )
+
+
+def _lsh_neardup_sql() -> str:
+    rows_per_band = N_MINHASH // N_LSH_BANDS
+    mins = ",\n       ".join(
+        f"CAST(min({seeded_hash32_sql(i, 'shingle')}) AS BIGINT) AS h{i}"
+        for i in range(N_MINHASH)
+    )
+    band_selects = []
+    for b in range(N_LSH_BANDS):
+        cols = [f"h{b * rows_per_band + i}" for i in range(rows_per_band)]
+        bucket = " || ',' || ".join(f"CAST({c} AS VARCHAR)" for c in cols)
+        band_selects.append(
+            f"SELECT doc_id, {b} AS band, {bucket} AS bucket FROM sig"
+        )
+    bb = "\n  UNION ALL ".join(band_selects)
+    return f"""{_SQL_SHINGLES},
+sig AS (
+  SELECT doc_id,
+       {mins}
+  FROM sh
+  GROUP BY doc_id
+),
+bb AS (
+  {bb}
+),
+cand AS (
+  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b
+  FROM bb a
+  JOIN bb b ON a.band = b.band AND a.bucket = b.bucket AND a.doc_id < b.doc_id
+  GROUP BY 1, 2
+),
+sets AS (
+  SELECT doc_id, list(shingle) AS shset, count(*) AS n_sh FROM sh GROUP BY doc_id
+),
+scored AS (
+  SELECT c.doc_a, c.doc_b,
+         len(list_intersect(sa.shset, sb.shset)) * 1.0
+         / (sa.n_sh + sb.n_sh - len(list_intersect(sa.shset, sb.shset))) AS jaccard
+  FROM cand c
+  JOIN sets sa ON sa.doc_id = c.doc_a
+  JOIN sets sb ON sb.doc_id = c.doc_b
+)
+SELECT CAST(doc_a AS BIGINT) AS doc_a, CAST(doc_b AS BIGINT) AS doc_b,
+       round(jaccard, 6) AS jaccard
+FROM scored
+WHERE jaccard >= 0.2
+"""
+
+
 def q_dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = _read_docs(spark, sf_dir)
     return D.simhash(docs).select(
@@ -1211,6 +1273,7 @@ def queries() -> dict:
         "dedup_ngram_pairs": q_dedup_ngram_pairs,
         "dedup_minhash_sig": q_dedup_minhash_sig,
         "dedup_lsh_candidates": q_dedup_lsh_candidates,
+        "dedup_lsh_neardup": q_dedup_lsh_neardup,
         "dedup_simhash": q_dedup_simhash,
         "embedding_topk": q_embedding_topk,
         "lineitem_agg": q_lineitem_agg,
@@ -1242,6 +1305,7 @@ def oracle_sql() -> dict:
         "dedup_ngram_pairs": SQL_DEDUP_NGRAM_PAIRS,
         "dedup_minhash_sig": _minhash_sig_sql(),
         "dedup_lsh_candidates": _lsh_candidates_sql(),
+        "dedup_lsh_neardup": _lsh_neardup_sql(),
         "dedup_simhash": SQL_DEDUP_SIMHASH,
         "embedding_topk": SQL_EMBEDDING_TOPK,
         "lineitem_agg": SQL_LINEITEM_AGG,

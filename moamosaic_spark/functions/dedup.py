@@ -194,3 +194,50 @@ def simhash(docs: DataFrame, id_col: str = "doc_id", text_col: str = "text",
             )
         )
     return votes.select("doc_id", fp.alias("simhash"))
+
+
+def lsh_neardup_pairs(
+    docs: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    k: int = 3,
+    num_hashes: int = 16,
+    bands: int = 4,
+    threshold: float = 0.5,
+) -> DataFrame:
+    """The complete bucketed dedup pipeline: banded-LSH candidate
+    generation (minhash_lsh_candidates) + EXACT Jaccard re-rank on the
+    candidates only. Returns (doc_a, doc_b, jaccard) with jaccard >=
+    threshold, doc_a < doc_b.
+
+    Scale shape: pair comparisons are bounded by the banding collision
+    probability, never by the inverted index's per-shingle m^2 blowup;
+    the re-rank attaches each candidate's distinct-shingle SET once and
+    intersects per pair. Recall < 1 for pairs whose similarity sits
+    below the LSH S-curve at (num_hashes/bands rows, bands) — that is
+    the advertised trade; ngram_jaccard_pairs is the exact path.
+    """
+    cand = minhash_lsh_candidates(
+        docs, id_col, text_col, k, num_hashes, bands
+    ).select("doc_a", "doc_b")
+    p = shingle_postings(docs, id_col, text_col, k)
+    sets = p.groupBy("doc_id").agg(
+        F.collect_set("shingle").alias("sh"), F.count("*").alias("n_sh")
+    )
+    sa = sets.select(
+        F.col("doc_id").alias("doc_a"), F.col("sh").alias("sh_a"),
+        F.col("n_sh").alias("n_a"),
+    )
+    sb = sets.select(
+        F.col("doc_id").alias("doc_b"), F.col("sh").alias("sh_b"),
+        F.col("n_sh").alias("n_b"),
+    )
+    inter = F.size(F.array_intersect(F.col("sh_a"), F.col("sh_b")))
+    return (
+        cand.join(sa, on="doc_a").join(sb, on="doc_b")
+        .select(
+            "doc_a", "doc_b",
+            (inter / (F.col("n_a") + F.col("n_b") - inter)).alias("jaccard"),
+        )
+        .where(F.col("jaccard") >= F.lit(float(threshold)))
+    )

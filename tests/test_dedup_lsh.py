@@ -135,3 +135,25 @@ def test_ngram_doc_freq_cap(spark):
     boiler_pairs = {p for p in got_uncapped if p[0] < 20 and p[1] < 20}
     assert boiler_pairs, "fixture should produce boilerplate pairs uncapped"
     assert not (boiler_pairs & got_capped)
+
+
+def test_lsh_neardup_subset_of_exact(spark, docs):
+    """LSH + exact re-rank: every emitted pair appears in the exact
+    inverted-index result with the SAME jaccard; exact duplicates
+    (jaccard 1.0, all bands equal) are always recalled."""
+    exact = {
+        (r.doc_a, r.doc_b): round(r.jaccard, 9)
+        for r in D.ngram_jaccard_pairs(docs, k=3, threshold=0.2).collect()
+    }
+    lsh = {
+        (r.doc_a, r.doc_b): round(r.jaccard, 9)
+        for r in D.lsh_neardup_pairs(
+            docs, k=3, num_hashes=8, bands=4, threshold=0.2
+        ).collect()
+    }
+    assert set(lsh) <= set(exact)
+    for pair, j in lsh.items():
+        assert exact[pair] == j
+    for pair, j in exact.items():
+        if j == 1.0:
+            assert pair in lsh, f"exact duplicate {pair} missed by LSH"
