@@ -68,6 +68,11 @@ def main(argv: list[str] | None = None) -> None:
     args = get_parser().parse_args(argv)
     if not args.docs and not args.footprints:
         get_parser().error("one of --docs / --footprints is required")
+    if args.out_epsg and args.resample == "average":
+        get_parser().error(
+            "--resample average is not defined for the cross-CRS warp "
+            "(--out-epsg); use near or bilinear"
+        )
 
     from .mosaic import MosaicConfig, do_mosaic, write_mosaic
     from .monitoring import Monitoring
@@ -95,9 +100,24 @@ def main(argv: list[str] | None = None) -> None:
 
         xres = args.xres or args.yres
         if xres is None:
-            # default: keep the first input's resolution (ref reproj.py:199-206)
-            first = fp.orderBy("priority").select("x_res", "y_res").first()
-            xres, yres = float(first.x_res), float(first.y_res)
+            # default: the first input's pixel step MEASURED IN THE
+            # TARGET CRS (gdalwarp's suggested-output analog, reference
+            # reproj.py:199-206). Copying the raw number is only valid
+            # when both CRSes share units — degrees->meters would
+            # otherwise build a ~10^4x denser grid.
+            import math
+
+            from .reproject import _corner_transform
+
+            first = fp.orderBy("priority").select(
+                "x0", "y0", "x_res", "y_res", "projection"
+            ).first()
+            tr = _corner_transform(first.projection, f"EPSG:{args.out_epsg}")
+            x0, y0 = (float(v) for v in tr(first.x0, first.y0))
+            xs, ys = (float(v) for v in tr(first.x0 + first.x_res, first.y0))
+            xres = math.hypot(xs - x0, ys - y0)
+            xs, ys = (float(v) for v in tr(first.x0, first.y0 - first.y_res))
+            yres = math.hypot(xs - x0, ys - y0)
         else:
             yres = args.yres or args.xres
         with mon.ctx("warp"):

@@ -136,6 +136,10 @@ def make_transform(src_crs: str | int, dst_crs: str | int):
     """Vectorized (x, y) -> (x', y') between two supported CRSes.
     Raises MoaCrsError for unsupported codes."""
     src, dst = parse_epsg(src_crs), parse_epsg(dst_crs)
+    if src == dst:
+        # identity — valid for ANY code, including ones outside the
+        # built-in subset (no actual transform is needed)
+        return lambda x, y: (np.asarray(x, np.float64), np.asarray(y, np.float64))
 
     def to_geodetic(epsg):
         if epsg == 4326:
@@ -161,8 +165,6 @@ def make_transform(src_crs: str | int, dst_crs: str | int):
 
     inv = to_geodetic(src)
     fwd = from_geodetic(dst)
-    if src == dst:
-        return lambda x, y: (np.asarray(x, np.float64), np.asarray(y, np.float64))
 
     def transform(x, y):
         lon, lat = inv(x, y)

@@ -790,7 +790,10 @@ def q_dedup_lsh_candidates(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-def _lsh_candidates_sql() -> str:
+def _lsh_sig_bb_ctes() -> str:
+    """The minhash-signature + banding CTEs shared by every LSH oracle
+    (one definition so the bucket encoding cannot silently diverge
+    between them)."""
     rows_per_band = N_MINHASH // N_LSH_BANDS
     mins = ",\n       ".join(
         f"CAST(min({seeded_hash32_sql(i, 'shingle')}) AS BIGINT) AS h{i}"
@@ -804,8 +807,7 @@ def _lsh_candidates_sql() -> str:
             f"SELECT doc_id, {b} AS band, {bucket} AS bucket FROM sig"
         )
     bb = "\n  UNION ALL ".join(band_selects)
-    return f"""{_SQL_SHINGLES},
-sig AS (
+    return f"""sig AS (
   SELECT doc_id,
        {mins}
   FROM sh
@@ -813,7 +815,12 @@ sig AS (
 ),
 bb AS (
   {bb}
-)
+)"""
+
+
+def _lsh_candidates_sql() -> str:
+    return f"""{_SQL_SHINGLES},
+{_lsh_sig_bb_ctes()}
 SELECT CAST(a.doc_id AS BIGINT) AS doc_a,
        CAST(b.doc_id AS BIGINT) AS doc_b,
        CAST(count(*) AS BIGINT) AS n_shared_bands
@@ -838,29 +845,8 @@ def q_dedup_lsh_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def _lsh_neardup_sql() -> str:
-    rows_per_band = N_MINHASH // N_LSH_BANDS
-    mins = ",\n       ".join(
-        f"CAST(min({seeded_hash32_sql(i, 'shingle')}) AS BIGINT) AS h{i}"
-        for i in range(N_MINHASH)
-    )
-    band_selects = []
-    for b in range(N_LSH_BANDS):
-        cols = [f"h{b * rows_per_band + i}" for i in range(rows_per_band)]
-        bucket = " || ',' || ".join(f"CAST({c} AS VARCHAR)" for c in cols)
-        band_selects.append(
-            f"SELECT doc_id, {b} AS band, {bucket} AS bucket FROM sig"
-        )
-    bb = "\n  UNION ALL ".join(band_selects)
     return f"""{_SQL_SHINGLES},
-sig AS (
-  SELECT doc_id,
-       {mins}
-  FROM sh
-  GROUP BY doc_id
-),
-bb AS (
-  {bb}
-),
+{_lsh_sig_bb_ctes()},
 cand AS (
   SELECT a.doc_id AS doc_a, b.doc_id AS doc_b
   FROM bb a

@@ -276,11 +276,12 @@ def ivf_topk(
     """
     import math as _m
 
+    from .portable import hash32
+
     v = F.col(vec_col).cast("array<double>")
     ids = embeddings.select(
         F.col(id_col).alias("vec_id"), v.alias("vec"),
-        F.conv(F.substring(F.md5(F.col(id_col).cast("string")), 1, 8), 16, 10)
-        .cast("long").alias("_h"),
+        hash32(F.col(id_col).cast("string")).alias("_h"),
     )
     cents = [
         [float(x) for x in r.vec]

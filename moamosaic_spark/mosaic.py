@@ -349,7 +349,11 @@ def do_mosaic(
         # take the two-stage path, cold rows go straight to the final
         # stitch (union is schema-aligned: the stitch kernel consumes
         # the PARTIAL_MERGE column set either way).
-        threshold = config.stitch_hot_threshold or max(2, 2 * config.stitch_salt)
+        threshold = (
+            config.stitch_hot_threshold
+            if config.stitch_hot_threshold is not None
+            else max(2, 2 * config.stitch_salt)
+        )
         counts = assignments.groupBy("tile_row", "tile_col").agg(
             F.count("*").alias("_nc")
         )

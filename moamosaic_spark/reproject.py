@@ -168,6 +168,27 @@ def _target_chunk_relation(meta: DataFrame, sbs: int) -> DataFrame:
     )
 
 
+def _assemble_window(
+    rows, sy_lo: int, sy_hi: int, sx_lo: int, sx_hi: int, nullval: int
+) -> np.ndarray:
+    """Fill the bounded source window [sy_lo..sy_hi] x [sx_lo..sx_hi]
+    (inclusive) from the covering source chunks, nullval elsewhere —
+    shared by the same-CRS resample and the cross-CRS warp kernels."""
+    win = np.full((sy_hi - sy_lo + 1, sx_hi - sx_lo + 1), nullval, dtype=np.int32)
+    for r in rows:
+        bt, bl = int(r.b_top), int(r.b_left)
+        bys, bxs = int(r.b_ysize), int(r.b_xsize)
+        y0c, y1c = max(bt, sy_lo), min(bt + bys, sy_hi + 1)
+        x0c, x1c = max(bl, sx_lo), min(bl + bxs, sx_hi + 1)
+        if y1c <= y0c or x1c <= x0c:
+            continue
+        chunk = np.asarray(r.pixels, dtype=np.int32).reshape(bys, bxs)
+        win[y0c - sy_lo: y1c - sy_lo, x0c - sx_lo: x1c - sx_lo] = chunk[
+            y0c - bt: y1c - bt, x0c - bl: x1c - bl
+        ]
+    return win
+
+
 def _resample_window(g, rows, method: str, ox: float, oy: float) -> np.ndarray:
     """Resample ONE target chunk from its covering source chunks.
 
@@ -200,18 +221,7 @@ def _resample_window(g, rows, method: str, ox: float, oy: float) -> np.ndarray:
 
     sy_lo, sy_hi = win_bounds(tb_top, tb_ys, oy, g.s_y0 - g.y0, g.s_y_res, s_nrows)
     sx_lo, sx_hi = win_bounds(tb_left, tb_xs, ox, g.x0 - g.s_x0, g.s_x_res, s_ncols)
-    win = np.full((sy_hi - sy_lo + 1, sx_hi - sx_lo + 1), nullval, dtype=np.int32)
-    for r in rows:
-        bt, bl = int(r.b_top), int(r.b_left)
-        bys, bxs = int(r.b_ysize), int(r.b_xsize)
-        y0c, y1c = max(bt, sy_lo), min(bt + bys, sy_hi + 1)
-        x0c, x1c = max(bl, sx_lo), min(bl + bxs, sx_hi + 1)
-        if y1c <= y0c or x1c <= x0c:
-            continue
-        chunk = np.asarray(r.pixels, dtype=np.int32).reshape(bys, bxs)
-        win[y0c - sy_lo: y1c - sy_lo, x0c - sx_lo: x1c - sx_lo] = chunk[
-            y0c - bt: y1c - bt, x0c - bl: x1c - bl
-        ]
+    win = _assemble_window(rows, sy_lo, sy_hi, sx_lo, sx_hi, nullval)
 
     vr = np.arange(tb_top, tb_top + tb_ys, dtype=np.float64)
     vc = np.arange(tb_left, tb_left + tb_xs, dtype=np.float64)
@@ -539,18 +549,7 @@ def _warp_window(g, rows, method: str, tr, ox: float, oy: float) -> np.ndarray:
     sy_hi = min(s_nrows - 1, int(g._sy_hi))
     sx_lo = max(0, int(g._sx_lo))
     sx_hi = min(s_ncols - 1, int(g._sx_hi))
-    win = np.full((sy_hi - sy_lo + 1, sx_hi - sx_lo + 1), nullval, dtype=np.int32)
-    for r in rows:
-        bt, bl = int(r.b_top), int(r.b_left)
-        bys, bxs = int(r.b_ysize), int(r.b_xsize)
-        y0c, y1c = max(bt, sy_lo), min(bt + bys, sy_hi + 1)
-        x0c, x1c = max(bl, sx_lo), min(bl + bxs, sx_hi + 1)
-        if y1c <= y0c or x1c <= x0c:
-            continue
-        chunk = np.asarray(r.pixels, dtype=np.int32).reshape(bys, bxs)
-        win[y0c - sy_lo: y1c - sy_lo, x0c - sx_lo: x1c - sx_lo] = chunk[
-            y0c - bt: y1c - bt, x0c - bl: x1c - bl
-        ]
+    win = _assemble_window(rows, sy_lo, sy_hi, sx_lo, sx_hi, nullval)
 
     # dst pixel centers -> src CRS -> fractional src indices (2D maps)
     xw = g.x0 + (tb_left + np.arange(tb_xs, dtype=np.float64) + 0.5) * ox

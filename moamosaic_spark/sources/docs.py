@@ -30,20 +30,28 @@ def dense_global_rank(
 
     zipWithIndex-style two-job scheme, all DataFrame-native:
       1. range-partition by the order column (global order across
-         partitions, distributed);
-      2. tiny count job: rows per range partition (#rows = #partitions)
-         collected to the driver, turned into cumulative offsets;
+         partitions, distributed) and FREEZE the partitioning with an
+         eager localCheckpoint — Spark's range partitioner samples with
+         an RDD-id-dependent seed, so two separate jobs over the same
+         lazy plan can pick DIFFERENT boundaries once the sample no
+         longer covers every row; the counts and the ranks must see the
+         same partitioning or priorities duplicate/gap at scale;
+      2. tiny count job over the frozen partitions (#rows =
+         #partitions) collected to the driver -> cumulative offsets;
       3. per-partition ``row_number`` (window partitioned by partition
          id — no single-task stage) + broadcast offset join.
 
-    Like ``RDD.zipWithIndex``, requires a deterministic input plan (both
-    jobs re-execute the range exchange; parquet scans and deterministic
-    repartitions qualify). ``order_col`` must be a total order (unique),
-    otherwise ranks at partition boundaries are ambiguous.
+    ``order_col`` must be a total order (unique), otherwise ranks at
+    partition boundaries are ambiguous. The checkpoint stores the slim
+    (order_col + carried columns) rows in executor storage for the
+    duration of the returned DataFrame — the same trade
+    ``RDD.zipWithIndex`` makes implicitly via its two jobs.
     """
     spark = df.sparkSession
-    d = df.repartitionByRange(F.col(order_col)).withColumn(
-        "_pid", F.spark_partition_id()
+    d = (
+        df.repartitionByRange(F.col(order_col))
+        .withColumn("_pid", F.spark_partition_id())
+        .localCheckpoint(eager=True)
     )
     counts = sorted(
         (r["_pid"], r["n"]) for r in d.groupBy("_pid").agg(F.count("*").alias("n")).collect()
@@ -64,6 +72,21 @@ def dense_global_rank(
     )
 
 
+def media_first_seen(docs: DataFrame) -> DataFrame:
+    """Distinct media refs with their first appearance key
+    (media_ref, first_seen) — the un-ranked form, for callers that
+    filter refs (e.g. the incremental anti-join against already-seen
+    state) BEFORE paying the distributed rank."""
+    spans = (
+        docs.select("doc_id", F.posexplode("spans").alias("pos", "span"))
+        .where(F.col("span.kind") == "media")
+        .select("doc_id", "pos", F.col("span.media_ref").alias("media_ref"))
+    )
+    return spans.groupBy("media_ref").agg(
+        F.min(F.struct("doc_id", "pos")).alias("first_seen")
+    )
+
+
 def media_refs_in_order(docs: DataFrame) -> DataFrame:
     """Distinct media refs with priority = order of first appearance by
     (doc_id, span position). Returns (media_ref, priority).
@@ -73,15 +96,7 @@ def media_refs_in_order(docs: DataFrame) -> DataFrame:
     is the distributed dense rank (no unpartitioned window: this is the
     priority front door of the whole engine and must not serialize).
     """
-    spans = (
-        docs.select("doc_id", F.posexplode("spans").alias("pos", "span"))
-        .where(F.col("span.kind") == "media")
-        .select("doc_id", "pos", F.col("span.media_ref").alias("media_ref"))
-    )
-    firsts = spans.groupBy("media_ref").agg(
-        F.min(F.struct("doc_id", "pos")).alias("first_seen")
-    )
-    return dense_global_rank(firsts, "first_seen", "priority")
+    return dense_global_rank(media_first_seen(docs), "first_seen", "priority")
 
 
 def footprints_from_docs(docs: DataFrame, footprint_meta: DataFrame) -> DataFrame:

@@ -35,7 +35,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession, functions as F
 
 from ..mosaic import MosaicConfig, do_mosaic
-from ..sources.docs import dense_global_rank, media_refs_in_order
+from ..sources.docs import dense_global_rank, media_first_seen
 
 
 def _state_path(out_path: str) -> str:
@@ -61,20 +61,20 @@ def process_batch(
     """One micro-batch of the incremental mosaic (foreachBatch body)."""
     spark.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
 
-    new_refs = media_refs_in_order(batch_docs)
+    # drop already-seen refs BEFORE assigning priorities (count-based
+    # offsets collide after any batch mixing seen and unseen refs), and
+    # rank ONCE, after the anti-join — the rank is the expensive
+    # two-job step on this hot path.
+    firsts = media_first_seen(batch_docs)
     seen = read_seen(spark, out_path)
     offset = 0
     if seen is not None:
-        # drop already-seen refs BEFORE assigning priorities, then
-        # densify the survivors (the anti-join leaves gaps) and continue
-        # from max(priority)+1 — count-based offsets collide after any
-        # batch mixing seen and unseen refs.
-        new_refs = new_refs.join(
+        firsts = firsts.join(
             seen.select("media_ref"), on="media_ref", how="left_anti"
         )
-        new_refs = dense_global_rank(new_refs, "priority", "priority")
         max_p = seen.agg(F.max("priority")).collect()[0][0]
         offset = 0 if max_p is None else int(max_p) + 1
+    new_refs = dense_global_rank(firsts, "first_seen", "priority")
     new_fp = (
         new_refs.withColumn(
             "priority", (F.col("priority") + F.lit(offset)).cast("int")

@@ -99,6 +99,11 @@ def _make_session_fn(gap_seconds: float):
                     closed.append((user_id, start, last, n, sv))
                     start, last, n, sv = ep, ep, 1, val
                 else:
+                    # cross-batch disorder within the gap: an earlier
+                    # event merging into the open session must extend
+                    # BOTH ends (the batch twin sorts globally and
+                    # would put it first)
+                    start = min(start, ep)
                     last = max(last, ep)
                     n += 1
                     sv += val

@@ -163,3 +163,31 @@ def test_windowed_event_counts_matches_batch(spark, tmp_path):
     if missing_starts:
         max_emitted = max(k[0] for k in got)
         assert all(s > max_emitted for s in missing_starts)
+
+
+def test_streaming_session_extends_start_backward(spark, tmp_path):
+    """Cross-batch disorder WITHIN the gap: a later batch delivering an
+    earlier event must extend the open session's start (the batch twin
+    sorts globally and would put it first)."""
+    src = tmp_path / "ev_back"
+    out = str(tmp_path / "sess_back")
+    ckpt = str(tmp_path / "ckpt_back")
+    src.mkdir()
+
+    def feed_and_run(rows, name):
+        spark.createDataFrame(rows, EV_SCHEMA).coalesce(1).write.parquet(
+            str(src / name)
+        )
+        stream = spark.readStream.schema(EV_SCHEMA).parquet(str(src) + "/*")
+        q = sessionize_stream(stream, GAP, ckpt, out)
+        q.awaitTermination(300)
+
+    feed_and_run([(7, 500.0, 1.0)], "b1")
+    # batch 2: an EARLIER event within the gap joins the open session,
+    # then a far event closes it
+    feed_and_run([(7, 450.0, 2.0), (7, 5000.0, 3.0)], "b2")
+    got = [
+        (r.user_id, r.session_start, r.session_end, r.n_events, r.sum_value)
+        for r in spark.read.parquet(out).collect()
+    ]
+    assert got == [(7, 450.0, 500.0, 2, 3.0)], got
