@@ -16,8 +16,6 @@ the driver's schema + value-hash comparison is exact.
 
 from __future__ import annotations
 
-import functools
-
 from pyspark.sql import DataFrame, SparkSession, functions as F
 
 from .mosaic import MosaicConfig, do_mosaic

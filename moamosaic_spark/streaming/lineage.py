@@ -29,7 +29,7 @@ import uuid
 
 from pyspark.sql import DataFrame, SparkSession, functions as F
 
-from ..mosaic import MosaicConfig, MosaicResult, do_mosaic
+from ..mosaic import MosaicConfig, do_mosaic
 from ..plans.grid import n_blocks
 
 
