@@ -212,32 +212,47 @@ def lsh_neardup_pairs(
 
     Scale shape: pair comparisons are bounded by the banding collision
     probability, never by the inverted index's per-shingle m^2 blowup;
-    the re-rank attaches each candidate's distinct-shingle SET once and
-    intersects per pair. Recall < 1 for pairs whose similarity sits
-    below the LSH S-curve at (num_hashes/bands rows, bands) — that is
-    the advertised trade; ngram_jaccard_pairs is the exact path.
+    the re-rank intersects via the POSTINGS relation routed through the
+    candidate pairs (slim (doc_a, doc_b, shingle) rows -> count), never
+    materializing or replicating a per-doc shingle array — a 50k-shingle
+    doc in 200 candidate pairs costs 200 x its posting rows, not 200
+    copies of a 50k-element array through the join. Recall < 1 for
+    pairs whose similarity sits below the LSH S-curve at
+    (num_hashes/bands rows, bands) — that is the advertised trade;
+    ngram_jaccard_pairs is the exact path.
     """
     cand = minhash_lsh_candidates(
         docs, id_col, text_col, k, num_hashes, bands
     ).select("doc_a", "doc_b")
     p = shingle_postings(docs, id_col, text_col, k)
-    sets = p.groupBy("doc_id").agg(
-        F.collect_set("shingle").alias("sh"), F.count("*").alias("n_sh")
+    # |A n B| per candidate pair: fan A's postings across its candidate
+    # pairs, keep rows whose shingle also posts for B. Scalar rows only.
+    pa = p.select(F.col("doc_id").alias("doc_a"), "shingle")
+    pb = p.select(F.col("doc_id").alias("doc_b"), "shingle")
+    inter = (
+        cand.join(pa, on="doc_a")
+        .join(pb, on=["doc_b", "shingle"])
+        .groupBy("doc_a", "doc_b")
+        .agg(F.count("*").alias("n_common"))
     )
-    sa = sets.select(
-        F.col("doc_id").alias("doc_a"), F.col("sh").alias("sh_a"),
-        F.col("n_sh").alias("n_a"),
+    # left join keeps zero-intersection candidates (jaccard 0) so a
+    # threshold of 0 still returns every LSH candidate pair.
+    pairs = cand.join(inter, on=["doc_a", "doc_b"], how="left").withColumn(
+        "n_common", F.coalesce(F.col("n_common"), F.lit(0))
     )
-    sb = sets.select(
-        F.col("doc_id").alias("doc_b"), F.col("sh").alias("sh_b"),
-        F.col("n_sh").alias("n_b"),
-    )
-    inter = F.size(F.array_intersect(F.col("sh_a"), F.col("sh_b")))
+    sizes = p.groupBy("doc_id").agg(F.count("*").alias("n_sh"))
+    sa = sizes.select(F.col("doc_id").alias("doc_a"), F.col("n_sh").alias("n_a"))
+    sb = sizes.select(F.col("doc_id").alias("doc_b"), F.col("n_sh").alias("n_b"))
     return (
-        cand.join(sa, on="doc_a").join(sb, on="doc_b")
+        pairs.join(sa, on="doc_a")
+        .join(sb, on="doc_b")
         .select(
-            "doc_a", "doc_b",
-            (inter / (F.col("n_a") + F.col("n_b") - inter)).alias("jaccard"),
+            "doc_a",
+            "doc_b",
+            (
+                F.col("n_common")
+                / (F.col("n_a") + F.col("n_b") - F.col("n_common"))
+            ).alias("jaccard"),
         )
         .where(F.col("jaccard") >= F.lit(float(threshold)))
     )

@@ -181,10 +181,14 @@ def neardup_pairs(
     )
     cand = a.join(b, on=join_keys, how="inner").where(F.col("id_a") < F.col("id_b"))
     # exact-safe residual: qualifying pairs satisfy |p_a - p_b| <= d_max
-    # in EVERY projected dim (projection distance <= vector distance)
+    # in EVERY projected dim (projection distance <= vector distance).
+    # Filter with the PADDED bound so the same ulp pad that protects the
+    # cell bucketing also covers rounding in the computed projections —
+    # a pair at exactly the threshold whose projection gap overshoots
+    # d_max by a few ulps must survive to the exact re-rank.
     for p in proj_cols:
         cand = cand.where(
-            F.abs(F.col(f"{p}_a") - F.col(f"{p}_b")) <= F.lit(d_max)
+            F.abs(F.col(f"{p}_a") - F.col(f"{p}_b")) <= F.lit(d_pad)
         )
     cand = cand.select("id_a", "id_b").dropDuplicates(["id_a", "id_b"])
 
@@ -287,6 +291,12 @@ def ivf_topk(
         [float(x) for x in r.vec]
         for r in ids.orderBy("_h", "vec_id").limit(n_centroids).collect()
     ]
+    if not cents:
+        # empty corpus: no centroids to probe — return an empty top-k
+        # with the contract schema instead of a degenerate isin([]).
+        return ids.select(
+            "vec_id", F.lit(0.0).alias("cos_sim")
+        ).where(F.lit(False))
 
     def d2_expr(c):
         lit = F.lit(c)

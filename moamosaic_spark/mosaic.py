@@ -57,6 +57,11 @@ class MosaicConfig:
     # (stage 1 only pays off when contributors >> buckets);
     # None -> 2 * stitch_salt
     stitch_hot_threshold: int | None = None
+    # incremental sink partition count: touched-tile rewrites replace a
+    # whole `part=` partition, so each partition holds ~1/sink_parts of
+    # the mosaic. Size it so one partition is a bounded rewrite at the
+    # target tile count (an Iceberg MERGE sink removes the trade-off).
+    sink_parts: int = 16
 
 
 @dataclass

@@ -618,7 +618,8 @@ def warp_blocks(
     warp-at-windowed-read, reproj.py:209-213): target chunks are
     JVM-generated; each chunk's source window is found by transforming
     a 3x3 boundary sample of the chunk into the source CRS (vectorized
-    pandas map, margin 4 px for curvature between samples); the
+    pandas map, margin derived per chunk from the sampled curvature
+    residual); the
     equi-join pulls exactly those source chunks; a grouped kernel
     builds the 2D per-pixel index maps with the same transforms and
     gathers. Margin chunks never reach Python.
@@ -677,11 +678,37 @@ def warp_blocks(
                         / sub["s_x_res"].to_numpy()[:, None])
                 rowf = ((sub["s_y0"].to_numpy()[:, None] - ys.reshape(n, 9))
                         / sub["s_y_res"].to_numpy()[:, None])
+                # margin derived from the transform's OBSERVED curvature
+                # on this chunk (not a fixed constant): residual of the
+                # 9 samples vs the bilinear prediction from the 4
+                # corners. The residual already folds in chunk span,
+                # resolution ratio and CRS-pair distortion; deviation
+                # between samples scales as span^2, so 2x the full-span
+                # residual bounds it with margin to spare, +3 px for the
+                # bilinear half-pixel shift and floor rounding.
+                fy = np.repeat(fr, 3)[None, :]   # sample fractions, row-major
+                fx = np.tile(fr, 3)[None, :]
+                w00 = (1 - fy) * (1 - fx)
+                w02 = (1 - fy) * fx
+                w20 = fy * (1 - fx)
+                w22 = fy * fx
+
+                def resid(a):
+                    pred = (
+                        a[:, [0]] * w00 + a[:, [2]] * w02
+                        + a[:, [6]] * w20 + a[:, [8]] * w22
+                    )
+                    return np.abs(a - pred).max(axis=1)
+
+                marg = (
+                    np.ceil(2.0 * np.maximum(resid(colf), resid(rowf)))
+                    .astype(np.int64) + 3
+                )
                 out = sub.copy()
-                out["_sy_lo"] = np.floor(rowf.min(axis=1)).astype(np.int64) - 4
-                out["_sy_hi"] = np.floor(rowf.max(axis=1)).astype(np.int64) + 4
-                out["_sx_lo"] = np.floor(colf.min(axis=1)).astype(np.int64) - 4
-                out["_sx_hi"] = np.floor(colf.max(axis=1)).astype(np.int64) + 4
+                out["_sy_lo"] = np.floor(rowf.min(axis=1)).astype(np.int64) - marg
+                out["_sy_hi"] = np.floor(rowf.max(axis=1)).astype(np.int64) + marg
+                out["_sx_lo"] = np.floor(colf.min(axis=1)).astype(np.int64) - marg
+                out["_sx_hi"] = np.floor(colf.max(axis=1)).astype(np.int64) + marg
                 outs.append(out)
             yield pd.concat(outs)
 

@@ -114,7 +114,7 @@ def process_batch(
         .distinct()
     )
     res = do_mosaic(spark, all_fp, blocks, config, grid=grid, tile_keys=touched)
-    part_of = F.pmod(F.col("tile_row"), F.lit(16))
+    part_of = F.pmod(F.col("tile_row"), F.lit(int(config.sink_parts)))
     out_tiles = res.tiles.withColumn("part", part_of)
     n = out_tiles.count()
 

@@ -124,8 +124,16 @@ def resumable_mosaic(
     # duplicates. Changing the batch geometry therefore invalidates all
     # prior progress — truncate sink + lineage and start fresh.
     lin = read_lineage(spark, out_path)
-    if lin is not None and "n_batches" in lin.columns:
-        foreign = lin.where(F.col("n_batches") != n_batches).limit(1).count() > 0
+    if lin is not None:
+        if "n_batches" not in lin.columns:
+            # legacy lineage (pre-n_batches runs): geometry unknown, so
+            # any resume could keep stale batch=K partitions as
+            # duplicate tiles — treat as foreign and start fresh.
+            foreign = True
+        else:
+            foreign = (
+                lin.where(F.col("n_batches") != n_batches).limit(1).count() > 0
+            )
         if foreign:
             _delete_path(spark, f"{out_path}/tiles")
             _delete_path(spark, _lineage_path(out_path))

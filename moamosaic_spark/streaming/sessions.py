@@ -15,16 +15,22 @@ data, not a fixed window).
   ``gap_seconds`` closes and EMITS the open session and starts a new
   one. Sessions still open when the stream pauses stay in state (and
   survive restarts via the checkpoint) — they emit when later data
-  closes them. Events are sorted per micro-batch; data arriving across
-  batches out of event-time order by more than the gap would need a
-  watermark + timeout design, which this operator intentionally keeps
-  out of scope (documented simplification).
+  closes them. The kernel is vectorized: per micro-batch it runs numpy
+  gaps-and-islands over the user's events (sort + diff + bincount, no
+  per-event Python), then merges the handful of resulting session
+  islands with the open state session by interval gap. Cross-batch
+  events out of order by MORE than the gap split into their own
+  (earlier) session and emit — observable divergence from a global
+  sort, never a silent merge; a late fragment may duplicate a
+  previously-emitted session's time range (inherent to late data
+  without a watermark+timeout design, documented simplification).
 """
 
 from __future__ import annotations
 
 from typing import Iterator
 
+import numpy as np
 import pandas as pd
 
 from pyspark.sql import DataFrame, Window, functions as F
@@ -76,6 +82,30 @@ def sessionize(
     ).drop("_sess")
 
 
+def _batch_islands(ep: "np.ndarray", val: "np.ndarray", gap: float):
+    """Vectorized gaps-and-islands over one micro-batch's events (already
+    a single user): sort by epoch, split where the gap exceeds ``gap``,
+    aggregate per island with bincount. Returns a list of
+    (start, end, n, sum_value) in time order — O(events) numpy work,
+    O(islands) python."""
+    order = np.argsort(ep, kind="stable")
+    ep = ep[order]
+    val = val[order]
+    new = np.empty(len(ep), dtype=bool)
+    new[0] = True
+    if len(ep) > 1:
+        np.greater(np.diff(ep), gap, out=new[1:])
+    sess = np.cumsum(new) - 1
+    starts = ep[new]
+    ends = ep[np.flatnonzero(np.append(new[1:], True))]
+    counts = np.bincount(sess)
+    sums = np.bincount(sess, weights=val)
+    return [
+        (float(starts[i]), float(ends[i]), int(counts[i]), float(sums[i]))
+        for i in range(len(starts))
+    ]
+
+
 def _make_session_fn(gap_seconds: float):
     gap = float(gap_seconds)
 
@@ -83,35 +113,45 @@ def _make_session_fn(gap_seconds: float):
         key, pdfs: Iterator[pd.DataFrame], state: GroupState
     ) -> Iterator[pd.DataFrame]:
         (user_id,) = key
-        if state.exists:
-            start, last, n, sv = state.get
-        else:
-            start = last = None
-            n, sv = 0, 0.0
-        closed = []
+        eps, vals = [], []
         for pdf in pdfs:
-            pdf = pdf.sort_values("epoch")
-            for ep, val in zip(pdf["epoch"], pdf["value"]):
-                ep, val = float(ep), float(val)
-                if start is None:
-                    start, last, n, sv = ep, ep, 1, val
-                elif ep - last > gap:
-                    closed.append((user_id, start, last, n, sv))
-                    start, last, n, sv = ep, ep, 1, val
-                else:
-                    # cross-batch disorder within the gap: an earlier
-                    # event merging into the open session must extend
-                    # BOTH ends (the batch twin sorts globally and
-                    # would put it first)
-                    start = min(start, ep)
-                    last = max(last, ep)
-                    n += 1
-                    sv += val
-        if start is not None:
-            state.update((start, last, n, sv))
-        if closed:
+            if len(pdf):
+                eps.append(pdf["epoch"].to_numpy(dtype=np.float64))
+                vals.append(pdf["value"].to_numpy(dtype=np.float64))
+        islands: list[tuple[float, float, int, float]] = []
+        if eps:
+            islands = _batch_islands(
+                np.concatenate(eps), np.concatenate(vals), gap
+            )
+        if state.exists:
+            s_start, s_last, s_n, s_sv = state.get
+            islands.append((float(s_start), float(s_last), int(s_n), float(s_sv)))
+            islands.sort(key=lambda t: (t[0], t[1]))
+        # merge adjacent islands whose interval gap is <= gap — this is
+        # where the open state session joins (or bridges) batch
+        # sessions. Splitting ALSO happens on the negative side: a
+        # cross-batch island ending more than gap before the open
+        # session's start stays a separate (earlier) session and is
+        # emitted, exactly as the batch twin would — instead of silently
+        # merging out-of-order-beyond-gap events.
+        merged: list[list[float]] = []
+        for st, en, n, sv in islands:
+            if merged and st - merged[-1][1] <= gap:
+                m = merged[-1]
+                m[0] = min(m[0], st)
+                m[1] = max(m[1], en)
+                m[2] += n
+                m[3] += sv
+            else:
+                merged.append([st, en, n, sv])
+        if merged:
+            # latest island stays open in state; everything earlier is
+            # closed and emitted
+            st, en, n, sv = merged[-1]
+            state.update((float(st), float(en), int(n), float(sv)))
+        if len(merged) > 1:
             yield pd.DataFrame(
-                closed,
+                [(user_id, m[0], m[1], int(m[2]), m[3]) for m in merged[:-1]],
                 columns=["user_id", "session_start", "session_end", "n_events", "sum_value"],
             )
 

@@ -91,3 +91,27 @@ def test_two_batches_cell_strategy(spark, tmp_path):
     process_batch(b0, 0, spark, fp_meta, blocks, out, cfg)
     process_batch(b1, 1, spark, fp_meta, blocks, out, cfg)
     check_covered_tiles(spark, out, want)
+
+
+def test_sink_parts_configurable(spark, tmp_path):
+    """MosaicConfig.sink_parts sets the incremental sink's partition
+    modulus (round-2 verdict minor #3): identical tiles at non-default
+    values, and the sink layout actually uses that many part= buckets
+    at most."""
+    import dataclasses
+
+    rasters, fp_meta, blocks, docs_pdf, want, cfg = make_corpus(spark)
+    half = len(docs_pdf) // 2
+    b0 = to_documents(spark, docs_pdf.iloc[:half])
+    b1 = to_documents(spark, docs_pdf.iloc[half:])
+
+    for parts in (3, 5):
+        out = str(tmp_path / f"inc_p{parts}")
+        c = dataclasses.replace(cfg, sink_parts=parts)
+        process_batch(b0, 0, spark, fp_meta, blocks, out, c)
+        process_batch(b1, 1, spark, fp_meta, blocks, out, c)
+        check_covered_tiles(spark, out, want)
+        got_parts = {
+            r.part for r in spark.read.parquet(f"{out}/tiles").select("part").distinct().collect()
+        }
+        assert got_parts <= set(range(parts)) and got_parts

@@ -60,6 +60,39 @@ def test_kill_resume_identical(spark, tmp_path):
     assert r3["batches_run"] == 0 and r3["batches_skipped"] == 4
 
 
+def test_legacy_lineage_without_n_batches_is_foreign(spark, tmp_path, corpus):
+    """Lineage rows written before the n_batches column existed describe
+    unknown batch geometry: resuming over them must truncate (sink +
+    lineage) and start fresh, not skip batches or keep stale batch=K
+    partitions as duplicate tiles (ADVICE round-2 low)."""
+    from pyspark.sql import functions as F
+
+    fp, blocks, want, cfg = corpus
+    out = str(tmp_path / "mosaic_legacy")
+
+    # forge a legacy lineage (no n_batches column) claiming batch 0 done,
+    # plus a stale tile partition that a naive resume would keep
+    spark.createDataFrame(
+        [("oldrun", 0, 1, 1, 99, 1.0, "done")],
+        "run_id string, batch_key long, band_lo int, band_hi int, "
+        "n_tiles long, seconds double, status string",
+    ).write.parquet(f"{out}/lineage")
+    spark.createDataFrame(
+        [(1, 0, 0, 64, 64, [0] * 16)],
+        "band int, tile_row int, tile_col int, ysize int, xsize int, "
+        "pixels array<int>",
+    ).withColumn("batch", F.lit(7)).write.partitionBy("batch").parquet(
+        f"{out}/tiles"
+    )
+
+    r = resumable_mosaic(spark, fp, blocks, out, cfg, n_batches=3)
+    assert r["batches_skipped"] == 0 and r["batches_run"] == 3
+    tiles = _read_tiles(spark, out)  # asserts no duplicate tiles survive
+    assert set(tiles.keys()) == set(want.tiles.keys())
+    for key, arr in tiles.items():
+        np.testing.assert_array_equal(arr, want.tiles[key])
+
+
 def test_uninterrupted_equals_oracle(spark, tmp_path, corpus):
     fp, blocks, want, cfg = corpus
     out = str(tmp_path / "mosaic2")

@@ -191,3 +191,78 @@ def test_streaming_session_extends_start_backward(spark, tmp_path):
         for r in spark.read.parquet(out).collect()
     ]
     assert got == [(7, 450.0, 500.0, 2, 3.0)], got
+
+
+def test_streaming_session_splits_beyond_gap_backward(spark, tmp_path):
+    """Cross-batch disorder BEYOND the gap: an event older than the open
+    session's start by more than the gap must become its own (earlier)
+    session and emit — exactly what a global sort would produce — not
+    silently merge into the open session (ADVICE round-2 low)."""
+    from moamosaic_spark.streaming.sessions import sessionize
+
+    src = tmp_path / "ev_split"
+    out = str(tmp_path / "sess_split")
+    ckpt = str(tmp_path / "ckpt_split")
+    src.mkdir()
+
+    def feed_and_run(rows, name):
+        spark.createDataFrame(rows, EV_SCHEMA).coalesce(1).write.parquet(
+            str(src / name)
+        )
+        stream = spark.readStream.schema(EV_SCHEMA).parquet(str(src) + "/*")
+        q = sessionize_stream(stream, GAP, ckpt, out)
+        q.awaitTermination(300)
+
+    feed_and_run([(9, 1000.0, 1.0), (9, 1050.0, 2.0)], "b1")
+    # a late event 900s before the open session's start (gap=100):
+    # a separate earlier session, emitted immediately
+    feed_and_run([(9, 100.0, 5.0)], "b2")
+    got = sorted(
+        (r.user_id, r.session_start, r.session_end, r.n_events, r.sum_value)
+        for r in spark.read.parquet(out).collect()
+    )
+    assert got == [(9, 100.0, 100.0, 1, 5.0)], got
+    # the batch twin on the same rows agrees on that session
+    all_rows = [(9, 1000.0, 1.0), (9, 1050.0, 2.0), (9, 100.0, 5.0)]
+    batch = sorted(
+        (r.user_id, r.session_start, r.session_end, r.n_events, r.sum_value)
+        for r in sessionize(
+            spark.createDataFrame(all_rows, EV_SCHEMA), GAP
+        ).collect()
+    )
+    assert batch[0] == got[0]
+
+
+def test_streaming_session_big_batch_matches_batch_twin(spark, tmp_path):
+    """One hot user with many disordered events inside a single micro-
+    batch: the vectorized gaps-and-islands kernel must equal the batch
+    twin exactly (all but the trailing open session emitted)."""
+    import numpy as np
+
+    from moamosaic_spark.streaming.sessions import sessionize
+
+    rng = np.random.default_rng(11)
+    eps = np.cumsum(rng.integers(1, 300, size=4000)).astype(float)
+    rng.shuffle(eps)  # heavy within-batch disorder
+    rows = [(42, float(e), float(i % 7)) for i, e in enumerate(eps)]
+
+    src = tmp_path / "ev_big"
+    out = str(tmp_path / "sess_big")
+    src.mkdir()
+    spark.createDataFrame(rows, EV_SCHEMA).coalesce(1).write.parquet(
+        str(src / "b1")
+    )
+    stream = spark.readStream.schema(EV_SCHEMA).parquet(str(src) + "/*")
+    q = sessionize_stream(stream, GAP, str(tmp_path / "ckpt_big"), out)
+    q.awaitTermination(300)
+
+    got = sorted(
+        (r.user_id, r.session_start, r.session_end, r.n_events, round(r.sum_value, 6))
+        for r in spark.read.parquet(out).collect()
+    )
+    batch = sorted(
+        (r.user_id, r.session_start, r.session_end, r.n_events, round(r.sum_value, 6))
+        for r in sessionize(spark.createDataFrame(rows, EV_SCHEMA), GAP).collect()
+    )
+    assert len(batch) > 10, "fixture should produce many sessions"
+    assert got == batch[:-1]  # trailing session stays open in state

@@ -134,3 +134,12 @@ def test_ivf_topk_recall(spark, emb):
     assert sims == sorted(sims, reverse=True)
     recall = len(exact & {v for v, _ in got}) / 10
     assert recall >= 0.2
+
+
+def test_ivf_topk_empty_corpus(spark):
+    """Empty embeddings: no centroids to probe -> empty result with the
+    contract schema, not a TypeError from isin([]) (ADVICE round-2 low)."""
+    emb = spark.createDataFrame([], "vec_id long, embedding array<float>")
+    got = S.ivf_topk(emb, [1.0, 0.0, 0.0], k=5, n_centroids=4, nprobe=2)
+    assert got.columns == ["vec_id", "cos_sim"]
+    assert got.count() == 0
