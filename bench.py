@@ -53,8 +53,11 @@ def _spark(cores: int):
 def bench_mosaic_corpus(spark):
     """Deterministic bench corpus: BENCH_GRID^2 rasters of BENCH_RSIZE^2
     px, 16-px overlaps, pixel = local column index — generated entirely
-    JVM-side (transform/sequence), no Python in the data path."""
+    JVM-side (transform/sequence), no Python in the data path. Stored in
+    the u2 packed layout (2 B/px — the engine's production layout)."""
     from pyspark.sql import functions as F
+
+    from moamosaic_spark.pixels import pack_u2
 
     n, rs = BENCH_GRID, BENCH_RSIZE
     stride = rs - 16
@@ -92,9 +95,11 @@ def bench_mosaic_corpus(spark):
         .where((F.col("b_ysize") > 0) & (F.col("b_xsize") > 0))
         .withColumn(
             "pixels",
-            F.transform(
-                F.sequence(F.lit(0), F.col("b_ysize") * F.col("b_xsize") - 1),
-                lambda i: (F.col("b_left") + i % F.col("b_xsize")).cast("int"),
+            pack_u2(
+                F.transform(
+                    F.sequence(F.lit(0), F.col("b_ysize") * F.col("b_xsize") - 1),
+                    lambda i: (F.col("b_left") + i % F.col("b_xsize")).cast("int"),
+                )
             ),
         )
     )
@@ -103,7 +108,7 @@ def bench_mosaic_corpus(spark):
 
 CORPUS_DIR = os.environ.get(
     "SPARK_GRAFT_BENCH_CORPUS",
-    f"/tmp/moamosaic_bench_corpus_g{BENCH_GRID}_r{BENCH_RSIZE}",
+    f"/tmp/moamosaic_bench_corpus_g{BENCH_GRID}_r{BENCH_RSIZE}_u2",
 )
 
 

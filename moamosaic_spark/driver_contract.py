@@ -59,7 +59,11 @@ def derived_footprints(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 def derived_blocks(footprints: DataFrame) -> DataFrame:
     """Pixel chunks generated JVM-side: value = local column index
-    (transform/sequence — no Python, no driver materialization)."""
+    (transform/sequence — no Python, no driver materialization).
+    Emitted in the u2 packed layout (pixels.py): the headline pipeline
+    and bench run with 2 B/px through the stitch shuffle; checksum
+    queries decode at the result boundary only."""
+    from .pixels import pack_u2
     sbs = SRC_BS
     nb = (R_SIZE + sbs - 1) // sbs
     fp = footprints.select("media_ref", "ncols", "nrows")
@@ -84,7 +88,7 @@ def derived_blocks(footprints: DataFrame) -> DataFrame:
         F.sequence(F.lit(0), F.col("b_ysize") * F.col("b_xsize") - 1),
         lambda i: (F.col("b_left") + i % F.col("b_xsize")).cast("int"),
     )
-    return b.withColumn("pixels", pixels)
+    return b.withColumn("pixels", pack_u2(pixels))
 
 
 _RESULT_CACHE: dict = {}
@@ -309,8 +313,11 @@ def _nonnull(col):
 
 
 def q_mosaic_tile_checksums(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .pixels import unpack_u2
+
     res = _mosaic_result_cached(sf_dir, spark)
-    nn = _nonnull(F.col("pixels"))
+    # tiles ride packed (u2); decode at the checksum boundary only
+    nn = _nonnull(unpack_u2(F.col("pixels")))
     return res.tiles.where(F.col("px_count") > 0).select(
         "band",
         "tile_row",
@@ -335,8 +342,10 @@ def q_mosaic_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def q_mosaic_overview_checksums(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .pixels import unpack_u2
+
     res = _mosaic_result_cached(sf_dir, spark)
-    nn = _nonnull(F.col("pixels"))
+    nn = _nonnull(unpack_u2(F.col("pixels")))
     per_frag = res.overviews.select(
         "level",
         F.size(nn).cast("long").alias("nv"),

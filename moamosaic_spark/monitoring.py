@@ -134,13 +134,16 @@ def observe_gauges(df: DataFrame, name: str = "stitch_input"):
     """
     from pyspark.sql import Observation
 
+    from .pixels import pixel_count, pixels_are_binary
+
     obs = Observation(name)
+    npx = pixel_count(F.col("pixels"), pixels_are_binary(df))
     d = df.observe(
         obs,
         F.count(F.lit(1)).alias("rows"),
-        F.min(F.size("pixels")).alias("min_chunk_px"),
-        F.max(F.size("pixels")).alias("max_chunk_px"),
-        F.sum(F.size("pixels")).alias("sum_px"),
+        F.min(npx).alias("min_chunk_px"),
+        F.max(npx).alias("max_chunk_px"),
+        F.sum(npx).alias("sum_px"),
     )
     return d, obs
 

@@ -173,16 +173,36 @@ def _contributor_chunks(assignments: DataFrame, blocks: DataFrame, src_bs: int) 
     rb = F.least(F.col("b_top") + F.col("b_ysize"), F.col("bottom1"))
     cl = F.greatest(F.col("b_left"), F.col("left1"))
     cr = F.least(F.col("b_left") + F.col("b_xsize"), F.col("right1"))
-    clipped = F.flatten(
-        F.transform(
-            F.sequence(rt - F.col("b_top"), rb - F.col("b_top") - 1),
-            lambda r: F.slice(
-                F.col("pixels"),
-                r * F.col("b_xsize") + (cl - F.col("b_left")) + 1,
-                cr - cl,
-            ),
+    from .pixels import pixels_are_binary
+
+    if pixels_are_binary(blocks):
+        # u2 layout: per-row byte slices (2 B/px), recombined through a
+        # single hex join + unhex — linear, still whole-stage JVM.
+        clipped = F.unhex(
+            F.array_join(
+                F.transform(
+                    F.sequence(rt - F.col("b_top"), rb - F.col("b_top") - 1),
+                    lambda r: F.hex(
+                        F.col("pixels").substr(
+                            (r * F.col("b_xsize") + (cl - F.col("b_left"))) * 2 + 1,
+                            (cr - cl) * 2,
+                        )
+                    ),
+                ),
+                "",
+            )
         )
-    )
+    else:
+        clipped = F.flatten(
+            F.transform(
+                F.sequence(rt - F.col("b_top"), rb - F.col("b_top") - 1),
+                lambda r: F.slice(
+                    F.col("pixels"),
+                    r * F.col("b_xsize") + (cl - F.col("b_left")) + 1,
+                    cr - cl,
+                ),
+            )
+        )
     # interior chunks (the vast majority) pass through untouched — the
     # row-by-row slice rebuild only runs for chunks straddling a window edge
     untouched = (
@@ -208,15 +228,24 @@ def _null_tile_rows(
     grid: OutputGrid,
     levels: list,
     with_overviews: bool,
+    binary: bool = False,
 ) -> DataFrame:
     """Tiles intersecting no input: pure-null fill, written without any
     read or merge (reference mosaic.py:351-359) — synthesized JVM-side
-    (array_repeat), never touching Python."""
+    (array_repeat / hex-repeat for the u2 layout), never touching
+    Python."""
+    from .pixels import repeat_u2
+
     nullval = int(grid.nullval)
     bands = spark.range(1, grid.n_bands + 1).select(F.col("id").cast("int").alias("band"))
     g = gap_tiles.crossJoin(bands)
 
     def null_rows(sel_level, y_off, x_off, nr, nc):
+        n_px = (nr * nc).cast("int")
+        px = (
+            repeat_u2(nullval, n_px) if binary
+            else F.array_repeat(F.lit(nullval), n_px)
+        )
         return [
             F.lit(sel_level).cast("int").alias("level"),
             F.col("band"),
@@ -226,7 +255,7 @@ def _null_tile_rows(
             x_off.cast("int").alias("x_off"),
             nr.cast("int").alias("ysize"),
             nc.cast("int").alias("xsize"),
-            F.array_repeat(F.lit(nullval), (nr * nc).cast("int")).alias("pixels"),
+            px.alias("pixels"),
             F.lit(0).cast("long").alias("px_count"),
             F.lit(0.0).alias("px_sum"),
             F.lit(0.0).alias("px_ssq"),
@@ -315,6 +344,15 @@ def do_mosaic(
            if config.strategy == "cell" else {}),
     )
 
+    # pixel layout is detected from the blocks table (pixels.py): the
+    # u2 binary layout halves the bytes of the stitch shuffle and the
+    # sink; the stitch output mirrors the input layout.
+    from .pixels import pixels_are_binary
+    from .schema import PARTIAL_MERGE_SCHEMA_U2, STITCH_SCHEMA_U2
+
+    binary = pixels_are_binary(blocks)
+    stitch_schema = STITCH_SCHEMA_U2 if binary else STITCH_SCHEMA
+
     work = _contributor_chunks(assignments, blocks, config.src_blocksize)
 
     if config.stitch_salt > 1:
@@ -366,11 +404,12 @@ def do_mosaic(
         work_hot = work_c.where(F.col("_nc") >= threshold).drop("_nc")
         work_cold = work_c.where(F.col("_nc") < threshold).drop("_nc")
         salted = work_hot.join(F.broadcast(buckets), on="priority", how="inner")
+        pm_schema = PARTIAL_MERGE_SCHEMA_U2 if binary else PARTIAL_MERGE_SCHEMA
         merged_hot = salted.groupBy("band", "tile_row", "tile_col", "_ssalt").applyInArrow(
-            make_partial_merge_fn_arrow(grid), PARTIAL_MERGE_SCHEMA
+            make_partial_merge_fn_arrow(grid, binary=binary), pm_schema
         )
         work = merged_hot.unionByName(
-            work_cold.select(*[f.name for f in PARTIAL_MERGE_SCHEMA.fields])
+            work_cold.select(*[f.name for f in pm_schema.fields])
         )
 
     grouped = work.groupBy("band", "tile_row", "tile_col")
@@ -378,11 +417,13 @@ def do_mosaic(
         from .operators.stitch import make_stitch_fn_arrow
 
         stitched = grouped.applyInArrow(
-            make_stitch_fn_arrow(grid, levels, config.merge_policy), STITCH_SCHEMA
+            make_stitch_fn_arrow(grid, levels, config.merge_policy, binary=binary),
+            stitch_schema,
         )
     elif config.kernel == "pandas":
         stitched = grouped.applyInPandas(
-            make_stitch_fn(grid, levels, config.merge_policy), STITCH_SCHEMA
+            make_stitch_fn(grid, levels, config.merge_policy, binary=binary),
+            stitch_schema,
         )
     else:
         raise ValueError(f"unknown kernel: {config.kernel}")
@@ -393,7 +434,8 @@ def do_mosaic(
         how="left_anti",
     )
     stitched = stitched.unionByName(
-        _null_tile_rows(spark, gap_tiles, grid, levels, config.with_overviews)
+        _null_tile_rows(spark, gap_tiles, grid, levels, config.with_overviews,
+                        binary=binary)
     )
 
     tiles_out = stitched.where(F.col("level") == 0)

@@ -54,6 +54,12 @@ ARROW_STITCH_SCHEMA = pa.schema(
     ]
 )
 
+
+def _binary_pixel_schema(schema: pa.Schema) -> pa.Schema:
+    """The u2 layout twin: pixels as packed uint16-LE bytes (2 B/px)."""
+    i = schema.get_field_index("pixels")
+    return schema.set(i, pa.field("pixels", pa.binary()))
+
 PARTIAL_SCHEMA = pa.schema(
     [
         ("tile_row", pa.int32()),
@@ -118,12 +124,24 @@ def _apply_window(canvas, win, nullval, policy, best, in_top, in_left,
 
 def _extract_arrow_group(tbl: pa.Table):
     """Column arrays + pixel buffers from one Arrow group, zero-copy
-    where the types allow."""
+    where the types allow. Handles both pixel layouts: list<int32>
+    (values = int32 elements) and binary u2 (values = a '<u2' view of
+    the data buffer; byte offsets halved to element offsets)."""
     cols = {
         name: tbl.column(name).to_numpy(zero_copy_only=False)
         for name in _WINDOW_COLS
     }
     px = tbl.column("pixels").combine_chunks()
+    if pa.types.is_binary(px.type):
+        offsets = np.frombuffer(
+            px.buffers()[1], dtype=np.int32, count=len(px) + 1, offset=px.offset * 4
+        )
+        data = px.buffers()[2]
+        values = (
+            np.frombuffer(data, dtype="<u2") if data is not None
+            else np.array([], dtype="<u2")
+        )
+        return cols, offsets // 2, values
     return cols, px.offsets.to_numpy(), px.values.to_numpy(zero_copy_only=False)
 
 
@@ -189,12 +207,16 @@ def _fold_arrow_group(cols, offsets, values, canvas, nullval, policy, best, key)
                       in_top, in_left, src_nrows, src_ncols)
 
 
-def make_stitch_fn_arrow(grid: OutputGrid, levels: list[int], policy: str = "last"):
+def make_stitch_fn_arrow(
+    grid: OutputGrid, levels: list[int], policy: str = "last", binary: bool = False
+):
     """The applyInArrow kernel for groupBy(band, tile_row, tile_col):
     reads pixel payloads zero-copy from the Arrow list buffers and emits
-    one batched ListArray — no pandas object-column churn."""
+    one batched ListArray — no pandas object-column churn. ``binary``
+    emits the u2 packed layout (input layout is auto-detected)."""
     nullval = int(grid.nullval)
     ov_shapes = {lvl: overview_shape(grid.nrows, grid.ncols, lvl) for lvl in levels}
+    out_schema = _binary_pixel_schema(ARROW_STITCH_SCHEMA) if binary else ARROW_STITCH_SCHEMA
 
     def stitch(key: tuple, tbl: pa.Table) -> pa.Table:
         band, tile_row, tile_col = (int(k.as_py() if hasattr(k, "as_py") else k) for k in key)
@@ -209,12 +231,12 @@ def make_stitch_fn_arrow(grid: OutputGrid, levels: list[int], policy: str = "las
         rows.extend(
             _pyramid_rows(band, tile_row, tile_col, top, left, canvas, levels, ov_shapes)
         )
-        return _rows_to_arrow(rows, ARROW_STITCH_SCHEMA)
+        return _rows_to_arrow(rows, out_schema)
 
     return stitch
 
 
-def make_partial_merge_fn_arrow(grid: OutputGrid):
+def make_partial_merge_fn_arrow(grid: OutputGrid, binary: bool = False):
     """Stage-1 kernel of the SALTED stitch: merge a contiguous-priority
     bucket of contributors into one partial canvas, emitted as a
     synthetic contributor row covering the bounding box of its non-null
@@ -231,6 +253,7 @@ def make_partial_merge_fn_arrow(grid: OutputGrid):
     state a value-only partial cannot.
     """
     nullval = int(grid.nullval)
+    out_schema = _binary_pixel_schema(PARTIAL_SCHEMA) if binary else PARTIAL_SCHEMA
 
     def partial(key: tuple, tbl: pa.Table) -> pa.Table:
         band, tile_row, tile_col, salt = (
@@ -269,12 +292,24 @@ def make_partial_merge_fn_arrow(grid: OutputGrid):
             "b_top": 0, "b_left": 0, "b_ysize": r1 - r0, "b_xsize": c1 - c0,
             "pixels": box.ravel(),
         }
-        return _rows_to_arrow([row], PARTIAL_SCHEMA)
+        return _rows_to_arrow([row], out_schema)
 
     return partial
 
 
-def make_stitch_fn(grid: OutputGrid, levels: list[int], policy: str = "last"):
+def _pandas_pixel_arrays(col) -> list[np.ndarray]:
+    """Per-row pixel arrays from a pandas column of either layout
+    (int lists/arrays, or u2-packed bytes)."""
+    return [
+        np.frombuffer(p, dtype="<u2") if isinstance(p, (bytes, bytearray))
+        else np.asarray(p, dtype=np.int32)
+        for p in col
+    ]
+
+
+def make_stitch_fn(
+    grid: OutputGrid, levels: list[int], policy: str = "last", binary: bool = False
+):
     """pandas (applyInPandas) variant of the stitch kernel — same
     semantics as make_stitch_fn_arrow; kept for environments where the
     Arrow grouped-map API is unavailable."""
@@ -284,13 +319,12 @@ def make_stitch_fn(grid: OutputGrid, levels: list[int], policy: str = "last"):
     def stitch(key, pdf: pd.DataFrame) -> pd.DataFrame:
         band, tile_row, tile_col = (int(k) for k in key)
         cols = {name: pdf[name].to_numpy() for name in _WINDOW_COLS}
-        lengths = np.fromiter(
-            (len(p) for p in pdf["pixels"]), dtype=np.int64, count=len(pdf)
-        )
+        arrays = _pandas_pixel_arrays(pdf["pixels"])
+        lengths = np.fromiter((len(a) for a in arrays), dtype=np.int64, count=len(arrays))
         offsets = np.concatenate(([0], np.cumsum(lengths)))
         values = (
-            np.concatenate([np.asarray(p, dtype=np.int32) for p in pdf["pixels"]])
-            if len(pdf)
+            np.concatenate([a.astype(np.int32, copy=False) for a in arrays])
+            if arrays
             else np.array([], dtype=np.int32)
         )
         top, left = int(cols["top"][0]), int(cols["left"][0])
@@ -303,6 +337,9 @@ def make_stitch_fn(grid: OutputGrid, levels: list[int], policy: str = "last"):
         rows.extend(
             _pyramid_rows(band, tile_row, tile_col, top, left, canvas, levels, ov_shapes)
         )
+        if binary:
+            for r in rows:
+                r["pixels"] = np.ascontiguousarray(r["pixels"].astype("<u2")).tobytes()
         return pd.DataFrame(rows)
 
     return stitch
@@ -313,9 +350,18 @@ def _rows_to_arrow(rows: list[dict], schema: pa.Schema) -> pa.Table:
     lengths = np.fromiter((len(p) for p in pix), dtype=np.int64, count=len(pix))
     offsets = np.concatenate(([0], np.cumsum(lengths)))
     values = np.concatenate(pix) if pix else np.array([], dtype=np.int32)
-    pixels = pa.ListArray.from_arrays(
-        pa.array(offsets, type=pa.int32()), pa.array(values, type=pa.int32())
-    )
+    if pa.types.is_binary(schema.field("pixels").type):
+        # u2 layout: pack the int canvases to uint16-LE bytes (2 B/px)
+        data = np.ascontiguousarray(values.astype("<u2"))
+        pixels = pa.Array.from_buffers(
+            pa.binary(),
+            len(pix),
+            [None, pa.py_buffer((offsets * 2).astype(np.int32)), pa.py_buffer(data)],
+        )
+    else:
+        pixels = pa.ListArray.from_arrays(
+            pa.array(offsets, type=pa.int32()), pa.array(values, type=pa.int32())
+        )
     arrs = []
     for field in schema:
         if field.name == "pixels":

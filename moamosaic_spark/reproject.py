@@ -348,6 +348,7 @@ def resample_blocks(
     from .session import ensure_workers_can_import
 
     ensure_workers_can_import(footprints.sparkSession)
+    blocks = _as_array_blocks(blocks)
     vfp = plan_rescaled_footprints(footprints, out_xres, out_yres)
     meta = vfp.select(
         "media_ref", "n_bands", "s_x0", "s_y0", "s_x_res", "s_y_res",
@@ -405,6 +406,17 @@ def _split_covered(t: DataFrame) -> tuple[DataFrame, DataFrame]:
         & (F.col("_sx_hi") >= 0) & (F.col("_sx_lo") <= F.col("s_ncols") - 1)
     )
     return t.where(covered_pred), t.where(~covered_pred)
+
+
+def _as_array_blocks(blocks: DataFrame) -> DataFrame:
+    """The reprojection kernels consume int-array pixel chunks; a u2
+    binary blocks table (pixels.py) is unpacked JVM-side at entry.
+    (The mosaic path itself stays in the packed layout end-to-end.)"""
+    from .pixels import pixels_are_binary, unpack_u2
+
+    if pixels_are_binary(blocks):
+        return blocks.withColumn("pixels", unpack_u2(F.col("pixels")))
+    return blocks
 
 
 def _join_source_chunks(covered: DataFrame, blocks: DataFrame, sbs: int) -> DataFrame:
@@ -633,6 +645,7 @@ def warp_blocks(
     from .session import ensure_workers_can_import
 
     ensure_workers_can_import(footprints.sparkSession)
+    blocks = _as_array_blocks(blocks)
     dst_epsg = parse_epsg(dst_crs)
     sbs = int(src_blocksize)
     ox, oy = float(out_xres), float(out_yres)

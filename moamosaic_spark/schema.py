@@ -8,8 +8,11 @@ dimension table (the analog of the reference's ImageInfo metadata scan,
 fact table of chunked pixel payloads (the analog of windowed
 band.ReadAsArray, /root/reference/moamosaic/mosaic.py:264).
 
-Pixel values are stored widened to int32: Spark has no unsigned types,
-and uint16 values <= 65535 are exactly representable.
+Pixel payloads come in two layouts (see pixels.py): ``array<int>``
+(int32-widened — Spark has no unsigned types; uint16 values are exactly
+representable) and the ``binary`` u2 layout (packed uint16 LE, 2 B/px)
+that halves the bytes of the stitch shuffle. The layout is detected
+from the blocks table and mirrored in the stitch output.
 """
 
 from pyspark.sql import types as T
@@ -120,6 +123,25 @@ PARTIAL_MERGE_SCHEMA = T.StructType(
         T.StructField("pixels", T.ArrayType(T.IntegerType())),
     ]
 )
+
+# ---------------------------------------------------------------------------
+# u2 binary pixel layout (pixels = uint16 LE bytes, 2 B/px — see pixels.py):
+# same relations with the payload column swapped to BinaryType. The layout
+# is detected from the blocks table; stitch output mirrors its input.
+# ---------------------------------------------------------------------------
+
+def _with_binary_pixels(schema: T.StructType) -> T.StructType:
+    return T.StructType(
+        [
+            T.StructField(f.name, T.BinaryType() if f.name == "pixels" else f.dataType)
+            for f in schema.fields
+        ]
+    )
+
+
+BLOCKS_SCHEMA_U2 = _with_binary_pixels(BLOCKS_SCHEMA)
+STITCH_SCHEMA_U2 = _with_binary_pixels(STITCH_SCHEMA)
+PARTIAL_MERGE_SCHEMA_U2 = _with_binary_pixels(PARTIAL_MERGE_SCHEMA)
 
 STATS_SCHEMA = T.StructType(
     [

@@ -135,14 +135,22 @@ def stitch_from_relayout(
         work = work.where(
             (F.col("tile_row") >= F.lit(int(lo))) & (F.col("tile_row") < F.lit(int(hi)))
         )
+    # pixel layout follows the bucketed table (set when it was relaid)
+    from ..pixels import pixels_are_binary
+    from ..schema import STITCH_SCHEMA_U2
+
+    binary = pixels_are_binary(work)
+    stitch_schema = STITCH_SCHEMA_U2 if binary else STITCH_SCHEMA
     grouped = work.groupBy("band", "tile_row", "tile_col")
     if config.kernel == "arrow":
         stitched = grouped.applyInArrow(
-            make_stitch_fn_arrow(grid, levels, config.merge_policy), STITCH_SCHEMA
+            make_stitch_fn_arrow(grid, levels, config.merge_policy, binary=binary),
+            stitch_schema,
         )
     else:
         stitched = grouped.applyInPandas(
-            make_stitch_fn(grid, levels, config.merge_policy), STITCH_SCHEMA
+            make_stitch_fn(grid, levels, config.merge_policy, binary=binary),
+            stitch_schema,
         )
 
     tiles = make_tile_relation(spark, grid, blocksize)
@@ -157,7 +165,8 @@ def stitch_from_relayout(
         how="left_anti",
     )
     stitched = stitched.unionByName(
-        _null_tile_rows(spark, gap_tiles, grid, levels, config.with_overviews)
+        _null_tile_rows(spark, gap_tiles, grid, levels, config.with_overviews,
+                        binary=binary)
     )
     return MosaicResult(
         grid=grid,

@@ -162,7 +162,11 @@ def footprints_pdf(rasters: list[SynthRaster]) -> pd.DataFrame:
     )
 
 
-def blocks_pdf(rasters: list[SynthRaster], src_blocksize: int = 256) -> pd.DataFrame:
+def blocks_pdf(
+    rasters: list[SynthRaster], src_blocksize: int = 256, layout: str = "i4"
+) -> pd.DataFrame:
+    """``layout='i4'`` -> pixels as int32 arrays; ``'u2'`` -> packed
+    uint16-LE bytes (the 2 B/px shuffle layout, pixels.py)."""
     rows = []
     sbs = src_blocksize
     for r in rasters:
@@ -171,6 +175,7 @@ def blocks_pdf(rasters: list[SynthRaster], src_blocksize: int = 256) -> pd.DataF
                 for bc in range((r.ncols + sbs - 1) // sbs):
                     top, left = br * sbs, bc * sbs
                     chunk = arr[top: top + sbs, left: left + sbs]
+                    px = chunk.ravel()
                     rows.append(
                         dict(
                             media_ref=r.media_ref,
@@ -181,7 +186,11 @@ def blocks_pdf(rasters: list[SynthRaster], src_blocksize: int = 256) -> pd.DataF
                             b_left=left,
                             b_ysize=chunk.shape[0],
                             b_xsize=chunk.shape[1],
-                            pixels=chunk.ravel().astype("int32"),
+                            pixels=(
+                                px.astype("<u2").tobytes()
+                                if layout == "u2"
+                                else px.astype("int32")
+                            ),
                         )
                     )
     return pd.DataFrame(rows)
@@ -221,19 +230,31 @@ def documents_pdf(rasters: list[SynthRaster], seed: int = 42) -> pd.DataFrame:
     return pd.DataFrame(docs)
 
 
-def corpus_to_spark(spark, rasters: list[SynthRaster], src_blocksize: int = 256, seed: int = 42):
+def corpus_to_spark(
+    spark,
+    rasters: list[SynthRaster],
+    src_blocksize: int = 256,
+    seed: int = 42,
+    layout: str = "i4",
+):
     """Build the (documents, footprints, blocks) Spark DataFrames for a
     synthetic corpus. Requires an Arrow-enabled session
-    (moamosaic_spark.session.get_spark)."""
-    from ..schema import BLOCKS_SCHEMA, DOCUMENTS_SCHEMA, FOOTPRINTS_SCHEMA
+    (moamosaic_spark.session.get_spark). ``layout`` picks the blocks
+    pixel layout ('i4' arrays | 'u2' packed binary)."""
+    from ..schema import (
+        BLOCKS_SCHEMA, BLOCKS_SCHEMA_U2, DOCUMENTS_SCHEMA, FOOTPRINTS_SCHEMA,
+    )
 
     docs = spark.createDataFrame(
         documents_pdf(rasters, seed=seed).to_dict("records"), schema=DOCUMENTS_SCHEMA
     )
     fp = spark.createDataFrame(footprints_pdf(rasters), schema=FOOTPRINTS_SCHEMA)
-    bl = blocks_pdf(rasters, src_blocksize)
-    bl["pixels"] = bl["pixels"].map(lambda a: np.asarray(a, dtype="int32"))
-    blocks = spark.createDataFrame(bl, schema=BLOCKS_SCHEMA)
+    bl = blocks_pdf(rasters, src_blocksize, layout=layout)
+    if layout == "u2":
+        blocks = spark.createDataFrame(bl, schema=BLOCKS_SCHEMA_U2)
+    else:
+        bl["pixels"] = bl["pixels"].map(lambda a: np.asarray(a, dtype="int32"))
+        blocks = spark.createDataFrame(bl, schema=BLOCKS_SCHEMA)
     return docs, fp, blocks
 
 
