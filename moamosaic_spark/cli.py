@@ -68,12 +68,6 @@ def main(argv: list[str] | None = None) -> None:
     args = get_parser().parse_args(argv)
     if not args.docs and not args.footprints:
         get_parser().error("one of --docs / --footprints is required")
-    if args.out_epsg and args.resample == "average":
-        get_parser().error(
-            "--resample average is not defined for the cross-CRS warp "
-            "(--out-epsg); use near or bilinear"
-        )
-
     from .mosaic import MosaicConfig, do_mosaic, write_mosaic
     from .monitoring import Monitoring
     from .session import get_spark

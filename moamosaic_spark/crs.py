@@ -1,12 +1,14 @@
-"""Minimal pure-numpy CRS transforms (WGS84 geodetic <-> UTM).
+"""Minimal pure-numpy CRS transforms (WGS84 geodetic <-> UTM <-> Web
+Mercator).
 
 The reference delegates coordinate transforms to GDAL/osr
 (/root/reference/moamosaic/reproj.py:221-234, corner reprojection) —
 neither GDAL nor pyproj exists in this container, so the supported-CRS
-subset needed by the engine (EPSG:4326 and WGS84 UTM zones
-EPSG:326zz/327zz) is implemented directly from the public USGS
-ellipsoidal Transverse Mercator series (Snyder, *Map Projections — A
-Working Manual*, USGS PP 1395, pp. 60-64). Accuracy within a zone is
+subset needed by the engine (EPSG:4326, EPSG:3857 and WGS84 UTM zones
+EPSG:326zz/327zz) is implemented directly from public definitions: the
+USGS ellipsoidal Transverse Mercator series (Snyder, *Map Projections —
+A Working Manual*, USGS PP 1395, pp. 60-64) and the spherical
+Pseudo-Mercator formulas of EPSG:3857. Accuracy within a zone is
 sub-millimeter — far below raster resolution.
 
 Everything is vectorized over numpy arrays so the same functions serve
@@ -61,6 +63,24 @@ def utm_params(epsg: int) -> tuple[float, float] | None:
         return None
     lon0 = np.deg2rad(zone * 6 - 183)
     return lon0, fn
+
+
+def merc_forward(lon_deg, lat_deg):
+    """Geodetic degrees -> EPSG:3857 Web ("Pseudo") Mercator meters.
+    Spherical Mercator on the WGS84 semi-major axis — the published
+    definition (no ellipsoidal correction, by design of the CRS)."""
+    lam = np.deg2rad(np.asarray(lon_deg, dtype=np.float64))
+    phi = np.deg2rad(np.asarray(lat_deg, dtype=np.float64))
+    return A * lam, A * np.log(np.tan(np.pi / 4 + phi / 2))
+
+
+def merc_inverse(x, y):
+    """EPSG:3857 meters -> geodetic degrees."""
+    x = np.asarray(x, dtype=np.float64)
+    y = np.asarray(y, dtype=np.float64)
+    lam = x / A
+    phi = 2.0 * np.arctan(np.exp(y / A)) - np.pi / 2
+    return np.rad2deg(lam), np.rad2deg(phi)
 
 
 def _meridian_arc(phi):
@@ -144,22 +164,26 @@ def make_transform(src_crs: str | int, dst_crs: str | int):
     def to_geodetic(epsg):
         if epsg == 4326:
             return lambda x, y: (np.asarray(x, np.float64), np.asarray(y, np.float64))
+        if epsg == 3857:
+            return merc_inverse
         p = utm_params(epsg)
         if p is None:
             raise MoaCrsError(
-                f"EPSG:{epsg} not in the built-in subset (4326, WGS84 UTM "
-                "326zz/327zz); install pyproj for the general path"
+                f"EPSG:{epsg} not in the built-in subset (4326, 3857, WGS84 "
+                "UTM 326zz/327zz); install pyproj for the general path"
             )
         return lambda x, y: tm_inverse(x, y, p[0], p[1])
 
     def from_geodetic(epsg):
         if epsg == 4326:
             return lambda lon, lat: (np.asarray(lon, np.float64), np.asarray(lat, np.float64))
+        if epsg == 3857:
+            return merc_forward
         p = utm_params(epsg)
         if p is None:
             raise MoaCrsError(
-                f"EPSG:{epsg} not in the built-in subset (4326, WGS84 UTM "
-                "326zz/327zz); install pyproj for the general path"
+                f"EPSG:{epsg} not in the built-in subset (4326, 3857, WGS84 "
+                "UTM 326zz/327zz); install pyproj for the general path"
             )
         return lambda lon, lat: tm_forward(lon, lat, p[0], p[1])
 
@@ -248,3 +272,23 @@ def tm_forward_sql(lon_expr: str, lat_expr: str, epsg: int, p: str = "r"):
         f"*pow({p}_a, 6)/720)) AS {p}_y",
     ]
     return s, f"{p}_x", f"{p}_y"
+
+
+def merc_forward_sql(lon_expr: str, lat_expr: str, p: str = "w"):
+    """Column-step list computing EPSG:3857 (p_x, p_y) from geodetic
+    DEGREES — mirror of merc_forward."""
+    s = [
+        f"({lon_expr}) * {DEG2RAD!r} * {A!r} AS {p}_x",
+        f"{A!r} * ln(tan({np.pi / 4!r} + ({lat_expr}) * {DEG2RAD!r} / 2)) AS {p}_y",
+    ]
+    return s, f"{p}_x", f"{p}_y"
+
+
+def merc_inverse_sql(x_expr: str, y_expr: str, p: str = "v"):
+    """Column-step list computing geodetic DEGREES (p_lon, p_lat) from
+    EPSG:3857 — mirror of merc_inverse."""
+    s = [
+        f"({x_expr}) / {A!r} * {RAD2DEG!r} AS {p}_lon",
+        f"(2 * atan(exp(({y_expr}) / {A!r})) - {np.pi / 2!r}) * {RAD2DEG!r} AS {p}_lat",
+    ]
+    return s, f"{p}_lon", f"{p}_lat"

@@ -134,13 +134,22 @@ def minhash_lsh_candidates(
     k: int = 3,
     num_hashes: int = 16,
     bands: int = 4,
+    signatures: DataFrame | None = None,
 ) -> DataFrame:
     """LSH banding: signature split into ``bands`` bands of
     num_hashes/bands rows; docs sharing any band bucket are candidate
-    near-duplicates. Returns (doc_a, doc_b, n_shared_bands)."""
+    near-duplicates. Returns (doc_a, doc_b, n_shared_bands).
+
+    ``signatures`` (optional) reuses a precomputed/persisted
+    minhash_signatures relation — one run evaluating several dedup
+    views of the same corpus should pay the shingle+hash scan once."""
     assert num_hashes % bands == 0
     rows_per_band = num_hashes // bands
-    sig = minhash_signatures(docs, id_col, text_col, k, num_hashes)
+    sig = (
+        signatures
+        if signatures is not None
+        else minhash_signatures(docs, id_col, text_col, k, num_hashes)
+    )
     band_cols = []
     for b in range(bands):
         cols = [F.col(f"h{b * rows_per_band + i}") for i in range(rows_per_band)]
@@ -204,11 +213,13 @@ def lsh_neardup_pairs(
     num_hashes: int = 16,
     bands: int = 4,
     threshold: float = 0.5,
+    signatures: DataFrame | None = None,
 ) -> DataFrame:
     """The complete bucketed dedup pipeline: banded-LSH candidate
     generation (minhash_lsh_candidates) + EXACT Jaccard re-rank on the
     candidates only. Returns (doc_a, doc_b, jaccard) with jaccard >=
-    threshold, doc_a < doc_b.
+    threshold, doc_a < doc_b. ``signatures`` as in
+    minhash_lsh_candidates.
 
     Scale shape: pair comparisons are bounded by the banding collision
     probability, never by the inverted index's per-shingle m^2 blowup;
@@ -222,7 +233,7 @@ def lsh_neardup_pairs(
     ngram_jaccard_pairs is the exact path.
     """
     cand = minhash_lsh_candidates(
-        docs, id_col, text_col, k, num_hashes, bands
+        docs, id_col, text_col, k, num_hashes, bands, signatures=signatures
     ).select("doc_a", "doc_b")
     p = shingle_postings(docs, id_col, text_col, k)
     # |A n B| per candidate pair: fan A's postings across its candidate

@@ -466,7 +466,7 @@ def _null_margin_chunks(margin: DataFrame) -> DataFrame:
 # subset; see crs.py)
 # ---------------------------------------------------------------------------
 
-WARP_METHODS = ("near", "bilinear")
+WARP_METHODS = ("near", "bilinear", "average")
 
 _WARPED_FP_EXTRA = [
     ("s_x0", "double"), ("s_y0", "double"),
@@ -611,6 +611,55 @@ def _warp_window(g, rows, method: str, tr, ox: float, oy: float) -> np.ndarray:
         out = np.rint(val).astype(np.int32)
         out[any_null | ~valid] = nullval
         return np.where(valid, out, nullval).astype(np.int32)
+    if method == "average":
+        # area-style average across CRSes: map each target CELL's four
+        # corners into source index space; average the source pixels
+        # whose centers fall in the axis-aligned bounding box of the
+        # mapped cell (the deterministic analog of GDAL's average for a
+        # locally-affine transform), ignoring nullval; empty box ->
+        # nullval. Same center-in-[lo,hi) rule as the same-CRS average.
+        xw_c = g.x0 + (tb_left + np.arange(tb_xs + 1, dtype=np.float64)) * ox
+        yw_c = g.y0 - (tb_top + np.arange(tb_ys + 1, dtype=np.float64)) * oy
+        XC = np.broadcast_to(xw_c[None, :], (tb_ys + 1, tb_xs + 1))
+        YC = np.broadcast_to(yw_c[:, None], (tb_ys + 1, tb_xs + 1))
+        cxs, cys = tr(XC.ravel(), YC.ravel())
+        colc = ((cxs - g.s_x0) / g.s_x_res).reshape(tb_ys + 1, tb_xs + 1)
+        rowc = ((g.s_y0 - cys) / g.s_y_res).reshape(tb_ys + 1, tb_xs + 1)
+
+        def corner_box(cc):
+            c00, c01 = cc[:-1, :-1], cc[:-1, 1:]
+            c10, c11 = cc[1:, :-1], cc[1:, 1:]
+            lo = np.minimum(np.minimum(c00, c01), np.minimum(c10, c11))
+            hi = np.maximum(np.maximum(c00, c01), np.maximum(c10, c11))
+            a = np.ceil(lo - 0.5).astype(np.int64)
+            b = (np.ceil(hi - 0.5) - 1).astype(np.int64)
+            return a, b
+
+        xa, xb = corner_box(colc)
+        ya, yb = corner_box(rowc)
+        ok = (
+            (xb >= xa) & (yb >= ya)
+            & (xb >= 0) & (xa < s_ncols) & (yb >= 0) & (ya < s_nrows)
+        )
+        ya_ = np.clip(ya, sy_lo, sy_hi) - sy_lo
+        yb_ = np.clip(yb, sy_lo, sy_hi) - sy_lo + 1
+        xa_ = np.clip(xa, sx_lo, sx_hi) - sx_lo
+        xb_ = np.clip(xb, sx_lo, sx_hi) - sx_lo + 1
+        valid_px = win != nullval
+        data = np.where(valid_px, win, 0).astype(np.float64)
+        ps = np.zeros((win.shape[0] + 1, win.shape[1] + 1))
+        pc = np.zeros_like(ps)
+        ps[1:, 1:] = data.cumsum(0).cumsum(1)
+        pc[1:, 1:] = valid_px.astype(np.float64).cumsum(0).cumsum(1)
+
+        def boxsum(p):
+            return p[yb_, xb_] - p[ya_, xb_] - p[yb_, xa_] + p[ya_, xa_]
+
+        s = boxsum(ps)
+        n = boxsum(pc)
+        nz = ok & (n > 0)
+        dst[nz] = np.rint(s[nz] / n[nz]).astype(np.int32)
+        return dst
     raise ValueError(f"unknown warp method: {method}")
 
 
@@ -638,8 +687,7 @@ def warp_blocks(
     """
     if method not in WARP_METHODS:
         raise ValueError(
-            f"unknown warp method {method!r}; supported: {WARP_METHODS} "
-            "(area-weighted 'average' is not defined across CRSes here)"
+            f"unknown warp method {method!r}; supported: {WARP_METHODS}"
         )
     from .crs import make_transform, parse_epsg
     from .session import ensure_workers_can_import

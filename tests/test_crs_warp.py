@@ -39,7 +39,30 @@ def test_tm_anchors_and_roundtrip():
     assert abs(float(x3) - x1) < 0.01 and abs(float(y3) - y1) < 0.01
 
     with pytest.raises(crs.MoaCrsError, match="EPSG"):
-        crs.make_transform(3857, 4326)
+        crs.make_transform(2193, 4326)  # NZTM: outside the built-in subset
+
+
+def test_web_mercator_anchors_and_roundtrip():
+    # published EPSG:3857 bounds: lon 180 and lat ~85.05112878 both map
+    # to 20037508.3427892 m (the square world)
+    x, y = crs.merc_forward(180.0, 0.0)
+    assert abs(x - 20037508.342789244) < 1e-6 and abs(y) < 1e-9
+    _, y = crs.merc_forward(0.0, 85.05112877980659)
+    assert abs(y - 20037508.342789244) < 1e-5
+
+    rng = np.random.default_rng(1)
+    lon = rng.uniform(-179, 179, 300)
+    lat = rng.uniform(-80, 80, 300)
+    lon2, lat2 = crs.merc_inverse(*crs.merc_forward(lon, lat))
+    assert np.abs(lon2 - lon).max() < 1e-9
+    assert np.abs(lat2 - lat).max() < 1e-9
+
+    # UTM -> 3857 -> UTM round trip: sub-centimeter
+    tr = crs.make_transform(32656, 3857)
+    back = crs.make_transform(3857, 32656)
+    x1, y1 = crs.tm_forward(153.0, 27.5, *crs.utm_params(32656))
+    x3, y3 = back(*tr(x1, y1))
+    assert abs(float(x3) - x1) < 0.01 and abs(float(y3) - y1) < 0.01
 
 
 def _collect_canvas(nfp, nblocks, ref="r000"):
@@ -139,3 +162,106 @@ def test_mixed_crs_mosaic_end_to_end(spark):
     assert tiles
     nonnull = sum(r.px_count for r in tiles)
     assert nonnull > 0
+
+
+def test_warp_average_identity_crs_equals_resample(spark):
+    """Same-CRS warp with method='average' must equal the resample
+    path's prefix-sum box mean (the corner boxes degenerate to the
+    axis-aligned center-in-[lo,hi) rule under an identity transform)."""
+    rasters = synth.make_rasters(
+        [dict(media_ref="r000", x0=300000.0, y0=7000000.0, nrows=100, ncols=130)]
+    )
+    fp = to_footprints(spark, synth.footprints_pdf(rasters))
+    blocks = to_blocks(spark, synth.blocks_pdf(rasters, 64))
+    _, w_blocks = RP.warp_blocks(fp, blocks, "EPSG:32756", 30.0, 30.0,
+                                 src_blocksize=64, method="average")
+    nfp, r_blocks = RP.resample_blocks(fp, blocks, 30.0, 30.0,
+                                       src_blocksize=64, method="average")
+    _, got_w = _collect_canvas(nfp, w_blocks)
+    _, got_r = _collect_canvas(nfp, r_blocks)
+    np.testing.assert_array_equal(got_w, got_r)
+
+
+def _oracle_warp_average(src, s_x0, s_y0, s_res, src_epsg, meta, out_res,
+                         dst_epsg, nullval):
+    """Per-pixel python-loop golden of the warp 'average' semantics:
+    map the target cell's 4 corners to source index space, average the
+    source pixels whose centers fall in the bounding box (centers in
+    [lo, hi)), ignoring nullval."""
+    tr = crs.make_transform(dst_epsg, src_epsg)
+    dst = np.full((meta.nrows, meta.ncols), nullval, dtype=np.int32)
+    for v in range(meta.nrows):
+        for u in range(meta.ncols):
+            xs, ys = tr(
+                np.array([meta.x0 + u * out_res, meta.x0 + (u + 1) * out_res,
+                          meta.x0 + u * out_res, meta.x0 + (u + 1) * out_res]),
+                np.array([meta.y0 - v * out_res, meta.y0 - v * out_res,
+                          meta.y0 - (v + 1) * out_res, meta.y0 - (v + 1) * out_res]),
+            )
+            col = (xs - s_x0) / s_res
+            row = (s_y0 - ys) / s_res
+            xa = int(np.ceil(col.min() - 0.5)); xb = int(np.ceil(col.max() - 0.5)) - 1
+            ya = int(np.ceil(row.min() - 0.5)); yb = int(np.ceil(row.max() - 0.5)) - 1
+            if xb < xa or yb < ya or xb < 0 or ya >= src.shape[0] or yb < 0 or xa >= src.shape[1]:
+                continue
+            box = src[max(ya, 0): min(yb, src.shape[0] - 1) + 1,
+                      max(xa, 0): min(xb, src.shape[1] - 1) + 1]
+            vals = box[box != nullval]
+            if vals.size:
+                dst[v, u] = int(np.rint(vals.astype(np.float64).mean()))
+    return dst
+
+
+def test_warp_average_cross_zone_matches_golden(spark):
+    """UTM 56S -> 55S downsampling warp with method='average' against a
+    per-pixel loop golden (reference accepts any resample method for the
+    warp, reproj.py:209-213 — this closes the method x CRS matrix)."""
+    rasters = synth.make_rasters(
+        [dict(media_ref="r000", x0=300000.0, y0=6300000.0, nrows=96, ncols=96)]
+    )
+    rng = np.random.default_rng(5)
+    arr = rng.integers(1, 500, size=(96, 96)).astype(np.int32)
+    rasters[0].bands = [arr]
+    fp = to_footprints(spark, synth.footprints_pdf(rasters))
+    blocks = to_blocks(spark, synth.blocks_pdf(rasters, 64))
+
+    nfp, nblocks = RP.warp_blocks(fp, blocks, "EPSG:32755", 30.0, 30.0,
+                                  src_blocksize=64, method="average")
+    meta, got = _collect_canvas(nfp, nblocks)
+    want = _oracle_warp_average(arr, 300000.0, 6300000.0, 10.0, 32756,
+                                meta, 30.0, 32755, 0)
+    np.testing.assert_array_equal(got, want)
+    assert (got != 0).sum() > 0.3 * got.size
+
+
+def test_warp_utm_to_web_mercator_matches_golden(spark):
+    """EPSG:32656 (UTM 56N) raster warped onto the EPSG:3857 grid — the
+    most common CRS a real user brings (round-2 verdict item 8). Golden
+    = the per-pixel nearest gather with the same transform."""
+    rasters = synth.make_rasters(
+        [dict(media_ref="r000", x0=400000.0, y0=3050000.0, nrows=100, ncols=120)]
+    )
+    rng = np.random.default_rng(9)
+    arr = rng.integers(1, 500, size=(100, 120)).astype(np.int32)
+    rasters[0].bands = [arr]
+    pdf = synth.footprints_pdf(rasters)
+    pdf["projection"] = "EPSG:32656"
+    fp = to_footprints(spark, pdf)
+    blocks = to_blocks(spark, synth.blocks_pdf(rasters, 64))
+
+    nfp, nblocks = RP.warp_blocks(fp, blocks, "EPSG:3857", 12.0, 12.0,
+                                  src_blocksize=64, method="near")
+    meta, got = _collect_canvas(nfp, nblocks)
+    assert meta.projection == "EPSG:3857"
+    want = _oracle_warp_near(arr, 400000.0, 3050000.0, 10.0, 32656,
+                             meta, 12.0, 3857, 0)
+    np.testing.assert_array_equal(got, want)
+    assert (got != 0).sum() > 0.5 * arr.size
+
+    # and back: 3857 -> UTM round trip through the warp machinery
+    bfp, bblocks = RP.warp_blocks(nfp, nblocks, "EPSG:32656", 10.0, 10.0,
+                                  src_blocksize=64, method="near")
+    assert {r.projection for r in bfp.collect()} == {"EPSG:32656"}
+    _, got_back = _collect_canvas(bfp, bblocks)
+    # resampling round trip is lossy at edges; interior must carry data
+    assert (got_back != 0).sum() > 0.4 * arr.size
