@@ -63,16 +63,94 @@ def relayout_to_table(
         .sortBy("band", "tile_row", "tile_col")
         .saveAsTable(table)
     )
+    _write_meta(spark, table, grid, config, n_buckets)
+    return grid
+
+
+def _write_meta(
+    spark: SparkSession, table: str, grid: OutputGrid, config: MosaicConfig,
+    n_buckets: int,
+) -> None:
     meta = dict(
         x_min=grid.x_min, y_max=grid.y_max, x_res=grid.x_res, y_res=grid.y_res,
         ncols=grid.ncols, nrows=grid.nrows, n_bands=grid.n_bands,
         nullval=grid.nullval, dtype=grid.dtype, projection=grid.projection,
         blocksize=config.blocksize, min_overview_size=config.min_overview_size,
+        n_buckets=n_buckets, src_blocksize=config.src_blocksize,
     )
     spark.createDataFrame([(json.dumps(meta),)], "meta string").write.mode(
         "overwrite"
     ).saveAsTable(f"{table}_meta")
-    return grid
+
+
+def ensure_relayout_table(
+    spark: SparkSession,
+    table: str,
+    grid: OutputGrid,
+    blocks: DataFrame,
+    config: MosaicConfig,
+    n_buckets: int = 64,
+) -> None:
+    """Create an EMPTY bucketed work table pinned to ``grid`` if it does
+    not exist yet — the incremental mosaic appends each micro-batch's
+    work rows into it (relayout_append) and stitches touched tiles with
+    no Exchange. The schema (including the pixel layout) is derived
+    from a zero-row run of the join+clip plan over ``blocks``."""
+    if spark.catalog.tableExists(table):
+        return
+    tiles = make_tile_relation(spark, grid, config.blocksize).limit(0)
+    assignments = assign_inputs(
+        tiles,
+        _empty_footprints(spark), grid, strategy="broadcast",
+    )
+    empty = _contributor_chunks(assignments, blocks.limit(0), config.src_blocksize)
+    _drop_stale_location(spark, table)
+    _drop_stale_location(spark, f"{table}_meta")
+    (
+        empty.write.mode("overwrite")
+        .bucketBy(n_buckets, "band", "tile_row", "tile_col")
+        .sortBy("band", "tile_row", "tile_col")
+        .saveAsTable(table)
+    )
+    _write_meta(spark, table, grid, config, n_buckets)
+
+
+def _empty_footprints(spark: SparkSession):
+    from ..schema import FOOTPRINTS_SCHEMA
+
+    return spark.createDataFrame([], FOOTPRINTS_SCHEMA)
+
+
+def relayout_append(
+    spark: SparkSession,
+    footprints_new: DataFrame,
+    blocks: DataFrame,
+    table: str,
+) -> None:
+    """Append the work rows of NEW footprints into an existing bucketed
+    relayout table (same grid, same bucket spec — from the table meta).
+    Replaying an append after a crash duplicates rows; the stitch is
+    idempotent under duplicates (a duplicate row re-pastes the same
+    pixels within its priority run), so resume semantics hold — compact
+    by re-running relayout_to_table when growth matters."""
+    m = _load_meta(spark, table)
+    grid = OutputGrid(
+        x_min=m["x_min"], y_max=m["y_max"], x_res=m["x_res"], y_res=m["y_res"],
+        ncols=m["ncols"], nrows=m["nrows"], n_bands=m["n_bands"],
+        nullval=m["nullval"], dtype=m["dtype"], projection=m["projection"],
+    )
+    cfg = MosaicConfig(blocksize=int(m["blocksize"]))
+    tiles = make_tile_relation(spark, grid, cfg.blocksize)
+    assignments = assign_inputs(tiles, footprints_new, grid, strategy="broadcast")
+    work = _contributor_chunks(
+        assignments, blocks, int(m.get("src_blocksize", 256))
+    )
+    (
+        work.write.mode("append")
+        .bucketBy(int(m.get("n_buckets", 64)), "band", "tile_row", "tile_col")
+        .sortBy("band", "tile_row", "tile_col")
+        .saveAsTable(table)
+    )
 
 
 def _drop_stale_location(spark: SparkSession, table: str) -> None:
@@ -98,6 +176,7 @@ def stitch_from_relayout(
     table: str,
     config: MosaicConfig | None = None,
     tile_row_range: tuple[int, int] | None = None,
+    tile_keys: DataFrame | None = None,
 ) -> MosaicResult:
     """Stitch straight off the bucketed work table — no join, no
     Exchange. ``config`` may override kernel/merge_policy/overviews; the
@@ -106,7 +185,10 @@ def stitch_from_relayout(
     ``tile_row_range=(lo, hi)`` restricts the stitch to a tile-row
     range; the predicate lands in the bucketed SCAN (PushedFilters), so
     a resumable batch off a relayout reads only its own rows AND skips
-    the shuffle — the cheapest possible re-stitch."""
+    the shuffle — the cheapest possible re-stitch. ``tile_keys`` (small
+    DataFrame of (tile_row, tile_col)) restricts to an explicit tile
+    set via a broadcast semi-join, which preserves the bucketed
+    distribution — the incremental path's touched-tile re-stitch."""
     config = config or MosaicConfig()
     if config.stitch_salt > 1:
         raise ValueError(
@@ -135,6 +217,9 @@ def stitch_from_relayout(
         work = work.where(
             (F.col("tile_row") >= F.lit(int(lo))) & (F.col("tile_row") < F.lit(int(hi)))
         )
+    if tile_keys is not None:
+        keys = tile_keys.select("tile_row", "tile_col").distinct()
+        work = work.join(F.broadcast(keys), on=["tile_row", "tile_col"], how="left_semi")
     # pixel layout follows the bucketed table (set when it was relaid)
     from ..pixels import pixels_are_binary
     from ..schema import STITCH_SCHEMA_U2
@@ -158,6 +243,12 @@ def stitch_from_relayout(
         lo, hi = tile_row_range
         tiles = tiles.where(
             (F.col("tile_row") >= F.lit(int(lo))) & (F.col("tile_row") < F.lit(int(hi)))
+        )
+    if tile_keys is not None:
+        tiles = tiles.join(
+            F.broadcast(tile_keys.select("tile_row", "tile_col").distinct()),
+            on=["tile_row", "tile_col"],
+            how="left_semi",
         )
     gap_tiles = tiles.join(
         work.select("tile_row", "tile_col").distinct(),

@@ -57,8 +57,18 @@ def process_batch(
     blocks: DataFrame,
     out_path: str,
     config: MosaicConfig,
+    relayout_table: str | None = None,
 ) -> dict:
-    """One micro-batch of the incremental mosaic (foreachBatch body)."""
+    """One micro-batch of the incremental mosaic (foreachBatch body).
+
+    ``relayout_table``: accumulate each batch's work rows in a bucketed
+    relayout table (sources/relayout.py) and stitch the touched tiles
+    off it with NO Exchange — the wide shuffle is paid once per NEW
+    pixel, never re-paid when later batches re-stitch a touched tile
+    from all sources seen so far. The table is created on first use,
+    pinned to the full-catalog grid. A crash-replayed batch re-appends
+    its rows; the stitch is idempotent under duplicate contributor rows
+    (same priority run re-pastes the same pixels)."""
     spark.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
 
     # drop already-seen refs BEFORE assigning priorities (count-based
@@ -113,7 +123,18 @@ def process_batch(
         .select("tile_row", "tile_col")
         .distinct()
     )
-    res = do_mosaic(spark, all_fp, blocks, config, grid=grid, tile_keys=touched)
+    if relayout_table is not None:
+        from ..sources.relayout import (
+            ensure_relayout_table, relayout_append, stitch_from_relayout,
+        )
+
+        ensure_relayout_table(spark, relayout_table, grid, blocks, config)
+        relayout_append(spark, new_fp, blocks, relayout_table)
+        res = stitch_from_relayout(
+            spark, relayout_table, config, tile_keys=touched
+        )
+    else:
+        res = do_mosaic(spark, all_fp, blocks, config, grid=grid, tile_keys=touched)
     part_of = F.pmod(F.col("tile_row"), F.lit(int(config.sink_parts)))
     out_tiles = res.tiles.withColumn("part", part_of)
     n = out_tiles.count()
@@ -160,19 +181,22 @@ def incremental_mosaic_stream(
     config: MosaicConfig | None = None,
     checkpoint: str | None = None,
     trigger_available_now: bool = True,
+    relayout_table: str | None = None,
 ):
     """Wire a streaming documents DataFrame into the incremental mosaic.
 
     ``docs_stream`` is a streaming DF with the documents schema (e.g.
     ``spark.readStream.schema(DOCUMENTS_SCHEMA).parquet(dir)``).
-    Returns the StreamingQuery.
+    ``relayout_table`` routes each batch through the bucketed work table
+    (see process_batch). Returns the StreamingQuery.
     """
     config = config or MosaicConfig()
     checkpoint = checkpoint or f"{out_path}/_checkpoint"
 
     def fb(batch_docs: DataFrame, batch_id: int) -> None:
         process_batch(
-            batch_docs, batch_id, spark, footprint_meta, blocks, out_path, config
+            batch_docs, batch_id, spark, footprint_meta, blocks, out_path, config,
+            relayout_table=relayout_table,
         )
 
     writer = docs_stream.writeStream.foreachBatch(fb).option(

@@ -93,6 +93,46 @@ def test_two_batches_cell_strategy(spark, tmp_path):
     check_covered_tiles(spark, out, want)
 
 
+def test_incremental_over_relayout_table(spark, tmp_path):
+    """Micro-batches accumulating work rows in a bucketed relayout table
+    (round-2 verdict item 5): identical tiles to the direct path, and
+    the touched-tile re-stitch plan has NO Exchange below the kernel
+    (broadcast semi-join preserves the bucketed distribution)."""
+    from moamosaic_spark.sources.relayout import stitch_from_relayout
+
+    rasters, fp_meta, blocks, docs_pdf, want, cfg = make_corpus(spark)
+    out = str(tmp_path / "inc_rl")
+
+    half = len(docs_pdf) // 2
+    b0 = to_documents(spark, docs_pdf.iloc[:half])
+    b1 = to_documents(spark, docs_pdf.iloc[half:])
+    r0 = process_batch(b0, 0, spark, fp_meta, blocks, out, cfg,
+                       relayout_table="work_inc")
+    assert r0["new_refs"] > 0
+    r1 = process_batch(b1, 1, spark, fp_meta, blocks, out, cfg,
+                       relayout_table="work_inc")
+    assert r1["new_refs"] > 0
+    check_covered_tiles(spark, out, want)
+
+    # duplicate delivery: state already has the refs -> no-op
+    r2 = process_batch(b1, 2, spark, fp_meta, blocks, out, cfg,
+                       relayout_table="work_inc")
+    assert r2["new_refs"] == 0
+    check_covered_tiles(spark, out, want)
+
+    # plan: a touched-tile stitch off the bucketed table must not
+    # shuffle (reuse test_relayout's slicing technique)
+    keys = spark.createDataFrame([(0, 0), (1, 1)], ["tile_row", "tile_col"])
+    res = stitch_from_relayout(spark, "work_inc", cfg, tile_keys=keys)
+    plan = res.stitched._jdf.queryExecution().explainString(
+        spark._jvm.org.apache.spark.sql.execution.ExplainMode.fromString("simple")
+    )
+    kernel = "FlatMapGroupsInArrow" if cfg.kernel == "arrow" else "FlatMapGroupsInPandas"
+    region = plan.split(kernel)[1]
+    scan_pos = region.find("FileScan")
+    assert "Exchange" not in region[:scan_pos], "touched-tile stitch was shuffled"
+
+
 def test_sink_parts_configurable(spark, tmp_path):
     """MosaicConfig.sink_parts sets the incremental sink's partition
     modulus (round-2 verdict minor #3): identical tiles at non-default
