@@ -454,19 +454,19 @@ GROUP BY 1, 2, 3
 WARP_DST = 32755  # derived corpus lives in zone 56S; warp to 55S
 
 
-def q_mosaic_warped_checksums(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Cross-CRS gate: the REAL warp (reproject.warp_blocks, UTM 56S ->
-    55S via the built-in TM transforms) feeding the REAL mosaic,
-    checksummed per tile. The oracle replays the whole thing in DuckDB:
-    the TM series renders as SQL (crs.tm_*_sql — same constants), the
-    per-pixel dst->src mapping yields value = source column index in
-    closed form, merged by priority."""
+def _warped_checksums(spark: SparkSession, sf_dir: str, dst_epsg: int,
+                      out_res: float) -> DataFrame:
+    """Cross-CRS gate: the REAL warp (reproject.warp_blocks) feeding the
+    REAL mosaic, checksummed per tile. The oracle replays the whole
+    thing in DuckDB: the CRS series render as SQL (crs.*_sql — same
+    constants), the per-pixel dst->src mapping yields value = source
+    column index in closed form, merged by priority."""
     from .reproject import warp_blocks
 
     fp = derived_footprints(spark, sf_dir)
     blocks = derived_blocks(fp)
     nfp, nblocks = warp_blocks(
-        fp, blocks, f"EPSG:{WARP_DST}", RES, RES,
+        fp, blocks, f"EPSG:{dst_epsg}", out_res, out_res,
         src_blocksize=SRC_BS, method="near",
     )
     cfg = MosaicConfig(
@@ -485,6 +485,20 @@ def q_mosaic_warped_checksums(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_mosaic_warped_checksums(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """UTM 56S -> 55S (adjacent-zone TM warp)."""
+    return _warped_checksums(spark, sf_dir, WARP_DST, RES)
+
+
+WEBMERC_RES = 12.0  # ~10 m ground at the corpus latitude (scale 1/cos)
+
+
+def q_mosaic_warped_3857_checksums(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """UTM 56S -> EPSG:3857 Web Mercator — the most common target CRS a
+    real user brings; oracle-gated via the merc SQL renderers."""
+    return _warped_checksums(spark, sf_dir, 3857, WEBMERC_RES)
+
+
 def _chain_steps(inner_sql: str, steps: list[str]) -> str:
     """Nest each transform step as its own projection layer. DuckDB's
     lateral column aliases substitute the full referenced subexpression
@@ -497,20 +511,42 @@ def _chain_steps(inner_sql: str, steps: list[str]) -> str:
     return q
 
 
-def _warped_checksums_sql() -> str:
+def _dst_sql_chains(dst_epsg: int):
+    """(inverse_steps_fn, forward_steps_fn) for the destination CRS —
+    TM zones and Web Mercator render to SQL from the same crs.py
+    series the engine kernels evaluate in numpy."""
+    from .crs import (
+        merc_forward_sql, merc_inverse_sql, tm_forward_sql, tm_inverse_sql,
+    )
+
+    if dst_epsg == 3857:
+        return (
+            lambda x, y, p: merc_inverse_sql(x, y, p),
+            lambda lon, lat, p: merc_forward_sql(lon, lat, p),
+        )
+    return (
+        lambda x, y, p: tm_inverse_sql(x, y, dst_epsg, p),
+        lambda lon, lat, p: tm_forward_sql(lon, lat, dst_epsg, p),
+    )
+
+
+def _warped_checksums_sql(dst_epsg: int | None = None, out_res: float = RES) -> str:
     from .crs import tm_forward_sql, tm_inverse_sql
 
+    dst_epsg = WARP_DST if dst_epsg is None else dst_epsg
+    dst_inv, dst_fwd = _dst_sql_chains(dst_epsg)
     stride = R_STRIDE * RES
     ext_m = R_SIZE * RES  # 2000 m raster extent
 
-    # corners: src (zone 56) -> dst (zone 55)
+    # corners: src (zone 56) -> dst
     ci, lon_c, lat_c = tm_inverse_sql("xsrc", "ysrc", 32756, "q")
-    cf, cx_a, cy_a = tm_forward_sql(lon_c, lat_c, WARP_DST, "r")
+    cf, cx_a, cy_a = dst_fwd(lon_c, lat_c, "r")
     corner_chain = _chain_steps("SELECT * FROM corners", ci + cf)
-    # pixels: dst (zone 55) center -> src (zone 56)
-    pi, lon_p, lat_p = tm_inverse_sql("xd", "yd", WARP_DST, "q")
+    # pixels: dst center -> src (zone 56)
+    pi, lon_p, lat_p = dst_inv("xd", "yd", "q")
     pf, px_a, py_a = tm_forward_sql(lon_p, lat_p, 32756, "r")
     pixel_chain = _chain_steps("SELECT * FROM px", pi + pf)
+    RES_OUT = out_res
 
     return f"""
 WITH fp AS (
@@ -531,16 +567,16 @@ corner_t AS MATERIALIZED (
 ),
 env AS (
   SELECT priority, s_x0, s_y0,
-         floor(min({cx_a}) / {RES}) * {RES} AS x0,
-         ceil(max({cx_a}) / {RES}) * {RES} AS x1,
-         floor(min({cy_a}) / {RES}) * {RES} AS ylo,
-         ceil(max({cy_a}) / {RES}) * {RES} AS y0
+         floor(min({cx_a}) / {RES_OUT}) * {RES_OUT} AS x0,
+         ceil(max({cx_a}) / {RES_OUT}) * {RES_OUT} AS x1,
+         floor(min({cy_a}) / {RES_OUT}) * {RES_OUT} AS ylo,
+         ceil(max({cy_a}) / {RES_OUT}) * {RES_OUT} AS y0
   FROM corner_t
   GROUP BY 1, 2, 3
 ),
 envd AS (
-  SELECT *, CAST(round((x1 - x0) / {RES}) AS INT) AS ncols,
-            CAST(round((y0 - ylo) / {RES}) AS INT) AS nrows
+  SELECT *, CAST(round((x1 - x0) / {RES_OUT}) AS INT) AS ncols,
+            CAST(round((y0 - ylo) / {RES_OUT}) AS INT) AS nrows
   FROM env
 ),
 ext AS (
@@ -549,8 +585,8 @@ ext AS (
 ),
 grid AS (
   SELECT x_min, y_max,
-         CAST(round((x_max - x_min) / {RES}) AS INT) AS g_ncols,
-         CAST(round((y_max - y_min) / {RES}) AS INT) AS g_nrows
+         CAST(round((x_max - x_min) / {RES_OUT}) AS INT) AS g_ncols,
+         CAST(round((y_max - y_min) / {RES_OUT}) AS INT) AS g_nrows
   FROM ext
 ),
 nb AS (
@@ -561,10 +597,10 @@ nb AS (
 ),
 px AS (
   SELECT f.priority, f.s_x0, f.s_y0,
-         CAST(round((g.y_max - f.y0) / {RES}) AS INT) + lv.i AS r,
-         CAST(round((f.x0 - g.x_min) / {RES}) AS INT) + lu.i AS c,
-         f.x0 + (lu.i + 0.5) * {RES} AS xd,
-         f.y0 - (lv.i + 0.5) * {RES} AS yd
+         CAST(round((g.y_max - f.y0) / {RES_OUT}) AS INT) + lv.i AS r,
+         CAST(round((f.x0 - g.x_min) / {RES_OUT}) AS INT) + lu.i AS c,
+         f.x0 + (lu.i + 0.5) * {RES_OUT} AS xd,
+         f.y0 - (lv.i + 0.5) * {RES_OUT} AS yd
   FROM envd f, grid g,
        generate_series(0, 299) lv(i),
        generate_series(0, 299) lu(i)
@@ -1276,6 +1312,7 @@ def queries() -> dict:
         "mosaic_overview_checksums": q_mosaic_overview_checksums,
         "mosaic_resampled_checksums": q_mosaic_resampled_checksums,
         "mosaic_warped_checksums": q_mosaic_warped_checksums,
+        "mosaic_warped_3857_checksums": q_mosaic_warped_3857_checksums,
         "cell_covers": q_cell_covers,
         "doc_token_stats": q_doc_token_stats,
         "doc_fingerprints": q_doc_fingerprints,
@@ -1308,6 +1345,7 @@ def oracle_sql() -> dict:
         "mosaic_overview_checksums": SQL_MOSAIC_OVERVIEW_CHECKSUMS,
         "mosaic_resampled_checksums": _resampled_checksums_sql(),
         "mosaic_warped_checksums": _warped_checksums_sql(),
+        "mosaic_warped_3857_checksums": _warped_checksums_sql(3857, WEBMERC_RES),
         "cell_covers": _cell_covers_sql(),
         "doc_token_stats": SQL_DOC_TOKEN_STATS,
         "doc_fingerprints": _doc_fingerprints_sql(),
