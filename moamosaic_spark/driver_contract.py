@@ -729,6 +729,114 @@ FROM documents
 """
 
 
+SPAN_WORDS = 5  # words per derived text span
+
+
+def derived_span_docs(docs: DataFrame) -> DataFrame:
+    """Deterministic interleaved text+media documents derived from the
+    flat corpus (the input_hint table shape: doc_id, spans:
+    array<struct<kind, text, media_ref, offset>>): the text splits into
+    {SPAN_WORDS}-word text spans, each followed by a synthetic media
+    span, offsets strictly increasing — generated entirely JVM-side."""
+    toks = F.split(F.trim(F.col("text")), r"\s+")
+    ng = F.ceil(F.size(toks) / SPAN_WORDS).cast("int")
+    spans = F.flatten(
+        F.transform(
+            F.sequence(F.lit(0), ng - 1),
+            lambda g: F.array(
+                F.struct(
+                    F.lit("text").alias("kind"),
+                    F.concat_ws(
+                        " ", F.slice(toks, g * SPAN_WORDS + 1, SPAN_WORDS)
+                    ).alias("text"),
+                    F.lit(None).cast("string").alias("media_ref"),
+                    (g * 2).cast("int").alias("offset"),
+                ),
+                F.struct(
+                    F.lit("media").alias("kind"),
+                    F.lit(None).cast("string").alias("text"),
+                    F.concat(
+                        F.lit("m"), F.col("doc_id").cast("string"),
+                        F.lit("_"), g.cast("string"),
+                    ).alias("media_ref"),
+                    (g * 2 + 1).cast("int").alias("offset"),
+                ),
+            ),
+        )
+    )
+    return docs.select("doc_id", spans.alias("spans"))
+
+
+def q_doc_span_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The input_hint's per-row invariant, oracle-gated: span sequences
+    (kind, text, media_ref, offset order) survive the engine's explode
+    -> shuffle -> ordered reassembly round trip. Spark explodes the
+    derived spans, groups them back per doc and fingerprints the
+    offset-ordered canonical sequence; DuckDB computes the same
+    fingerprint directly from the same derivation — any reorder, drop
+    or mutation anywhere in the round trip breaks the hash match."""
+    docs = _read_docs(spark, sf_dir)
+    sd = derived_span_docs(docs)
+    rows = sd.select("doc_id", F.explode("spans").alias("s")).select(
+        "doc_id", "s.kind", "s.text", "s.media_ref", "s.offset"
+    )
+    canon = F.concat_ws(
+        "|",
+        F.col("kind"),
+        F.coalesce(F.col("text"), F.lit("")),
+        F.coalesce(F.col("media_ref"), F.lit("")),
+        F.col("offset").cast("string"),
+    )
+    per_span = rows.select(
+        "doc_id", F.struct(F.col("offset"), canon.alias("canon")).alias("sp")
+    )
+    # groupBy = a REAL shuffle between explode and reassembly
+    return (
+        per_span.groupBy("doc_id")
+        .agg(
+            F.count("*").cast("long").alias("n_spans"),
+            F.md5(
+                F.concat_ws(
+                    "\n",
+                    F.transform(
+                        F.array_sort(F.collect_list("sp")), lambda x: x["canon"]
+                    ),
+                )
+            ).alias("span_fp"),
+        )
+        .select(F.col("doc_id").cast("long").alias("doc_id"), "n_spans", "span_fp")
+    )
+
+
+SQL_DOC_SPAN_ROUNDTRIP = f"""
+WITH toks AS (
+  SELECT doc_id, string_split_regex(trim(text), '\\s+') AS tok FROM documents
+),
+g AS (
+  SELECT doc_id, tok, CAST(ceil(len(tok) / {SPAN_WORDS}.0) AS INT) AS ng FROM toks
+),
+spans AS (
+  SELECT doc_id, gs.i AS grp,
+         'text|' || array_to_string(tok[gs.i*{SPAN_WORDS}+1 : gs.i*{SPAN_WORDS}+{SPAN_WORDS}], ' ')
+           || '||' || CAST(gs.i*2 AS VARCHAR) AS s_text,
+         'media||m' || CAST(doc_id AS VARCHAR) || '_' || CAST(gs.i AS VARCHAR)
+           || '|' || CAST(gs.i*2+1 AS VARCHAR) AS s_media
+  FROM g, generate_series(0, 99999) gs(i)
+  WHERE gs.i < ng
+),
+flat AS (
+  SELECT doc_id, grp*2 AS off, s_text AS s FROM spans
+  UNION ALL
+  SELECT doc_id, grp*2+1 AS off, s_media AS s FROM spans
+)
+SELECT CAST(doc_id AS BIGINT) AS doc_id,
+       CAST(count(*) AS BIGINT) AS n_spans,
+       md5(string_agg(s, chr(10) ORDER BY off)) AS span_fp
+FROM flat
+GROUP BY doc_id
+"""
+
+
 def q_dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = _read_docs(spark, sf_dir)
     return D.exact_duplicates(docs).select(
@@ -1316,6 +1424,7 @@ def queries() -> dict:
         "cell_covers": q_cell_covers,
         "doc_token_stats": q_doc_token_stats,
         "doc_fingerprints": q_doc_fingerprints,
+        "doc_span_roundtrip": q_doc_span_roundtrip,
         "dedup_exact": q_dedup_exact,
         "dedup_ngram_pairs": q_dedup_ngram_pairs,
         "dedup_minhash_sig": q_dedup_minhash_sig,
@@ -1349,6 +1458,7 @@ def oracle_sql() -> dict:
         "cell_covers": _cell_covers_sql(),
         "doc_token_stats": SQL_DOC_TOKEN_STATS,
         "doc_fingerprints": _doc_fingerprints_sql(),
+        "doc_span_roundtrip": SQL_DOC_SPAN_ROUNDTRIP,
         "dedup_exact": SQL_DEDUP_EXACT,
         "dedup_ngram_pairs": SQL_DEDUP_NGRAM_PAIRS,
         "dedup_minhash_sig": _minhash_sig_sql(),
