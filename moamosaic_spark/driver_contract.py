@@ -63,7 +63,6 @@ def derived_blocks(footprints: DataFrame) -> DataFrame:
     Emitted in the u2 packed layout (pixels.py): the headline pipeline
     and bench run with 2 B/px through the stitch shuffle; checksum
     queries decode at the result boundary only."""
-    from .pixels import pack_u2
     sbs = SRC_BS
     nb = (R_SIZE + sbs - 1) // sbs
     fp = footprints.select("media_ref", "ncols", "nrows")
@@ -84,11 +83,20 @@ def derived_blocks(footprints: DataFrame) -> DataFrame:
         F.least(F.lit(sbs), F.col("nrows") - F.col("b_row") * sbs).alias("b_ysize"),
         F.least(F.lit(sbs), F.col("ncols") - F.col("b_col") * sbs).alias("b_xsize"),
     ).where((F.col("b_ysize") > 0) & (F.col("b_xsize") > 0))
-    pixels = F.transform(
-        F.sequence(F.lit(0), F.col("b_ysize") * F.col("b_xsize") - 1),
-        lambda i: (F.col("b_left") + i % F.col("b_xsize")).cast("int"),
+    # value = local column index, identical on every row of a chunk:
+    # pack ONE row's hex and repeat it b_ysize times (b_xsize string
+    # ops per chunk instead of b_ysize*b_xsize)
+    row_hex = F.array_join(
+        F.transform(
+            F.sequence(F.lit(0), F.col("b_xsize") - 1),
+            lambda u: F.concat(
+                F.lpad(F.hex((F.col("b_left") + u) % 256), 2, "0"),
+                F.lpad(F.hex(((F.col("b_left") + u) / 256).cast("int")), 2, "0"),
+            ),
+        ),
+        "",
     )
-    return b.withColumn("pixels", pack_u2(pixels))
+    return b.withColumn("pixels", F.unhex(F.repeat(row_hex, F.col("b_ysize"))))
 
 
 _RESULT_CACHE: dict = {}
