@@ -168,3 +168,41 @@ def test_u2_pandas_kernel(spark):
     assert set(tiles) == set(want.tiles)
     for k, a in tiles.items():
         np.testing.assert_array_equal(a, want.tiles[k])
+
+
+def test_u2_streaming_incremental_over_relayout(spark, tmp_path):
+    """The full composition: readStream -> foreachBatch incremental
+    mosaic, work rows accumulated in a bucketed relayout table, pixels
+    packed u2 end-to-end — tiles pixel-identical to the numpy oracle."""
+    from moamosaic_spark.schema import DOCUMENTS_SCHEMA
+    from moamosaic_spark.streaming.incremental import incremental_mosaic_stream
+
+    rasters = synth.grid3x3(150, 150)
+    docs, fp, blocks = synth.corpus_to_spark(spark, rasters, layout="u2")
+    want = synth.oracle(rasters, blocksize=64, min_overview_size=9999)
+    cfg = MosaicConfig(blocksize=64, src_blocksize=256, with_overviews=False)
+
+    src = tmp_path / "docs_src"
+    out = str(tmp_path / "inc_u2_rl")
+    docs.coalesce(1).write.parquet(str(src))
+    stream = (
+        spark.readStream.schema(DOCUMENTS_SCHEMA)
+        .option("maxFilesPerTrigger", "1")
+        .parquet(str(src))
+    )
+    q = incremental_mosaic_stream(
+        spark, stream, fp, blocks, out, cfg,
+        checkpoint=str(tmp_path / "ck_u2_rl"),
+        relayout_table="work_u2_inc",
+    )
+    q.awaitTermination(300)
+
+    got = {}
+    for r in spark.read.parquet(f"{out}/tiles").collect():
+        got[(r.band, r.tile_row, r.tile_col)] = np.frombuffer(
+            bytes(r.pixels), "<u2"
+        ).reshape(r.ysize, r.xsize)
+    covered = {(1, ti, tj) for (ti, tj, _ref) in want.assignments}
+    assert set(got) == covered
+    for k, a in got.items():
+        np.testing.assert_array_equal(a, want.tiles[k].astype("<u2"), err_msg=str(k))
