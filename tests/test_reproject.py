@@ -33,9 +33,14 @@ def test_cross_crs_corners_without_pyproj():
     assert x_min < x_max and y_min < y_max
     assert 148 < x_min < x_max < 157       # inside zone 56 longitudes
     assert -40 < y_min < y_max < -30       # southern mid-latitudes
+    # 3857 joined the built-in subset in round 3 — works without pyproj
+    env = RP.reproject_corners(
+        300000.0, 400000.0, 6200000.0, 6300000.0, "EPSG:32756", "EPSG:3857"
+    )
+    assert env[0] < env[1] and env[2] < env[3]
     # outside the built-in subset still raises, pointing at pyproj
     with pytest.raises(RP.MoaReprojectionError, match="pyproj"):
-        RP.reproject_corners(0, 1, 0, 1, "EPSG:3857", "EPSG:4326")
+        RP.reproject_corners(0, 1, 0, 1, "EPSG:2193", "EPSG:4326")
 
 
 def _oracle_nearest(src: np.ndarray, s_x0, s_y0, s_res, x0, y0, out_res, ncols, nrows, nullval):
