@@ -57,6 +57,8 @@ def bench_mosaic_corpus(spark):
     the u2 packed layout (2 B/px — the engine's production layout)."""
     from pyspark.sql import functions as F
 
+    from moamosaic_spark.pixels import pack_row_u2
+
     n, rs = BENCH_GRID, BENCH_RSIZE
     stride = rs - 16
     k = F.col("id").cast("int")
@@ -93,26 +95,8 @@ def bench_mosaic_corpus(spark):
         .where((F.col("b_ysize") > 0) & (F.col("b_xsize") > 0))
         .withColumn(
             "pixels",
-            # value = local column index, identical per chunk row: pack
-            # one row's hex and repeat (30x cheaper than per-px packing)
-            F.unhex(
-                F.repeat(
-                    F.array_join(
-                        F.transform(
-                            F.sequence(F.lit(0), F.col("b_xsize") - 1),
-                            lambda u: F.concat(
-                                F.lpad(F.hex((F.col("b_left") + u) % 256), 2, "0"),
-                                F.lpad(
-                                    F.hex(((F.col("b_left") + u) / 256).cast("int")),
-                                    2, "0",
-                                ),
-                            ),
-                        ),
-                        "",
-                    ),
-                    F.col("b_ysize"),
-                )
-            ),
+            # value = local column index, identical per chunk row
+            pack_row_u2(F.col("b_left"), F.col("b_xsize"), F.col("b_ysize")),
         )
     )
     return fp, b

@@ -83,20 +83,13 @@ def derived_blocks(footprints: DataFrame) -> DataFrame:
         F.least(F.lit(sbs), F.col("nrows") - F.col("b_row") * sbs).alias("b_ysize"),
         F.least(F.lit(sbs), F.col("ncols") - F.col("b_col") * sbs).alias("b_xsize"),
     ).where((F.col("b_ysize") > 0) & (F.col("b_xsize") > 0))
+    from .pixels import pack_row_u2
+
     # value = local column index, identical on every row of a chunk:
-    # pack ONE row's hex and repeat it b_ysize times (b_xsize string
-    # ops per chunk instead of b_ysize*b_xsize)
-    row_hex = F.array_join(
-        F.transform(
-            F.sequence(F.lit(0), F.col("b_xsize") - 1),
-            lambda u: F.concat(
-                F.lpad(F.hex((F.col("b_left") + u) % 256), 2, "0"),
-                F.lpad(F.hex(((F.col("b_left") + u) / 256).cast("int")), 2, "0"),
-            ),
-        ),
-        "",
+    # pack ONE row's hex and repeat it b_ysize times (pixels.pack_row_u2)
+    return b.withColumn(
+        "pixels", pack_row_u2(F.col("b_left"), F.col("b_xsize"), F.col("b_ysize"))
     )
-    return b.withColumn("pixels", F.unhex(F.repeat(row_hex, F.col("b_ysize"))))
 
 
 _RESULT_CACHE: dict = {}
@@ -528,10 +521,7 @@ def _dst_sql_chains(dst_epsg: int):
     )
 
     if dst_epsg == 3857:
-        return (
-            lambda x, y, p: merc_inverse_sql(x, y, p),
-            lambda lon, lat, p: merc_forward_sql(lon, lat, p),
-        )
+        return merc_inverse_sql, merc_forward_sql
     return (
         lambda x, y, p: tm_inverse_sql(x, y, dst_epsg, p),
         lambda lon, lat, p: tm_forward_sql(lon, lat, dst_epsg, p),

@@ -36,20 +36,40 @@ def hex4_le(value: int) -> str:
     return f"{v & 0xFF:02X}{v >> 8:02X}"
 
 
-def pack_u2(arr: Column) -> Column:
-    """array<int> -> binary (uint16 LE). Values must fit uint16."""
-    return F.unhex(
-        F.array_join(
-            F.transform(
-                arr,
-                lambda x: F.concat(
-                    F.lpad(F.hex(x % 256), 2, "0"),
-                    F.lpad(F.hex((x / 256).cast("int")), 2, "0"),
-                ),
-            ),
-            "",
-        )
+def _u2_le_hex(x: Column) -> Column:
+    """4-hex-char little-endian encoding of one uint16 column value.
+    Values outside [0, 65535] raise at runtime (lpad would otherwise
+    TRUNCATE the high-byte hex and silently corrupt the pixel — the
+    column twin of hex4_le's ValueError)."""
+    guard = F.assert_true(
+        (x >= 0) & (x <= 0xFFFF), F.concat(F.lit("pixel value outside uint16: "), x)
     )
+    lo = F.lpad(F.hex(x % 256), 2, "0")
+    hi = F.lpad(F.hex((x / 256).cast("int")), 2, "0")
+    # assert_true yields NULL when the predicate holds; coalesce routes
+    # execution through the guard without changing the value
+    return F.coalesce(guard.cast("string"), F.concat(lo, hi))
+
+
+def pack_u2(arr: Column) -> Column:
+    """array<int> -> binary (uint16 LE). Values must fit uint16
+    (runtime-guarded)."""
+    return F.unhex(F.array_join(F.transform(arr, _u2_le_hex), ""))
+
+
+def pack_row_u2(first_value: Column, xsize: Column, ysize: Column) -> Column:
+    """binary of ``ysize`` repeats of the packed row
+    [first_value, first_value+1, ..., first_value+xsize-1] — the cheap
+    generator for column-index-valued synthetic chunks (pack one row's
+    hex, repeat per row: ~30x fewer string ops than per-pixel packing)."""
+    row_hex = F.array_join(
+        F.transform(
+            F.sequence(F.lit(0), xsize.cast("int") - 1),
+            lambda u: _u2_le_hex(first_value + u),
+        ),
+        "",
+    )
+    return F.unhex(F.repeat(row_hex, ysize.cast("int")))
 
 
 def unpack_u2(bin_col: Column, chunk_bytes: int = 512) -> Column:

@@ -83,6 +83,47 @@ def _write_meta(
     ).saveAsTable(f"{table}_meta")
 
 
+def _table_location(spark: SparkSession, table: str) -> str | None:
+    """Local-filesystem warehouse path of a managed table, or None when
+    the warehouse is not local (a real catalog survives restarts)."""
+    from urllib.parse import urlparse
+
+    wh = spark.conf.get("spark.sql.warehouse.dir", "")
+    p = urlparse(wh)
+    if p.scheme in ("", "file"):
+        return f"{p.path or wh}/{table.lower()}"
+    return None
+
+
+def _reregister_relayout(spark: SparkSession, table: str, loc: str) -> None:
+    """Re-attach a relayout table whose files survived a session restart
+    (the default in-memory catalog forgets managed tables; the warehouse
+    directory does NOT — deleting it would silently lose every
+    pre-restart batch's work rows). Recreates the catalog entries over
+    the existing files, bucket spec from the surviving meta json."""
+    import json as _json
+    import os
+
+    meta_loc = f"{loc}_meta"
+    m = _json.loads(
+        spark.read.parquet(meta_loc).collect()[0].meta
+    )
+    if not spark.catalog.tableExists(f"{table}_meta"):
+        spark.sql(
+            f"CREATE TABLE {table}_meta (meta string) USING parquet "
+            f"LOCATION '{os.path.abspath(meta_loc)}'"
+        )
+    df = spark.read.parquet(loc)
+    ddl = ", ".join(f"`{f.name}` {f.dataType.simpleString()}" for f in df.schema.fields)
+    nb = int(m.get("n_buckets", 64))
+    spark.sql(
+        f"CREATE TABLE {table} ({ddl}) USING parquet "
+        f"CLUSTERED BY (band, tile_row, tile_col) "
+        f"SORTED BY (band, tile_row, tile_col) INTO {nb} BUCKETS "
+        f"LOCATION '{os.path.abspath(loc)}'"
+    )
+
+
 def ensure_relayout_table(
     spark: SparkSession,
     table: str,
@@ -95,8 +136,20 @@ def ensure_relayout_table(
     not exist yet — the incremental mosaic appends each micro-batch's
     work rows into it (relayout_append) and stitches touched tiles with
     no Exchange. The schema (including the pixel layout) is derived
-    from a zero-row run of the join+clip plan over ``blocks``."""
+    from a zero-row run of the join+clip plan over ``blocks``.
+
+    If the catalog does not know the table but its warehouse files
+    exist (a restarted session with the default in-memory catalog),
+    the table is RE-REGISTERED over the surviving files — never
+    truncated: those files are the accumulated incremental state, and
+    the seen-refs checkpoint would prevent re-appending them."""
+    import os
+
     if spark.catalog.tableExists(table):
+        return
+    loc = _table_location(spark, table)
+    if loc is not None and os.path.isdir(loc) and os.listdir(loc):
+        _reregister_relayout(spark, table, loc)
         return
     tiles = make_tile_relation(spark, grid, config.blocksize).limit(0)
     assignments = assign_inputs(
@@ -104,8 +157,6 @@ def ensure_relayout_table(
         _empty_footprints(spark), grid, strategy="broadcast",
     )
     empty = _contributor_chunks(assignments, blocks.limit(0), config.src_blocksize)
-    _drop_stale_location(spark, table)
-    _drop_stale_location(spark, f"{table}_meta")
     (
         empty.write.mode("overwrite")
         .bucketBy(n_buckets, "band", "tile_row", "tile_col")

@@ -42,6 +42,30 @@ def _state_path(out_path: str) -> str:
     return f"{out_path}/footprints_seen"
 
 
+def _check_sink_parts(spark: SparkSession, out_path: str, sink_parts: int) -> None:
+    """The sink partition modulus is GEOMETRY: tile_row 7 lives in
+    part=7 at sink_parts=16 but part=2 at 5, and the merge emulation
+    only rewrites partitions present in the current batch — resuming an
+    existing sink with a different modulus would leave the old copies
+    as stale duplicates. Persist the modulus on first write and refuse
+    a mismatch (rebuild the sink to change it)."""
+    path = f"{out_path}/_sink_meta"
+    try:
+        prev = spark.read.parquet(path).collect()[0].sink_parts
+    except Exception:
+        spark.createDataFrame(
+            [(int(sink_parts),)], "sink_parts int"
+        ).write.mode("overwrite").parquet(path)
+        return
+    if int(prev) != int(sink_parts):
+        raise ValueError(
+            f"sink at {out_path} was written with sink_parts={int(prev)}; "
+            f"resuming with sink_parts={int(sink_parts)} would strand stale "
+            "tile copies in the old part= partitions — keep the original "
+            "value or rebuild the sink"
+        )
+
+
 def read_seen(spark: SparkSession, out_path: str) -> DataFrame | None:
     try:
         return spark.read.parquet(_state_path(out_path))
@@ -70,6 +94,7 @@ def process_batch(
     its rows; the stitch is idempotent under duplicate contributor rows
     (same priority run re-pastes the same pixels)."""
     spark.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
+    _check_sink_parts(spark, out_path, config.sink_parts)
 
     # drop already-seen refs BEFORE assigning priorities (count-based
     # offsets collide after any batch mixing seen and unseen refs), and

@@ -155,3 +155,59 @@ def test_sink_parts_configurable(spark, tmp_path):
             r.part for r in spark.read.parquet(f"{out}/tiles").select("part").distinct().collect()
         }
         assert got_parts <= set(range(parts)) and got_parts
+
+
+def test_relayout_survives_catalog_restart(spark, tmp_path):
+    """A restarted session's in-memory catalog forgets managed tables
+    but their warehouse files survive; ensure_relayout_table must
+    RE-REGISTER the surviving work rows, never truncate them (the
+    seen-refs state would prevent re-appending -> silent tile
+    corruption). Simulated by dropping the catalog entries while
+    preserving the files."""
+    import shutil
+    from urllib.parse import urlparse
+
+    rasters, fp_meta, blocks, docs_pdf, want, cfg = make_corpus(spark)
+    out = str(tmp_path / "inc_restart")
+    table = "work_restart"
+
+    half = len(docs_pdf) // 2
+    b0 = to_documents(spark, docs_pdf.iloc[:half])
+    b1 = to_documents(spark, docs_pdf.iloc[half:])
+    process_batch(b0, 0, spark, fp_meta, blocks, out, cfg, relayout_table=table)
+
+    # simulate restart: copy warehouse dirs aside, DROP (deletes the
+    # originals), restore the copies -> files exist, catalog forgot them
+    wh = urlparse(spark.conf.get("spark.sql.warehouse.dir")).path
+    for t in (table, f"{table}_meta"):
+        shutil.copytree(f"{wh}/{t}", f"{wh}/{t}__saved")
+        spark.sql(f"DROP TABLE {t}")
+        shutil.move(f"{wh}/{t}__saved", f"{wh}/{t}")
+
+    # next batch must see batch-0's accumulated work rows
+    process_batch(b1, 1, spark, fp_meta, blocks, out, cfg, relayout_table=table)
+    check_covered_tiles(spark, out, want)
+
+
+def test_sink_parts_change_is_refused(spark, tmp_path):
+    """Resuming an existing incremental sink with a different
+    sink_parts would strand stale tiles in the old part= partitions —
+    must raise, not silently duplicate."""
+    import dataclasses
+
+    import pytest
+
+    rasters, fp_meta, blocks, docs_pdf, want, cfg = make_corpus(spark)
+    out = str(tmp_path / "inc_guard")
+    half = len(docs_pdf) // 2
+    b0 = to_documents(spark, docs_pdf.iloc[:half])
+    b1 = to_documents(spark, docs_pdf.iloc[half:])
+    process_batch(b0, 0, spark, fp_meta, blocks, out, cfg)
+    with pytest.raises(ValueError, match="sink_parts"):
+        process_batch(
+            b1, 1, spark, fp_meta, blocks, out,
+            dataclasses.replace(cfg, sink_parts=5),
+        )
+    # same modulus still works
+    process_batch(b1, 1, spark, fp_meta, blocks, out, cfg)
+    check_covered_tiles(spark, out, want)
