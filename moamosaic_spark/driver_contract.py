@@ -638,6 +638,102 @@ GROUP BY 1, 2, 3
 """
 
 
+PIP_CUT = 500.0     # octagon corner cut (world m)
+PIP_GRID = 48       # point grid per axis
+PIP_W = (N_GRID - 1) * R_STRIDE * RES + R_SIZE * RES  # corpus extent (m)
+
+
+def q_points_in_footprints(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """North-star point-in-polygon, oracle-gated: each derived raster's
+    validity outline is an octagon (bbox corners cut by PIP_CUT); a
+    deterministic point grid is matched via the cell-bucketed
+    points_in_polygons join (equi-join on cells + exact even-odd ray
+    cast, functions/geometry.py); DuckDB replays the identical crossing
+    rule per (point, polygon). Fractional grid offsets keep every point
+    off polygon edges, so the half-open boundary rule never fires."""
+    from .functions.geometry import points_in_polygons
+
+    fp = derived_footprints(spark, sf_dir)
+    ext, cut = R_SIZE * RES, PIP_CUT
+    x0, y0 = F.col("x0"), F.col("y0")
+
+    def v(x, y):
+        return F.struct(x.alias("x"), y.alias("y"))
+
+    oct_ring = F.array(
+        v(x0 + cut, y0), v(x0 + ext - cut, y0),
+        v(x0 + ext, y0 - cut), v(x0 + ext, y0 - ext + cut),
+        v(x0 + ext - cut, y0 - ext), v(x0 + cut, y0 - ext),
+        v(x0, y0 - ext + cut), v(x0, y0 - cut),
+    )
+    polys = fp.select("media_ref", oct_ring.alias("poly"))
+
+    g = PIP_GRID
+    step = PIP_W / g
+    pts = (
+        spark.range(g * g)
+        .select(
+            F.col("id").cast("int").alias("pid"),
+            (F.lit(X0) + ((F.col("id") % g) + 0.37) * F.lit(step)).alias("x"),
+            (F.lit(Y0) - (F.floor(F.col("id") / g) + 0.53) * F.lit(step)).alias("y"),
+        )
+    )
+    pairs = points_in_polygons(pts, polys, cell_size=ext)
+    return pairs.groupBy("media_ref").agg(
+        F.count("*").cast("long").alias("n_pts"),
+        F.sum("pid").cast("long").alias("sum_pid"),
+    )
+
+
+def _points_in_footprints_sql() -> str:
+    ext, cut = R_SIZE * RES, PIP_CUT
+    stride = R_STRIDE * RES
+    g = PIP_GRID
+    step = PIP_W / g
+    # octagon vertices as (dx, dy) offsets from (x0, y0)
+    verts = [
+        (cut, 0.0), (ext - cut, 0.0), (ext, -cut), (ext, -ext + cut),
+        (ext - cut, -ext), (cut, -ext), (0.0, -ext + cut), (0.0, -cut),
+    ]
+    vlist = ", ".join(
+        f"struct_pack(x := x0 + {dx!r}, y := y0 + {dy!r})" for dx, dy in verts
+    )
+    # the same even-odd crossing rule as functions/geometry.py
+    a = "poly[i]"
+    b = "poly[1 + (i % 8)]"
+    crossing = (
+        f"(({a}.y > p.y) != ({b}.y > p.y)) AND "
+        f"p.x < {a}.x + (p.y - {a}.y) * ({b}.x - {a}.x) / ({b}.y - {a}.y)"
+    )
+    return f"""
+WITH fp AS (
+  SELECT 'r' || CAST(CAST(n_nationkey AS INT) AS VARCHAR) AS media_ref,
+         {X0} + (n_nationkey % {N_GRID}) * {stride} AS x0,
+         {Y0} - CAST(floor(n_nationkey / {N_GRID}) AS INT) * {stride} AS y0
+  FROM nation
+),
+oct AS (
+  SELECT media_ref, [{vlist}] AS poly FROM fp
+),
+p AS (
+  SELECT gi.i * {g} + gj.i AS pid,
+         {X0} + (gj.i + 0.37) * {step!r} AS x,
+         {Y0} - (gi.i + 0.53) * {step!r} AS y
+  FROM generate_series(0, {g - 1}) gi(i), generate_series(0, {g - 1}) gj(i)
+),
+hits AS (
+  SELECT o.media_ref, p.pid
+  FROM p p, oct o
+  WHERE (len(list_filter(generate_series(1, 8), i -> {crossing})) % 2) = 1
+)
+SELECT media_ref,
+       CAST(count(*) AS BIGINT) AS n_pts,
+       CAST(sum(pid) AS BIGINT) AS sum_pid
+FROM hits
+GROUP BY media_ref
+"""
+
+
 def q_cell_covers(spark: SparkSession, sf_dir: str) -> DataFrame:
     from .plans.spatial_join import _footprint_cell_covers
 
@@ -1420,6 +1516,7 @@ def queries() -> dict:
         "mosaic_warped_checksums": q_mosaic_warped_checksums,
         "mosaic_warped_3857_checksums": q_mosaic_warped_3857_checksums,
         "cell_covers": q_cell_covers,
+        "points_in_footprints": q_points_in_footprints,
         "doc_token_stats": q_doc_token_stats,
         "doc_fingerprints": q_doc_fingerprints,
         "doc_span_roundtrip": q_doc_span_roundtrip,
@@ -1454,6 +1551,7 @@ def oracle_sql() -> dict:
         "mosaic_warped_checksums": _warped_checksums_sql(),
         "mosaic_warped_3857_checksums": _warped_checksums_sql(3857, WEBMERC_RES),
         "cell_covers": _cell_covers_sql(),
+        "points_in_footprints": _points_in_footprints_sql(),
         "doc_token_stats": SQL_DOC_TOKEN_STATS,
         "doc_fingerprints": _doc_fingerprints_sql(),
         "doc_span_roundtrip": SQL_DOC_SPAN_ROUNDTRIP,

@@ -193,15 +193,46 @@ def assign_inputs_cell(
     return out
 
 
+def filter_by_polygons(
+    assignments: DataFrame, polygons: DataFrame, grid: OutputGrid
+) -> DataFrame:
+    """Polygon-aware assignment residual (north-star point-in-polygon,
+    SURVEY §7.3 item 9): keep a (tile, source) pair only if the tile's
+    WORLD rectangle actually intersects the source's validity polygon
+    (array<struct<x,y>> ring in world coords, e.g. a nodata-collar
+    outline) — not just its bounding box. Sources without a polygon row
+    keep their rectangle semantics. Exact rect∩polygon test, pure
+    column expressions (functions/geometry.py); the polygon dim table
+    is broadcast."""
+    from ..functions.geometry import rect_intersects_polygon
+
+    x_lo = F.lit(grid.x_min) + F.col("left") * F.lit(grid.x_res)
+    x_hi = F.lit(grid.x_min) + (F.col("left") + F.col("xsize")) * F.lit(grid.x_res)
+    y_hi = F.lit(grid.y_max) - F.col("top") * F.lit(grid.y_res)
+    y_lo = F.lit(grid.y_max) - (F.col("top") + F.col("ysize")) * F.lit(grid.y_res)
+    a = assignments.join(
+        F.broadcast(polygons.select("media_ref", "poly")), on="media_ref", how="left"
+    )
+    keep = F.col("poly").isNull() | rect_intersects_polygon(
+        x_lo, y_lo, x_hi, y_hi, F.col("poly")
+    )
+    return a.where(keep).drop("poly")
+
+
 def assign_inputs(
     tiles: DataFrame,
     footprints: DataFrame,
     grid: OutputGrid,
     strategy: str = "broadcast",
+    polygons: DataFrame | None = None,
     **kw,
 ) -> DataFrame:
     if strategy == "broadcast":
-        return assign_inputs_broadcast(tiles, footprints, grid)
-    if strategy == "cell":
-        return assign_inputs_cell(tiles, footprints, grid, **kw)
-    raise ValueError(f"unknown join strategy: {strategy}")
+        out = assign_inputs_broadcast(tiles, footprints, grid)
+    elif strategy == "cell":
+        out = assign_inputs_cell(tiles, footprints, grid, **kw)
+    else:
+        raise ValueError(f"unknown join strategy: {strategy}")
+    if polygons is not None:
+        out = filter_by_polygons(out, polygons, grid)
+    return out

@@ -1,0 +1,191 @@
+"""Vector geometry (functions/geometry.py): the even-odd ray cast and
+the exact rect/polygon intersection vs independent python oracles, the
+cell-bucketed points_in_polygons join vs brute force, and the
+polygon-aware tile assignment end-to-end."""
+
+import numpy as np
+import pytest
+from pyspark.sql import functions as F
+
+from moamosaic_spark.functions import geometry as G
+
+POLY_TYPE = "array<struct<x double, y double>>"
+
+L_SHAPE = [(0.0, 0.0), (4.0, 0.0), (4.0, 2.0), (2.0, 2.0), (2.0, 4.0), (0.0, 4.0)]
+STAR = [(0.0, 3.0), (1.0, 1.0), (3.0, 0.0), (1.0, -1.0), (0.0, -3.0),
+        (-1.0, -1.0), (-3.0, 0.0), (-1.0, 1.0)]
+
+
+def pip_oracle(px, py, poly):
+    inside = False
+    n = len(poly)
+    for i in range(n):
+        ax, ay = poly[i]
+        bx, by = poly[(i + 1) % n]
+        if (ay > py) != (by > py):
+            xi = ax + (py - ay) * (bx - ax) / (by - ay)
+            if px < xi:
+                inside = not inside
+    return inside
+
+
+def _cross(a, b, c):
+    return (b[0] - a[0]) * (c[1] - a[1]) - (b[1] - a[1]) * (c[0] - a[0])
+
+
+def seg_cross_oracle(a, b, c, d):
+    d1, d2 = _cross(a, b, c), _cross(a, b, d)
+    d3, d4 = _cross(c, d, a), _cross(c, d, b)
+    return d1 * d2 < 0 and d3 * d4 < 0
+
+
+def rect_poly_oracle(x_lo, y_lo, x_hi, y_hi, poly):
+    if any(x_lo <= x <= x_hi and y_lo <= y <= y_hi for x, y in poly):
+        return True
+    if any(
+        pip_oracle(cx, cy, poly)
+        for cx in (x_lo, x_hi)
+        for cy in (y_lo, y_hi)
+    ):
+        return True
+    rect_edges = [
+        ((x_lo, y_lo), (x_hi, y_lo)), ((x_hi, y_lo), (x_hi, y_hi)),
+        ((x_hi, y_hi), (x_lo, y_hi)), ((x_lo, y_hi), (x_lo, y_lo)),
+    ]
+    n = len(poly)
+    return any(
+        seg_cross_oracle(poly[i], poly[(i + 1) % n], e0, e1)
+        for i in range(n)
+        for (e0, e1) in rect_edges
+    )
+
+
+@pytest.mark.parametrize("poly", [L_SHAPE, STAR], ids=["L", "star"])
+def test_point_in_polygon_matches_oracle(spark, poly):
+    rng = np.random.default_rng(17)
+    pts = rng.uniform(-4, 6, size=(300, 2))
+    rows = [(i, float(x), float(y)) for i, (x, y) in enumerate(pts)]
+    df = spark.createDataFrame(rows, "pid int, x double, y double")
+    plit = F.array(*[
+        F.struct(F.lit(x).alias("x"), F.lit(y).alias("y")) for x, y in poly
+    ])
+    got = {
+        r.pid: r.inside
+        for r in df.select(
+            "pid", G.point_in_polygon(F.col("x"), F.col("y"), plit).alias("inside")
+        ).collect()
+    }
+    for i, (x, y) in enumerate(pts):
+        assert got[i] == pip_oracle(x, y, poly), (i, x, y)
+
+
+def test_rect_intersects_polygon_matches_oracle(spark):
+    rng = np.random.default_rng(23)
+    rects = []
+    for i in range(200):
+        x0, y0 = rng.uniform(-5, 6, 2)
+        w, h = rng.uniform(0.2, 3.0, 2)
+        rects.append((i, float(x0), float(y0), float(x0 + w), float(y0 + h)))
+    df = spark.createDataFrame(rects, "rid int, x_lo double, y_lo double, x_hi double, y_hi double")
+    plit = F.array(*[
+        F.struct(F.lit(x).alias("x"), F.lit(y).alias("y")) for x, y in L_SHAPE
+    ])
+    got = {
+        r.rid: r.hit
+        for r in df.select(
+            "rid",
+            G.rect_intersects_polygon(
+                F.col("x_lo"), F.col("y_lo"), F.col("x_hi"), F.col("y_hi"), plit
+            ).alias("hit"),
+        ).collect()
+    }
+    for (rid, x0, y0, x1, y1) in rects:
+        assert got[rid] == rect_poly_oracle(x0, y0, x1, y1, L_SHAPE), (rid, x0, y0, x1, y1)
+
+
+def test_points_in_polygons_equals_bruteforce(spark):
+    """The cell-bucketed join must emit exactly the brute-force PIP
+    pairs, with no CartesianProduct in its plan."""
+    rng = np.random.default_rng(5)
+    pts = [(i, float(x), float(y)) for i, (x, y) in enumerate(rng.uniform(0, 40, (400, 2)))]
+    points = spark.createDataFrame(pts, "pid int, x double, y double")
+    polys = []
+    for k in range(12):
+        cx, cy = rng.uniform(5, 35, 2)
+        r = rng.uniform(1.0, 6.0)
+        ring = [
+            (float(cx + r * np.cos(t)), float(cy + 0.6 * r * np.sin(t)))
+            for t in np.linspace(0, 2 * np.pi, 7)[:-1]
+        ]
+        polys.append((f"p{k}", ring))
+    pdf = spark.createDataFrame(polys, f"poly_id string, poly {POLY_TYPE}")
+
+    got = {
+        (r.pid, r.poly_id)
+        for r in G.points_in_polygons(points, pdf, cell_size=8.0).collect()
+    }
+    brute = points.crossJoin(pdf).where(
+        G.point_in_polygon(F.col("x"), F.col("y"), F.col("poly"))
+    )
+    want = {(r.pid, r.poly_id) for r in brute.collect()}
+    assert got == want
+    assert want, "fixture should produce containments"
+
+    plan = G.points_in_polygons(points, pdf, cell_size=8.0)._jdf.queryExecution(
+    ).explainString(
+        spark._jvm.org.apache.spark.sql.execution.ExplainMode.fromString("simple")
+    )
+    assert "CartesianProduct" not in plan
+
+
+def test_polygon_clipped_assignment(spark):
+    """A raster whose validity outline is an octagon (cut corners): the
+    pure-corner tiles must drop out of the assignment; every kept/
+    dropped decision matches the python rect∩poly oracle."""
+    from moamosaic_spark.plans.grid import make_output_grid, make_tile_relation
+    from moamosaic_spark.plans.spatial_join import assign_inputs
+    from moamosaic_spark.sources import synth
+    from tests.conftest import to_footprints
+
+    rasters = synth.make_rasters(
+        [dict(media_ref="r000", x0=300000.0, y0=7000000.0, nrows=256, ncols=256)]
+    )
+    fp = to_footprints(spark, synth.footprints_pdf(rasters))
+    grid = make_output_grid(fp, None)
+    tiles = make_tile_relation(spark, grid, 32)
+
+    # octagon: bbox with corners cut by 2.5 tile extents — NOT aligned
+    # to the tile grid, so only tiles FULLY inside a cut corner drop
+    # (a tile merely touched by the diagonal legitimately stays)
+    x0, y0, res, n = 300000.0, 7000000.0, 10.0, 256
+    ext = n * res
+    cut = 800.0
+    oct_ring = [
+        (x0 + cut, y0), (x0 + ext - cut, y0),
+        (x0 + ext, y0 - cut), (x0 + ext, y0 - ext + cut),
+        (x0 + ext - cut, y0 - ext), (x0 + cut, y0 - ext),
+        (x0, y0 - ext + cut), (x0, y0 - cut),
+    ]
+    polys = spark.createDataFrame(
+        [("r000", oct_ring)], f"media_ref string, poly {POLY_TYPE}"
+    )
+
+    base = {
+        (r.tile_row, r.tile_col)
+        for r in assign_inputs(tiles, fp, grid).collect()
+    }
+    clipped = {
+        (r.tile_row, r.tile_col)
+        for r in assign_inputs(tiles, fp, grid, polygons=polys).collect()
+    }
+    assert clipped < base, "octagon must drop some bbox-only tiles"
+
+    for (ti, tj) in base:
+        x_lo = x0 + tj * 32 * res
+        x_hi = x0 + (tj + 1) * 32 * res
+        y_hi = y0 - ti * 32 * res
+        y_lo = y0 - (ti + 1) * 32 * res
+        want = rect_poly_oracle(x_lo, y_lo, x_hi, y_hi, oct_ring)
+        assert ((ti, tj) in clipped) == want, (ti, tj)
+    # the 4 extreme corner tiles are exactly the dropped ones at this cut
+    assert base - clipped == {(0, 0), (0, 7), (7, 0), (7, 7)}
