@@ -734,6 +734,83 @@ GROUP BY media_ref
 """
 
 
+KNN_K = 3
+KNN_R = 3 * R_STRIDE * RES  # candidate radius (m) — ≥ k sources inside
+
+
+def q_tile_knn_sources(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """North-star kNN: for every output tile, the KNN_K nearest source
+    rasters by footprint-center distance. Scale shape: a bounded-radius
+    candidate join (|dx|,|dy| <= KNN_R — the cell-cover analog of a ring
+    search; at 10^12 docs the broadcast becomes the Z-order cell join
+    with a widening ring when a tile sees < k candidates) + per-tile
+    top-k window. Ties (the derived corpus is a symmetric grid, so
+    distances DO tie) break deterministically by priority."""
+    from pyspark.sql import Window
+
+    res = _mosaic_result_cached(sf_dir, spark)
+    from .plans.grid import make_tile_relation
+
+    g = res.grid
+    tiles = make_tile_relation(spark, g, BLOCKSIZE).select(
+        "tile_row", "tile_col",
+        (F.lit(g.x_min) + (F.col("left") + F.col("xsize") / 2.0) * F.lit(g.x_res)).alias("tx"),
+        (F.lit(g.y_max) - (F.col("top") + F.col("ysize") / 2.0) * F.lit(g.y_res)).alias("ty"),
+    )
+    fp = derived_footprints(spark, sf_dir).select(
+        "media_ref", "priority",
+        (F.col("x0") + R_SIZE * RES / 2.0).alias("cx"),
+        (F.col("y0") - R_SIZE * RES / 2.0).alias("cy"),
+    )
+    cand = tiles.join(
+        F.broadcast(fp),
+        (F.abs(F.col("tx") - F.col("cx")) <= KNN_R)
+        & (F.abs(F.col("ty") - F.col("cy")) <= KNN_R),
+    )
+    d2 = (F.col("tx") - F.col("cx")) ** 2 + (F.col("ty") - F.col("cy")) ** 2
+    w = Window.partitionBy("tile_row", "tile_col").orderBy(
+        d2.asc(), F.col("priority").asc()
+    )
+    return (
+        cand.withColumn("k", F.row_number().over(w))
+        .where(F.col("k") <= KNN_K)
+        .select(
+            "tile_row", "tile_col", F.col("k").cast("int").alias("k"),
+            "media_ref", F.round(d2, 4).alias("d2"),
+        )
+    )
+
+
+def _tile_knn_sql() -> str:
+    half = R_SIZE * RES / 2.0
+    return f"""{_sql_prologue()}
+, fpc AS (
+  SELECT media_ref, priority, x0 + {half!r} AS cx, y0 - {half!r} AS cy FROM fp
+),
+tc AS (
+  SELECT tile_row, tile_col,
+         g.x_min + (t.t_left + t.t_xsize / 2.0) * {RES} AS tx,
+         g.y_max - (t.t_top + t.t_ysize / 2.0) * {RES} AS ty
+  FROM tiles t, grid g
+),
+cand AS (
+  SELECT t.tile_row, t.tile_col, f.media_ref, f.priority,
+         (t.tx - f.cx) * (t.tx - f.cx) + (t.ty - f.cy) * (t.ty - f.cy) AS d2
+  FROM tc t, fpc f
+  WHERE abs(t.tx - f.cx) <= {KNN_R!r} AND abs(t.ty - f.cy) <= {KNN_R!r}
+),
+ranked AS (
+  SELECT *, row_number() OVER (
+      PARTITION BY tile_row, tile_col ORDER BY d2, priority) AS k
+  FROM cand
+)
+SELECT tile_row, tile_col, CAST(k AS INT) AS k, media_ref,
+       round(d2, 4) AS d2
+FROM ranked
+WHERE k <= {KNN_K}
+"""
+
+
 def q_cell_covers(spark: SparkSession, sf_dir: str) -> DataFrame:
     from .plans.spatial_join import _footprint_cell_covers
 
@@ -1517,6 +1594,7 @@ def queries() -> dict:
         "mosaic_warped_3857_checksums": q_mosaic_warped_3857_checksums,
         "cell_covers": q_cell_covers,
         "points_in_footprints": q_points_in_footprints,
+        "tile_knn_sources": q_tile_knn_sources,
         "doc_token_stats": q_doc_token_stats,
         "doc_fingerprints": q_doc_fingerprints,
         "doc_span_roundtrip": q_doc_span_roundtrip,
@@ -1552,6 +1630,7 @@ def oracle_sql() -> dict:
         "mosaic_warped_3857_checksums": _warped_checksums_sql(3857, WEBMERC_RES),
         "cell_covers": _cell_covers_sql(),
         "points_in_footprints": _points_in_footprints_sql(),
+        "tile_knn_sources": _tile_knn_sql(),
         "doc_token_stats": SQL_DOC_TOKEN_STATS,
         "doc_fingerprints": _doc_fingerprints_sql(),
         "doc_span_roundtrip": SQL_DOC_SPAN_ROUNDTRIP,
