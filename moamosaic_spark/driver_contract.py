@@ -1412,6 +1412,54 @@ WHERE rk <= 3
 """
 
 
+def q_purchase_attribution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """As-of join (functions/asof.py): every purchase event attributed
+    to the user's latest prior-or-simultaneous view event. The oracle
+    is DuckDB's NATIVE ``ASOF LEFT JOIN`` — a fully independent
+    implementation of the semantics. Views are deduped per (user, ts)
+    by max event_id so the match is deterministic."""
+    from .functions.asof import asof_join
+
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet")
+    views = (
+        ev.where(F.col("event_type") == "view")
+        .groupBy("user_id", "ts")
+        .agg(F.max("event_id").alias("view_event"))
+    )
+    purchases = ev.where(F.col("event_type") == "purchase").select(
+        "event_id", "user_id", "ts"
+    )
+    out = asof_join(purchases, views, on=["user_id"], ts="ts",
+                    right_values=["view_event"])
+    return out.select(
+        F.col("event_id").cast("long").alias("purchase_id"),
+        F.col("user_id").cast("long").alias("user_id"),
+        F.col("view_event_r").cast("long").alias("view_id"),
+        # events.ts is TIMESTAMP_NTZ; the session-tz shift of the cast
+        # cancels in the difference, leaving exact microseconds
+        (
+            F.unix_micros(F.col("ts").cast("timestamp"))
+            - F.unix_micros(F.col("ts_r").cast("timestamp"))
+        ).cast("long").alias("gap_us"),
+    )
+
+
+SQL_PURCHASE_ATTRIBUTION = """
+WITH v AS (
+  SELECT user_id, ts, max(event_id) AS view_event
+  FROM events WHERE event_type = 'view' GROUP BY 1, 2
+),
+p AS (
+  SELECT event_id, user_id, ts FROM events WHERE event_type = 'purchase'
+)
+SELECT CAST(p.event_id AS BIGINT) AS purchase_id,
+       CAST(p.user_id AS BIGINT) AS user_id,
+       CAST(v.view_event AS BIGINT) AS view_id,
+       CAST(epoch_us(p.ts) - epoch_us(v.ts) AS BIGINT) AS gap_us
+FROM p ASOF LEFT JOIN v ON p.user_id = v.user_id AND p.ts >= v.ts
+"""
+
+
 SESSION_GAP_S = 900.0
 
 
@@ -1611,6 +1659,7 @@ def queries() -> dict:
         "events_interval_union": q_events_interval_union,
         "top_events_per_user": q_top_events_per_user,
         "user_sessions": q_user_sessions,
+        "purchase_attribution": q_purchase_attribution,
         "doc_lang_pred": q_doc_lang_pred,
         "corpus_clean": q_corpus_clean,
         "embedding_neardup_pairs": q_embedding_neardup_pairs,
@@ -1647,6 +1696,7 @@ def oracle_sql() -> dict:
         "events_interval_union": SQL_EVENTS_INTERVAL_UNION,
         "top_events_per_user": SQL_TOP_EVENTS_PER_USER,
         "user_sessions": SQL_USER_SESSIONS,
+        "purchase_attribution": SQL_PURCHASE_ATTRIBUTION,
         "doc_lang_pred": _lang_pred_sql(),
         "corpus_clean": SQL_CORPUS_CLEAN,
         "embedding_neardup_pairs": SQL_EMBEDDING_NEARDUP_PAIRS,

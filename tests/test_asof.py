@@ -1,0 +1,93 @@
+"""As-of join (functions/asof.py): the union+window construction vs a
+python oracle (ties, unmatched lefts, interleaved keys), and the
+time-bucketed scale form's exact equality with the plain form."""
+
+import numpy as np
+import pytest
+from pyspark.sql import functions as F
+
+from moamosaic_spark.functions.asof import asof_join
+
+
+def py_asof(left, right):
+    """oracle: latest right (ts, v) with ts <= left ts per key."""
+    from collections import defaultdict
+
+    by_key = defaultdict(list)
+    for (k, ts, v) in right:
+        by_key[k].append((ts, v))
+    for k in by_key:
+        by_key[k].sort()
+    out = {}
+    for (lid, k, ts) in left:
+        best = None
+        for (rts, v) in by_key.get(k, []):
+            if rts <= ts:
+                best = (rts, v)
+            else:
+                break
+        out[lid] = best
+    return out
+
+
+@pytest.fixture(scope="module")
+def data():
+    rng = np.random.default_rng(31)
+    left, right = [], []
+    for k in range(8):
+        for i in range(60):
+            left.append((k * 1000 + i, k, float(rng.integers(0, 500))))
+        for j in range(25):
+            right.append((k, float(rng.integers(0, 500)), k * 10000 + j))
+    # exact-tie case: right at the same ts as a left row must match
+    left.append((99001, 3, 123.0))
+    right.append((3, 123.0, 39999))
+    # a key with left rows but NO right rows
+    left.append((99002, 77, 10.0))
+    # dedupe rights per (key, ts) like the contract requires
+    seen = {}
+    for (k, ts, v) in right:
+        seen[(k, ts)] = max(v, seen.get((k, ts), -1))
+    right = [(k, ts, v) for (k, ts), v in seen.items()]
+    return left, right
+
+
+def test_asof_matches_python_oracle(spark, data):
+    left, right = data
+    ldf = spark.createDataFrame(left, "lid long, k int, ts double")
+    rdf = spark.createDataFrame(right, "k int, ts double, v long")
+    got = {
+        r.lid: (r.ts_r, r.v_r)
+        for r in asof_join(ldf, rdf, on=["k"], ts="ts", right_values=["v"]).collect()
+    }
+    want = py_asof(left, right)
+    assert set(got) == set(want)
+    for lid, best in want.items():
+        if best is None:
+            assert got[lid] == (None, None), lid
+        else:
+            assert got[lid] == best, (lid, got[lid], best)
+    assert got[99001][1] == 39999  # inclusive: equal ts matches
+    assert got[99002] == (None, None)
+
+
+@pytest.mark.parametrize("bucket", [7.0, 50.0, 10000.0])
+def test_asof_bucketed_equals_plain(spark, data, bucket):
+    """The bucketed form (bounded window partitions + cross-bucket
+    seeds) must equal the plain per-key window exactly — including
+    buckets with no right rows (seed carried across empty buckets) and
+    a bucket far larger than the data (degenerates to plain)."""
+    left, right = data
+    ldf = spark.createDataFrame(left, "lid long, k int, ts double")
+    rdf = spark.createDataFrame(right, "k int, ts double, v long")
+    plain = {
+        r.lid: (r.ts_r, r.v_r)
+        for r in asof_join(ldf, rdf, on=["k"], ts="ts", right_values=["v"]).collect()
+    }
+    bucketed = {
+        r.lid: (r.ts_r, r.v_r)
+        for r in asof_join(
+            ldf, rdf, on=["k"], ts="ts", right_values=["v"], bucket_seconds=bucket
+        ).collect()
+    }
+    assert bucketed == plain
