@@ -1460,6 +1460,57 @@ FROM p ASOF LEFT JOIN v ON p.user_id = v.user_id AND p.ts >= v.ts
 """
 
 
+ERR_WINDOW_S = 600  # error aftermath window (s)
+
+
+def q_error_window_purchases(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Range join (functions/ranges.py): every purchase inside the
+    10-minute window after an error by the same user — the bucketed
+    interval join vs DuckDB's plain inequality join. Exact integer
+    microsecond arithmetic on both sides."""
+    from .functions.ranges import interval_join
+
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet")
+    tsu = F.unix_micros(F.col("ts").cast("timestamp"))
+    pts = ev.where(F.col("event_type") == "purchase").select(
+        F.col("event_id").alias("purchase_id"), "user_id", tsu.alias("t_us")
+    )
+    ivs = ev.where(F.col("event_type") == "error").select(
+        F.col("event_id").alias("error_id"),
+        "user_id",
+        tsu.alias("s_us"),
+        (tsu + ERR_WINDOW_S * 1_000_000).alias("e_us"),
+    )
+    out = interval_join(
+        pts, ivs, on=["user_id"], ts="t_us", start="s_us", end="e_us",
+        bucket_size=ERR_WINDOW_S * 1_000_000,
+    )
+    return out.select(
+        F.col("purchase_id").cast("long").alias("purchase_id"),
+        F.col("error_id").cast("long").alias("error_id"),
+        F.col("user_id").cast("long").alias("user_id"),
+        (F.col("t_us") - F.col("s_us")).cast("long").alias("lag_us"),
+    )
+
+
+SQL_ERROR_WINDOW_PURCHASES = f"""
+WITH p AS (
+  SELECT event_id AS purchase_id, user_id, epoch_us(ts) AS t_us
+  FROM events WHERE event_type = 'purchase'
+),
+e AS (
+  SELECT event_id AS error_id, user_id, epoch_us(ts) AS s_us
+  FROM events WHERE event_type = 'error'
+)
+SELECT CAST(p.purchase_id AS BIGINT) AS purchase_id,
+       CAST(e.error_id AS BIGINT) AS error_id,
+       CAST(p.user_id AS BIGINT) AS user_id,
+       CAST(p.t_us - e.s_us AS BIGINT) AS lag_us
+FROM p JOIN e ON p.user_id = e.user_id
+ AND p.t_us >= e.s_us AND p.t_us < e.s_us + {ERR_WINDOW_S * 1_000_000}
+"""
+
+
 SESSION_GAP_S = 900.0
 
 
@@ -1660,6 +1711,7 @@ def queries() -> dict:
         "top_events_per_user": q_top_events_per_user,
         "user_sessions": q_user_sessions,
         "purchase_attribution": q_purchase_attribution,
+        "error_window_purchases": q_error_window_purchases,
         "doc_lang_pred": q_doc_lang_pred,
         "corpus_clean": q_corpus_clean,
         "embedding_neardup_pairs": q_embedding_neardup_pairs,
@@ -1697,6 +1749,7 @@ def oracle_sql() -> dict:
         "top_events_per_user": SQL_TOP_EVENTS_PER_USER,
         "user_sessions": SQL_USER_SESSIONS,
         "purchase_attribution": SQL_PURCHASE_ATTRIBUTION,
+        "error_window_purchases": SQL_ERROR_WINDOW_PURCHASES,
         "doc_lang_pred": _lang_pred_sql(),
         "corpus_clean": SQL_CORPUS_CLEAN,
         "embedding_neardup_pairs": SQL_EMBEDDING_NEARDUP_PAIRS,

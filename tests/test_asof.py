@@ -91,3 +91,41 @@ def test_asof_bucketed_equals_plain(spark, data, bucket):
         ).collect()
     }
     assert bucketed == plain
+
+
+def test_interval_join_matches_bruteforce(spark):
+    """Bucketed interval join == the brute-force inequality join,
+    including intervals ending exactly on bucket edges (end exclusive)
+    and intervals spanning many buckets."""
+    from moamosaic_spark.functions.ranges import interval_join
+
+    rng = np.random.default_rng(41)
+    pts = [(i, int(k), float(t)) for i, (k, t) in enumerate(
+        zip(rng.integers(0, 5, 300), rng.uniform(0, 1000, 300)))]
+    # interval starts/ends include exact bucket-edge values (bucket 50)
+    ivs = []
+    for j in range(60):
+        k = int(rng.integers(0, 5))
+        s = float(rng.choice([rng.uniform(0, 950), rng.integers(0, 19) * 50.0]))
+        ln = float(rng.choice([rng.uniform(1, 40), 50.0, 200.0]))
+        ivs.append((j, k, s, s + ln))
+    # a point exactly at an interval END must NOT match; at START must
+    pts.append((9001, 1, 500.0))
+    ivs.append((9101, 1, 450.0, 500.0))   # end-exclusive: no match
+    ivs.append((9102, 1, 500.0, 550.0))   # start-inclusive: match
+
+    pdf = spark.createDataFrame(pts, "pid long, k int, t double")
+    idf = spark.createDataFrame(ivs, "iid long, k int, s double, e double")
+    got = {
+        (r.pid, r.iid)
+        for r in interval_join(pdf, idf, on=["k"], ts="t", start="s", end="e",
+                               bucket_size=50.0).collect()
+    }
+    want = {
+        (r.pid, r.iid)
+        for r in pdf.join(idf, on="k").where(
+            (F.col("s") <= F.col("t")) & (F.col("t") < F.col("e"))
+        ).collect()
+    }
+    assert got == want
+    assert (9001, 9102) in got and (9001, 9101) not in got
