@@ -1460,6 +1460,43 @@ FROM p ASOF LEFT JOIN v ON p.user_id = v.user_id AND p.ts >= v.ts
 """
 
 
+KMV_K = 32
+
+
+def q_user_distinct_kmv(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """KMV distinct-count sketch (functions/sketch.py): per event type,
+    the exact distinct-user count and the bottom-k estimate — the
+    portable hash family makes even the ESTIMATE bit-reproducible, so
+    DuckDB hash-matches a sketch."""
+    from .functions.sketch import kmv_distinct
+
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet")
+    return kmv_distinct(ev, ["event_type"], "user_id", k=KMV_K).select(
+        "event_type", "n_hashes", "kmv_est"
+    )
+
+
+SQL_USER_DISTINCT_KMV = f"""
+WITH h AS (
+  SELECT DISTINCT event_type,
+         {hash32_sql("CAST(user_id AS VARCHAR)")} AS hv
+  FROM events
+),
+ranked AS (
+  SELECT event_type, hv,
+         row_number() OVER (PARTITION BY event_type ORDER BY hv) AS rk
+  FROM h
+)
+SELECT event_type,
+       CAST(count(*) AS BIGINT) AS n_hashes,
+       round(coalesce({float(KMV_K - 1)!r} * {float(2**32)!r}
+             / max(CASE WHEN rk = {KMV_K} THEN hv END),
+             CAST(count(*) AS DOUBLE)), 4) AS kmv_est
+FROM ranked
+GROUP BY event_type
+"""
+
+
 ERR_WINDOW_S = 600  # error aftermath window (s)
 
 
@@ -1712,6 +1749,7 @@ def queries() -> dict:
         "user_sessions": q_user_sessions,
         "purchase_attribution": q_purchase_attribution,
         "error_window_purchases": q_error_window_purchases,
+        "user_distinct_kmv": q_user_distinct_kmv,
         "doc_lang_pred": q_doc_lang_pred,
         "corpus_clean": q_corpus_clean,
         "embedding_neardup_pairs": q_embedding_neardup_pairs,
@@ -1750,6 +1788,7 @@ def oracle_sql() -> dict:
         "user_sessions": SQL_USER_SESSIONS,
         "purchase_attribution": SQL_PURCHASE_ATTRIBUTION,
         "error_window_purchases": SQL_ERROR_WINDOW_PURCHASES,
+        "user_distinct_kmv": SQL_USER_DISTINCT_KMV,
         "doc_lang_pred": _lang_pred_sql(),
         "corpus_clean": SQL_CORPUS_CLEAN,
         "embedding_neardup_pairs": SQL_EMBEDDING_NEARDUP_PAIRS,

@@ -129,3 +129,19 @@ def test_interval_join_matches_bruteforce(spark):
     }
     assert got == want
     assert (9001, 9102) in got and (9001, 9101) not in got
+
+
+def test_kmv_sketch_accuracy_and_exact_below_k(spark):
+    """KMV estimate within the expected relative error (~1/sqrt(k-1))
+    of the true distinct count above capacity; exact below it."""
+    from moamosaic_spark.functions.sketch import kmv_distinct
+
+    rows = [("big", f"u{i % 5000}") for i in range(20000)]
+    rows += [("small", f"v{i}") for i in range(40)]
+    df = spark.createDataFrame(rows, "grp string, uid string")
+    got = {r.grp: (r.n_hashes, r.kmv_est)
+           for r in kmv_distinct(df, ["grp"], "uid", k=64).collect()}
+    n, est = got["big"]
+    assert n == 5000
+    assert abs(est - 5000) / 5000 < 0.5  # 3-4 sigma at k=64
+    assert got["small"] == (40, 40.0)    # below capacity: exact
