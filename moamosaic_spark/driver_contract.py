@@ -1420,6 +1420,7 @@ def q_purchase_attribution(spark: SparkSession, sf_dir: str) -> DataFrame:
     by max event_id so the match is deterministic."""
     from .functions.asof import asof_join
 
+    spark.conf.set("spark.sql.session.timeZone", "UTC")
     ev = spark.read.parquet(f"{sf_dir}/events.parquet")
     views = (
         ev.where(F.col("event_type") == "view")
@@ -1460,7 +1461,7 @@ FROM p ASOF LEFT JOIN v ON p.user_id = v.user_id AND p.ts >= v.ts
 """
 
 
-KMV_K = 32
+KMV_K = 8  # < the sf0.001 per-type distinct-user count, so the parity gate exercises the ESTIMATOR branch, not just the exact fallback
 
 
 def q_user_distinct_kmv(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -1480,7 +1481,7 @@ SQL_USER_DISTINCT_KMV = f"""
 WITH h AS (
   SELECT DISTINCT event_type,
          {hash32_sql("CAST(user_id AS VARCHAR)")} AS hv
-  FROM events
+  FROM events WHERE user_id IS NOT NULL
 ),
 ranked AS (
   SELECT event_type, hv,
@@ -1507,6 +1508,7 @@ def q_error_window_purchases(spark: SparkSession, sf_dir: str) -> DataFrame:
     microsecond arithmetic on both sides."""
     from .functions.ranges import interval_join
 
+    spark.conf.set("spark.sql.session.timeZone", "UTC")
     ev = spark.read.parquet(f"{sf_dir}/events.parquet")
     tsu = F.unix_micros(F.col("ts").cast("timestamp"))
     pts = ev.where(F.col("event_type") == "purchase").select(

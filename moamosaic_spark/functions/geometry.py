@@ -28,7 +28,9 @@ from pyspark.sql import Column, DataFrame, functions as F
 
 def point_in_polygon(px: Column, py: Column, poly: Column) -> Column:
     """Even-odd ray cast: true iff (px, py) is strictly inside ``poly``
-    (points exactly on an edge follow the half-open crossing rule)."""
+    (points exactly on an edge follow the half-open crossing rule).
+    Degenerate rings (< 3 vertices) contain nothing — guarded, since
+    sequence(1, 0) would DESCEND and element_at would error."""
     n = F.size(poly)
 
     def crossing(acc, i):
@@ -40,7 +42,7 @@ def point_in_polygon(px: Column, py: Column, poly: Column) -> Column:
         return acc + F.when(crosses & (px < xi), 1).otherwise(0)
 
     cnt = F.aggregate(F.sequence(F.lit(1), n), F.lit(0), crossing)
-    return F.pmod(cnt, 2) == F.lit(1)
+    return F.when(n >= 3, F.pmod(cnt, 2) == F.lit(1)).otherwise(F.lit(False))
 
 
 def _cross(ax, ay, bx, by, cx, cy) -> Column:
@@ -60,7 +62,12 @@ def _segments_cross(ax, ay, bx, by, cx, cy, dx, dy) -> Column:
 def rect_intersects_polygon(
     x_lo: Column, y_lo: Column, x_hi: Column, y_hi: Column, poly: Column
 ) -> Column:
-    """Exact axis-aligned-rect ∩ polygon ≠ ∅ test (three cases)."""
+    """Axis-aligned-rect ∩ polygon ≠ ∅ (three cases: polygon vertex in
+    rect, rect corner in polygon, proper edge crossing). Exact for
+    OPEN-set intersection; measure-zero tangency (an edge lying along a
+    rect edge, or a crossing exactly through a rect corner) may report
+    false — the right semantics for tile clipping, where a zero-area
+    touch contributes no pixels. Degenerate rings match nothing."""
     vertex_in_rect = F.exists(
         poly,
         lambda v: (v["x"] >= x_lo) & (v["x"] <= x_hi)
@@ -91,7 +98,9 @@ def rect_intersects_polygon(
         return hit
 
     edge_cross = F.exists(F.sequence(F.lit(1), n), edge_hits)
-    return vertex_in_rect | corner_in_poly | edge_cross
+    return F.when(
+        n >= 3, vertex_in_rect | corner_in_poly | edge_cross
+    ).otherwise(F.lit(False))
 
 
 def points_in_polygons(

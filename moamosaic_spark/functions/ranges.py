@@ -35,16 +35,11 @@ def interval_join(
     i = intervals.withColumn(
         "_bk0", F.floor(F.col(start).cast("double") / b).cast("long")
     ).withColumn(
-        # end is EXCLUSIVE: an interval ending exactly on a bucket edge
-        # does not reach into that bucket
+        # end is EXCLUSIVE: the last bucket a half-open interval reaches
+        # is ceil(end/b) - 1 (an end exactly on a bucket edge does not
+        # reach into that bucket)
         "_bk1",
-        F.floor(
-            F.when(
-                F.col(end).cast("double") == F.floor(F.col(end).cast("double") / b) * b,
-                F.col(end).cast("double") - b / 2,
-            ).otherwise(F.col(end).cast("double"))
-            / b
-        ).cast("long"),
+        (F.ceil(F.col(end).cast("double") / b) - 1).cast("long"),
     )
     i = i.where(F.col("_bk1") >= F.col("_bk0")).withColumn(
         "_bk", F.explode(F.sequence(F.col("_bk0"), F.col("_bk1")))

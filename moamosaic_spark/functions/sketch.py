@@ -35,8 +35,10 @@ def kmv_distinct(
     """Per group: (n_hashes = exact distinct count of the hashed values,
     kmv_est = the k-minimum-values estimate, rounded to 4 decimals).
     Groups with fewer than k distinct values report the exact count
-    (the sketch is exact below its capacity)."""
-    h = df.select(
+    (the sketch is exact below its capacity). NULL values are excluded
+    (count-DISTINCT semantics; also keeps the rank order portable —
+    engines disagree on NULL ordering)."""
+    h = df.where(F.col(value_col).isNotNull()).select(
         *group_cols, hash32(F.col(value_col).cast("string")).alias("_h")
     ).distinct()
     w = Window.partitionBy(*group_cols).orderBy(F.col("_h").asc())

@@ -189,3 +189,18 @@ def test_polygon_clipped_assignment(spark):
         assert ((ti, tj) in clipped) == want, (ti, tj)
     # the 4 extreme corner tiles are exactly the dropped ones at this cut
     assert base - clipped == {(0, 0), (0, 7), (7, 0), (7, 7)}
+
+def test_degenerate_polygons_match_nothing(spark):
+    """Empty or sub-triangle rings contain nothing and intersect
+    nothing — must not crash (sequence(1, 0) descends; element_at
+    would error) [review finding]."""
+    rows = [(0, []), (1, [(1.0, 1.0)]), (2, [(0.0, 0.0), (2.0, 2.0)])]
+    df = spark.createDataFrame(rows, f"rid int, poly {POLY_TYPE}")
+    got = df.select(
+        "rid",
+        G.point_in_polygon(F.lit(1.0), F.lit(1.0), F.col("poly")).alias("pip"),
+        G.rect_intersects_polygon(
+            F.lit(0.0), F.lit(0.0), F.lit(5.0), F.lit(5.0), F.col("poly")
+        ).alias("hit"),
+    ).collect()
+    assert all(not r.pip and not r.hit for r in got), got
