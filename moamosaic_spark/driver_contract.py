@@ -1461,6 +1461,75 @@ FROM p ASOF LEFT JOIN v ON p.user_id = v.user_id AND p.ts >= v.ts
 """
 
 
+def q_events_daily_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hypertable-style continuous-aggregate rollup: daily stats
+    computed by RE-AGGREGATING hourly partials (count/sum/sum-of-
+    squares — the same partial algebra the stitch kernel uses for pixel
+    stats), never rescanning the raw events; the oracle computes daily
+    straight from raw. Matching proves the partial algebra is lossless
+    across the cascade — the property that makes continuous aggregates
+    correct at any depth."""
+    spark.conf.set("spark.sql.session.timeZone", "UTC")
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet").select(
+        F.col("ts").cast("timestamp").alias("_ts"),
+        "event_type",
+        # exact integer cents: partial sums are then EXACT, so the
+        # derived doubles are bit-identical across engines — round()
+        # on a float sum is not portable (Spark rounds the shortest
+        # decimal repr half-up; DuckDB rounds the true value)
+        F.bround(F.col("value") * 100).cast("long").alias("vc"),
+    )
+    hourly = ev.groupBy(
+        F.window("_ts", "1 hour").alias("w"), "event_type"
+    ).agg(
+        F.count("*").alias("n"),
+        F.sum("vc").alias("sc"),
+        F.sum(F.col("vc") * F.col("vc")).alias("qc"),
+    )
+    daily = hourly.groupBy(
+        F.date_trunc("day", F.col("w.start")).alias("day"), "event_type"
+    ).agg(
+        F.sum("n").alias("n"), F.sum("sc").alias("sc"), F.sum("qc").alias("qc")
+    )
+    mean = F.col("sc") / F.col("n") / 100.0
+    var = F.greatest(
+        F.col("qc") / F.col("n") / 10000.0 - mean * mean, F.lit(0.0)
+    )
+    # floor-scale instead of round: floor of a bit-identical double is
+    # bit-identical; round() is not (see above)
+    return daily.select(
+        F.date_format("day", "yyyy-MM-dd").alias("day"),
+        "event_type",
+        F.col("n").cast("long").alias("n"),
+        F.col("sc").cast("long").alias("sum_cents"),
+        F.floor(mean * 10000 + 0.5).cast("long").alias("mean_x1e4"),
+        F.floor(F.sqrt(var) * 10000 + 0.5).cast("long").alias("stddev_x1e4"),
+    )
+
+
+SQL_EVENTS_DAILY_ROLLUP = """
+WITH e AS (
+  SELECT date_trunc('day', ts) AS day, event_type,
+         CAST(round(value * 100) AS BIGINT) AS vc
+  FROM events
+),
+d AS (
+  SELECT day, event_type,
+         count(*) AS n, sum(vc) AS sc, sum(vc * vc) AS qc
+  FROM e GROUP BY 1, 2
+)
+SELECT strftime(day, '%Y-%m-%d') AS day,
+       event_type,
+       CAST(n AS BIGINT) AS n,
+       CAST(sc AS BIGINT) AS sum_cents,
+       CAST(floor(sc * 1.0 / n / 100.0 * 10000 + 0.5) AS BIGINT) AS mean_x1e4,
+       CAST(floor(sqrt(greatest(qc * 1.0 / n / 10000.0
+            - (sc * 1.0 / n / 100.0) * (sc * 1.0 / n / 100.0), 0.0))
+            * 10000 + 0.5) AS BIGINT) AS stddev_x1e4
+FROM d
+"""
+
+
 KMV_K = 8  # < the sf0.001 per-type distinct-user count, so the parity gate exercises the ESTIMATOR branch, not just the exact fallback
 
 
@@ -1745,6 +1814,7 @@ def queries() -> dict:
         "embedding_topk": q_embedding_topk,
         "lineitem_agg": q_lineitem_agg,
         "events_hourly": q_events_hourly,
+        "events_daily_rollup": q_events_daily_rollup,
         "orders_by_nation": q_orders_by_nation,
         "events_interval_union": q_events_interval_union,
         "top_events_per_user": q_top_events_per_user,
@@ -1784,6 +1854,7 @@ def oracle_sql() -> dict:
         "embedding_topk": SQL_EMBEDDING_TOPK,
         "lineitem_agg": SQL_LINEITEM_AGG,
         "events_hourly": SQL_EVENTS_HOURLY,
+        "events_daily_rollup": SQL_EVENTS_DAILY_ROLLUP,
         "orders_by_nation": SQL_ORDERS_BY_NATION,
         "events_interval_union": SQL_EVENTS_INTERVAL_UNION,
         "top_events_per_user": SQL_TOP_EVENTS_PER_USER,
