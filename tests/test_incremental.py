@@ -170,6 +170,13 @@ def test_relayout_survives_catalog_restart(spark, tmp_path):
     rasters, fp_meta, blocks, docs_pdf, want, cfg = make_corpus(spark)
     out = str(tmp_path / "inc_restart")
     table = "work_restart"
+    # clean any leftovers of a previously-killed run (the test mutates
+    # the shared warehouse, so it must be self-cleaning)
+    wh0 = urlparse(spark.conf.get("spark.sql.warehouse.dir")).path
+    for t in (table, f"{table}_meta"):
+        spark.sql(f"DROP TABLE IF EXISTS {t}")
+        shutil.rmtree(f"{wh0}/{t}", ignore_errors=True)
+        shutil.rmtree(f"{wh0}/{t}__saved", ignore_errors=True)
 
     half = len(docs_pdf) // 2
     b0 = to_documents(spark, docs_pdf.iloc[:half])
