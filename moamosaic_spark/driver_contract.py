@@ -1474,10 +1474,10 @@ def q_events_daily_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("ts").cast("timestamp").alias("_ts"),
         "event_type",
         # exact integer cents: partial sums are then EXACT, so the
-        # derived doubles are bit-identical across engines — round()
-        # on a float sum is not portable (Spark rounds the shortest
-        # decimal repr half-up; DuckDB rounds the true value)
-        F.bround(F.col("value") * 100).cast("long").alias("vc"),
+        # derived doubles are bit-identical across engines. floor of
+        # the identical double is portable; round()/bround() are not
+        # (engines disagree on both .5 ties AND shortest-repr rounding)
+        F.floor(F.col("value") * 100 + 0.5).cast("long").alias("vc"),
     )
     hourly = ev.groupBy(
         F.window("_ts", "1 hour").alias("w"), "event_type"
@@ -1510,7 +1510,7 @@ def q_events_daily_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
 SQL_EVENTS_DAILY_ROLLUP = """
 WITH e AS (
   SELECT date_trunc('day', ts) AS day, event_type,
-         CAST(round(value * 100) AS BIGINT) AS vc
+         CAST(floor(value * 100 + 0.5) AS BIGINT) AS vc
   FROM events
 ),
 d AS (

@@ -172,11 +172,11 @@ def test_relayout_survives_catalog_restart(spark, tmp_path):
     table = "work_restart"
     # clean any leftovers of a previously-killed run (the test mutates
     # the shared warehouse, so it must be self-cleaning)
-    wh0 = urlparse(spark.conf.get("spark.sql.warehouse.dir")).path
+    wh = urlparse(spark.conf.get("spark.sql.warehouse.dir")).path
     for t in (table, f"{table}_meta"):
         spark.sql(f"DROP TABLE IF EXISTS {t}")
-        shutil.rmtree(f"{wh0}/{t}", ignore_errors=True)
-        shutil.rmtree(f"{wh0}/{t}__saved", ignore_errors=True)
+        shutil.rmtree(f"{wh}/{t}", ignore_errors=True)
+        shutil.rmtree(f"{wh}/{t}__saved", ignore_errors=True)
 
     half = len(docs_pdf) // 2
     b0 = to_documents(spark, docs_pdf.iloc[:half])
@@ -185,7 +185,6 @@ def test_relayout_survives_catalog_restart(spark, tmp_path):
 
     # simulate restart: copy warehouse dirs aside, DROP (deletes the
     # originals), restore the copies -> files exist, catalog forgot them
-    wh = urlparse(spark.conf.get("spark.sql.warehouse.dir")).path
     for t in (table, f"{table}_meta"):
         shutil.copytree(f"{wh}/{t}", f"{wh}/{t}__saved")
         spark.sql(f"DROP TABLE {t}")
