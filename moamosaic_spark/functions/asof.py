@@ -6,47 +6,66 @@ union + last-non-null-window construction, entirely built-in operators.
 Semantics match DuckDB's ``ASOF LEFT JOIN`` (the oracle twin):
 inclusive (right.ts == left.ts matches), unmatched left rows keep
 nulls. Right rows must be unique per (key, ts) for deterministic
-payloads — dedupe upstream (e.g. max_by a tiebreak column).
+payloads — dedupe upstream (e.g. max_by a tiebreak column). Right
+payload values MAY be null: the whole right row is carried as ONE
+struct (non-null for every right row), so a legitimately-null payload
+column never tears the match apart across columns — all payloads and
+``ts_r`` always come from the same matched right row.
 
 Scale shape: ONE shuffle on the key. The plain form sorts each key's
 full history inside one window partition — fine until a single key's
 history outgrows a task. ``bucket_seconds`` switches to the two-pass
 time-bucketed form: windows run per (key, time-bucket), and each
-bucket is seeded with the last right row of all EARLIER buckets
-(computed on the tiny per-(key, bucket) tail relation) — no per-key
-serialization, hot keys split across reducers.
+bucket is seeded with the last right row of all EARLIER buckets. The
+seeds are derived with a single window over the per-(key, bucket) tail
+relation (one row per bucket — O(B log B) per key, never the O(B^2)
+bucket x bucket self-join) — no per-key row serialization, hot keys
+split across reducers.
 """
 
 from __future__ import annotations
 
 from pyspark.sql import DataFrame, Window, functions as F
 
-_SIDE, _RTS = "_asof_side", "_asof_rts"
+_SIDE, _PAY, _RTS = "_asof_side", "_asof_pay", "_asof_rts"
 
 
 def _prep(left: DataFrame, right: DataFrame, on: list[str], ts: str,
           right_values: list[str], suffix: str):
     rv = {v: f"{v}{suffix}" for v in right_values}
     l2 = left.withColumn(_SIDE, F.lit(1))
+    # one struct per right row: non-null even when every payload value
+    # is null, so a single last(ignorenulls) carries the matched row
+    # atomically (ts + all payloads from the SAME row).
     r2 = right.select(
         *on,
         F.col(ts),
         F.lit(0).alias(_SIDE),
-        F.col(ts).alias(_RTS),
-        *[F.col(v).alias(out) for v, out in rv.items()],
+        F.struct(
+            F.col(ts).alias(_RTS),
+            *[F.col(v).alias(out) for v, out in rv.items()],
+        ).alias(_PAY),
     )
     return l2, r2, rv
 
 
-def _apply_window(u: DataFrame, part_cols: list, ts: str, rv: dict) -> DataFrame:
+def _apply_window(u: DataFrame, part_cols: list, ts: str) -> DataFrame:
     w = (
         Window.partitionBy(*part_cols)
         .orderBy(F.col(ts).asc(), F.col(_SIDE).asc())
         .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     )
-    for out in list(rv.values()) + [_RTS]:
-        u = u.withColumn(out, F.last(out, ignorenulls=True).over(w))
-    return u
+    return u.withColumn(_PAY, F.last(_PAY, ignorenulls=True).over(w))
+
+
+def _unpack(u: DataFrame, ts: str, rv: dict, suffix: str) -> DataFrame:
+    out = u.where(F.col(_SIDE) == 1)
+    for o in rv.values():
+        out = out.withColumn(o, F.col(f"{_PAY}.{o}"))
+    return (
+        out.withColumn(f"{ts}{suffix}", F.col(f"{_PAY}.{_RTS}"))
+        .drop(_SIDE, _PAY)
+    )
 
 
 def asof_join(
@@ -66,12 +85,8 @@ def asof_join(
                               float(bucket_seconds))
     l2, r2, rv = _prep(left, right, on, ts, right_values, suffix)
     u = l2.unionByName(r2, allowMissingColumns=True)
-    u = _apply_window(u, on, ts, rv)
-    return (
-        u.where(F.col(_SIDE) == 1)
-        .withColumn(f"{ts}{suffix}", F.col(_RTS))
-        .drop(_SIDE, _RTS)
-    )
+    u = _apply_window(u, on, ts)
+    return _unpack(u, ts, rv, suffix)
 
 
 def _asof_bucketed(
@@ -84,43 +99,44 @@ def _asof_bucketed(
     l2 = l2.withColumn("_bk", b(ts))
     r2 = r2.withColumn("_bk", b(ts))
 
-    # per-(key, bucket) LAST right row — tiny tail relation
+    # per-(key, bucket) LAST right row — tiny tail relation (<= one row
+    # per (key, bucket)); ordered by the struct's ts field.
     tail = r2.groupBy(*on, "_bk").agg(
-        F.max_by(F.struct(_RTS, *rv.values()), F.col(_RTS)).alias("_t")
+        F.max_by(_PAY, F.col(f"{_PAY}.{_RTS}")).alias("_t")
     )
-    # every bucket that holds a LEFT row needs the latest right row of
-    # all EARLIER buckets as its seed (including buckets with no right
-    # rows at all) — computed over buckets-per-key, not over rows
-    all_b = (
+    # every bucket that holds a LEFT row needs the latest right tail of
+    # all STRICTLY EARLIER buckets as its seed (including buckets with
+    # no right rows at all). Derived with one window over the bucket-
+    # level relation: need-rows (one per left bucket, null _t) sort
+    # BEFORE the same bucket's tail row, so a frame ending at the
+    # current row sees exactly the tails of earlier buckets.
+    need = (
         l2.select(*on, "_bk").distinct()
-        .unionByName(tail.select(*on, "_bk"))
-        .distinct()
+        .withColumn("_isr", F.lit(0))
     )
-    carried = (
-        all_b.join(
-            tail.select(*on, F.col("_bk").alias("_tbk"), "_t"),
-            on=on, how="left",
+    combined = tail.withColumn("_isr", F.lit(1)).unionByName(
+        need, allowMissingColumns=True  # fills _t with a typed null
+    )
+    w_seed = (
+        Window.partitionBy(*on)
+        .orderBy(F.col("_bk").asc(), F.col("_isr").asc())
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    seed_rows = (
+        combined.withColumn("_seed", F.last("_t", ignorenulls=True).over(w_seed))
+        .where((F.col("_isr") == 0) & F.col("_seed").isNotNull())
+        .select(
+            *on,
+            "_bk",
+            F.lit(0).alias(_SIDE),
+            F.col("_seed").alias(_PAY),
+            # the seed's real (earlier-bucket) ts sorts it before every
+            # row of this bucket
+            F.col(f"_seed.{_RTS}").alias(ts),
         )
-        .where(F.col("_tbk").isNull() | (F.col("_tbk") < F.col("_bk")))
-        .groupBy(*on, "_bk")
-        .agg(F.max_by("_t", F.col("_tbk")).alias("_seed"))
-    )
-    seed_rows = carried.where(F.col("_seed").isNotNull()).select(
-        *on,
-        "_bk",
-        F.lit(0).alias(_SIDE),
-        F.col(f"_seed.{_RTS}").alias(_RTS),
-        *[F.col(f"_seed.{out}").alias(out) for out in rv.values()],
-        # the seed's real (earlier-bucket) ts sorts it before every row
-        # of this bucket
-        F.col(f"_seed.{_RTS}").alias(ts),
     )
     u = l2.unionByName(r2, allowMissingColumns=True).unionByName(
         seed_rows, allowMissingColumns=True
     )
-    u = _apply_window(u, [*on, "_bk"], ts, rv)
-    return (
-        u.where(F.col(_SIDE) == 1)
-        .withColumn(f"{ts}{suffix}", F.col(_RTS))
-        .drop(_SIDE, _RTS, "_bk")
-    )
+    u = _apply_window(u, [*on, "_bk"], ts)
+    return _unpack(u, ts, rv, suffix).drop("_bk")

@@ -205,6 +205,155 @@ def simhash(docs: DataFrame, id_col: str = "doc_id", text_col: str = "text",
     return votes.select("doc_id", fp.alias("simhash"))
 
 
+def exact_duplicate_edges(
+    docs: DataFrame, id_col: str = "doc_id", text_col: str = "text"
+) -> DataFrame:
+    """Exact-duplicate relation as EDGES (doc_a=group min, doc_b=other
+    member) — the shape connected_components consumes, so exact and
+    near-duplicate evidence union into one graph."""
+    fps = docs.select(
+        F.col(id_col).alias("doc_id"), fingerprint(F.col(text_col)).alias("fp")
+    )
+    keep = fps.groupBy("fp").agg(F.min("doc_id").alias("keep_id"))
+    return (
+        fps.join(keep, on="fp")
+        .where(F.col("doc_id") != F.col("keep_id"))
+        .select(F.col("keep_id").alias("doc_a"), F.col("doc_id").alias("doc_b"))
+    )
+
+
+def _cc_large_star(e: DataFrame) -> DataFrame:
+    """Large-star round: every node u connects its LARGER neighbors to
+    the min of its full neighborhood (incl. itself)."""
+    sym = e.unionByName(e.select(F.col("v").alias("u"), F.col("u").alias("v")))
+    mins = sym.groupBy("u").agg(F.min("v").alias("m"))
+    mins = mins.select("u", F.least("u", "m").alias("m"))
+    return (
+        sym.join(mins, on="u")
+        .where(F.col("v") > F.col("u"))
+        .select(F.col("v").alias("u"), F.col("m").alias("v"))
+        .where(F.col("u") != F.col("v"))
+        .distinct()
+    )
+
+
+def _cc_small_star(e: DataFrame) -> DataFrame:
+    """Small-star round: edges oriented (larger -> smaller); every node
+    connects its smaller neighbors (and itself) to its min neighbor."""
+    o = e.select(F.greatest("u", "v").alias("u"), F.least("u", "v").alias("v"))
+    mins = o.groupBy("u").agg(F.min("v").alias("m"))
+    out = (
+        o.join(mins, on="u")
+        .select(F.col("v").alias("u"), F.col("m").alias("v"))
+        .unionByName(mins.select("u", F.col("m").alias("v")))
+    )
+    return out.where(F.col("u") != F.col("v")).distinct()
+
+
+def connected_components(
+    edges: DataFrame,
+    src: str = "doc_a",
+    dst: str = "doc_b",
+    max_iterations: int = 25,
+    stats: dict | None = None,
+) -> DataFrame:
+    """Connected components over an undirected edge relation in pure
+    DataFrame algebra — the step that turns pairwise duplicate evidence
+    into keep/drop CLUSTERS (A~B, B~C must collapse to one kept doc
+    even when A and C share no band).
+
+    Alternating large-star / small-star contraction (Kiveris et al.,
+    "Connected Components in MapReduce and Beyond", SoCC 2014):
+    each round is two groupBy-min + self-join passes over the edge
+    set, converging in O(log^2 n) rounds (2-3 in practice for
+    near-dup graphs, whose components are short chains). Every round
+    is localCheckpoint'ed — iterative loops otherwise stack plans
+    until analysis itself dominates. Scale shape: per-round cost is
+    O(|E|) shuffle on node id; no step ever materializes a component
+    membership list on one row, so a 10^9-node duplicate graph runs
+    with bounded task memory.
+
+    Returns (doc_id, cluster_id) for every node OF THE EDGE SET,
+    cluster_id = min node id in its component (deterministic canonical
+    representative). Isolated docs never enter the edge relation —
+    callers left-join and coalesce to the doc's own id. Node ids may
+    be any orderable type (long, string).
+
+    ``stats`` (optional dict) receives {"iterations": n} — the bench
+    and tests assert the O(log n) bound.
+    """
+    e = (
+        edges.select(F.col(src).alias("u"), F.col(dst).alias("v"))
+        .where(F.col("u") != F.col("v"))
+        .distinct()
+        .localCheckpoint(eager=True)
+    )
+    n_iter = 0
+    for _ in range(max_iterations):
+        e2 = _cc_small_star(_cc_large_star(e)).localCheckpoint(eager=True)
+        n_iter += 1
+        unchanged = (
+            e2.join(e, on=["u", "v"], how="left_anti").isEmpty()
+            and e.join(e2, on=["u", "v"], how="left_anti").isEmpty()
+        )
+        e = e2
+        if unchanged:
+            break
+    else:
+        raise RuntimeError(
+            f"connected_components did not converge in {max_iterations} rounds"
+        )
+    if stats is not None:
+        stats["iterations"] = n_iter
+    # at the fixpoint the edge set is a star forest: (node, component
+    # min) for every non-root node; roots appear only on the right.
+    assign = (
+        e.groupBy("u")
+        .agg(F.min("v").alias("cluster_id"))
+        .select(F.col("u").alias("doc_id"), "cluster_id")
+    )
+    roots = (
+        e.select(F.col("v").alias("doc_id")).distinct()
+        .join(assign.select("doc_id"), on="doc_id", how="left_anti")
+        .select("doc_id", F.col("doc_id").alias("cluster_id"))
+    )
+    return assign.unionByName(roots)
+
+
+def dedup_clusters(
+    docs: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    k: int = 3,
+    num_hashes: int = 16,
+    bands: int = 4,
+    threshold: float = 0.5,
+    signatures: DataFrame | None = None,
+    stats: dict | None = None,
+) -> DataFrame:
+    """End-to-end duplicate-cluster assignment: near-dup pairs (banded
+    LSH + exact Jaccard re-rank) UNION exact-fingerprint edges ->
+    connected components -> (doc_id, cluster_id, is_kept) for EVERY
+    document (singletons are their own cluster). is_kept marks the
+    canonical representative (min doc_id of the cluster) — the corpus
+    keep/drop decision a production dedup pipeline ends with."""
+    near = lsh_neardup_pairs(
+        docs, id_col, text_col, k, num_hashes, bands, threshold,
+        signatures=signatures,
+    ).select("doc_a", "doc_b")
+    edges = near.unionByName(exact_duplicate_edges(docs, id_col, text_col))
+    cc = connected_components(edges, stats=stats)
+    return (
+        docs.select(F.col(id_col).alias("doc_id"))
+        .join(cc, on="doc_id", how="left")
+        .select(
+            "doc_id",
+            F.coalesce(F.col("cluster_id"), F.col("doc_id")).alias("cluster_id"),
+        )
+        .withColumn("is_kept", F.col("doc_id") == F.col("cluster_id"))
+    )
+
+
 def lsh_neardup_pairs(
     docs: DataFrame,
     id_col: str = "doc_id",

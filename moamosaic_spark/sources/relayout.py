@@ -84,14 +84,34 @@ def _write_meta(
 
 
 def _table_location(spark: SparkSession, table: str) -> str | None:
-    """Local-filesystem warehouse path of a managed table, or None when
-    the warehouse is not local (a real catalog survives restarts)."""
+    """Filesystem path where a managed table's files live (or would
+    live), resolved through the CATALOG's database location — never by
+    string-pasting ``<warehouse>/<name>``: Spark stores ``db.tbl`` at
+    ``<warehouse>/<db>.db/<tbl>``, so the paste would miss surviving
+    files after a restart, create a fresh empty table, and (with the
+    seen-refs checkpoint still marking old batches seen) silently drop
+    their work rows from every later stitch. Returns None when the
+    database is unknown to this catalog or its location is not a local
+    filesystem (a real catalog survives restarts, so the re-register
+    path is moot there)."""
     from urllib.parse import urlparse
 
-    wh = spark.conf.get("spark.sql.warehouse.dir", "")
-    p = urlparse(wh)
+    parts = table.lower().split(".")
+    if len(parts) > 1 and parts[0] == "spark_catalog":
+        parts = parts[1:]
+    if len(parts) == 1:
+        db, tbl = spark.catalog.currentDatabase().lower(), parts[0]
+    elif len(parts) == 2:
+        db, tbl = parts
+    else:
+        return None
+    try:
+        db_loc = spark.catalog.getDatabase(db).locationUri
+    except Exception:
+        return None  # database unknown to this (restarted) catalog
+    p = urlparse(db_loc)
     if p.scheme in ("", "file"):
-        return f"{p.path or wh}/{table.lower()}"
+        return f"{p.path or db_loc}/{tbl}"
     return None
 
 
@@ -210,12 +230,10 @@ def _drop_stale_location(spark: SparkSession, table: str) -> None:
     blocks re-creation (LOCATION_ALREADY_EXISTS). Local warehouses only
     — object-store warehouses use a real persistent catalog."""
     import shutil
-    from urllib.parse import urlparse
 
-    wh = spark.conf.get("spark.sql.warehouse.dir", "")
-    p = urlparse(wh)
-    if p.scheme in ("", "file"):
-        shutil.rmtree(f"{p.path or wh}/{table.lower()}", ignore_errors=True)
+    loc = _table_location(spark, table)
+    if loc is not None:
+        shutil.rmtree(loc, ignore_errors=True)
 
 
 def _load_meta(spark: SparkSession, table: str) -> dict:

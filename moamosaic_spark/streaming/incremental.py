@@ -36,6 +36,7 @@ from pyspark.sql import DataFrame, SparkSession, functions as F
 
 from ..mosaic import MosaicConfig, do_mosaic
 from ..sources.docs import dense_global_rank, media_first_seen
+from .lineage import read_parquet_if_exists as _read_parquet_if_exists
 
 
 def _state_path(out_path: str) -> str:
@@ -50,13 +51,13 @@ def _check_sink_parts(spark: SparkSession, out_path: str, sink_parts: int) -> No
     as stale duplicates. Persist the modulus on first write and refuse
     a mismatch (rebuild the sink to change it)."""
     path = f"{out_path}/_sink_meta"
-    try:
-        prev = spark.read.parquet(path).collect()[0].sink_parts
-    except Exception:
+    meta = _read_parquet_if_exists(spark, path)
+    if meta is None:
         spark.createDataFrame(
             [(int(sink_parts),)], "sink_parts int"
         ).write.mode("overwrite").parquet(path)
         return
+    prev = meta.collect()[0].sink_parts
     if int(prev) != int(sink_parts):
         raise ValueError(
             f"sink at {out_path} was written with sink_parts={int(prev)}; "
@@ -67,10 +68,7 @@ def _check_sink_parts(spark: SparkSession, out_path: str, sink_parts: int) -> No
 
 
 def read_seen(spark: SparkSession, out_path: str) -> DataFrame | None:
-    try:
-        return spark.read.parquet(_state_path(out_path))
-    except Exception:
-        return None
+    return _read_parquet_if_exists(spark, _state_path(out_path))
 
 
 def process_batch(
@@ -169,10 +167,7 @@ def process_batch(
     # containing touched tiles, carrying over their untouched rows.
     # Dynamic partition overwrite alone would drop untouched tiles that
     # share a partition with touched ones.
-    try:
-        existing = spark.read.parquet(f"{out_path}/tiles")
-    except Exception:
-        existing = None
+    existing = _read_parquet_if_exists(spark, f"{out_path}/tiles")
     if existing is not None:
         keep = (
             existing.join(touched, on=["tile_row", "tile_col"], how="left_anti")

@@ -45,11 +45,22 @@ def _delete_path(spark: SparkSession, path: str) -> None:
     fs.delete(hpath, True)
 
 
-def read_lineage(spark: SparkSession, out_path: str) -> DataFrame | None:
-    try:
-        return spark.read.parquet(_lineage_path(out_path))
-    except Exception:
+def read_parquet_if_exists(spark: SparkSession, path: str) -> DataFrame | None:
+    """Read a parquet path, or None ONLY when the path genuinely does
+    not exist. Any other failure (corrupt file, transient FS error,
+    permission) PROPAGATES: callers treat "absent" as "first write /
+    nothing done yet", and masking a transient error as absence would
+    silently re-run completed work, restart priorities, or re-arm
+    guards the state exists to hold."""
+    jvm_path = spark._jvm.org.apache.hadoop.fs.Path(path)
+    fs = jvm_path.getFileSystem(spark._jsc.hadoopConfiguration())
+    if not fs.exists(jvm_path):
         return None
+    return spark.read.parquet(path)
+
+
+def read_lineage(spark: SparkSession, out_path: str) -> DataFrame | None:
+    return read_parquet_if_exists(spark, _lineage_path(out_path))
 
 
 def completed_batches(

@@ -71,6 +71,34 @@ def test_asof_matches_python_oracle(spark, data):
     assert got[99002] == (None, None)
 
 
+@pytest.mark.parametrize("bucket", [None, 20.0])
+def test_asof_null_right_payload_not_torn(spark, bucket):
+    """A matched right row whose payload is legitimately NULL must win
+    as a whole row: the output carries (its ts, null), never an OLDER
+    right row's payload next to the newer matched ts (per-column
+    last(ignorenulls) would tear the row; the struct carry must not)."""
+    ldf = spark.createDataFrame([(1, 0, 100.0)], "lid long, k int, ts double")
+    rdf = spark.createDataFrame(
+        [(0, 10.0, 7), (0, 50.0, None)], "k int, ts double, v long"
+    )
+    kw = {} if bucket is None else {"bucket_seconds": bucket}
+    [r] = asof_join(ldf, rdf, on=["k"], ts="ts", right_values=["v"], **kw).collect()
+    assert (r.ts_r, r.v_r) == (50.0, None)
+
+
+def test_asof_bucketed_plan_has_no_join(spark, data):
+    """The bucketed form's seeds come from a window over the bucket-level
+    tail relation — the plan must contain NO join at all (the old
+    buckets x tail-buckets self-join was O(B^2) per key)."""
+    left, right = data
+    ldf = spark.createDataFrame(left, "lid long, k int, ts double")
+    rdf = spark.createDataFrame(right, "k int, ts double, v long")
+    plan = asof_join(
+        ldf, rdf, on=["k"], ts="ts", right_values=["v"], bucket_seconds=20.0
+    )._jdf.queryExecution().executedPlan().toString()
+    assert "Join" not in plan, plan
+
+
 @pytest.mark.parametrize("bucket", [7.0, 50.0, 10000.0])
 def test_asof_bucketed_equals_plain(spark, data, bucket):
     """The bucketed form (bounded window partitions + cross-bucket

@@ -195,6 +195,45 @@ def test_relayout_survives_catalog_restart(spark, tmp_path):
     check_covered_tiles(spark, out, want)
 
 
+def test_relayout_restart_with_db_qualified_table(spark, tmp_path):
+    """Database-qualified relayout tables live at <wh>/<db>.db/<tbl>,
+    NOT <wh>/<db.tbl> — the location must be resolved through the
+    catalog, or a restarted session misses the surviving files, makes
+    a fresh empty table, and silently loses every pre-restart batch."""
+    import shutil
+    from urllib.parse import urlparse
+
+    from moamosaic_spark.sources.relayout import _table_location
+
+    rasters, fp_meta, blocks, docs_pdf, want, cfg = make_corpus(spark)
+    out = str(tmp_path / "inc_restart_db")
+    spark.sql("CREATE DATABASE IF NOT EXISTS relaydb")
+    table = "relaydb.work_restart_db"
+    wh = urlparse(spark.conf.get("spark.sql.warehouse.dir")).path
+    loc = _table_location(spark, table)
+    assert loc == f"{wh}/relaydb.db/work_restart_db"
+    for t in (table, f"{table}_meta"):
+        spark.sql(f"DROP TABLE IF EXISTS {t}")
+        shutil.rmtree(_table_location(spark, t), ignore_errors=True)
+        shutil.rmtree(_table_location(spark, t) + "__saved", ignore_errors=True)
+
+    half = len(docs_pdf) // 2
+    b0 = to_documents(spark, docs_pdf.iloc[:half])
+    b1 = to_documents(spark, docs_pdf.iloc[half:])
+    process_batch(b0, 0, spark, fp_meta, blocks, out, cfg, relayout_table=table)
+
+    for t in (table, f"{table}_meta"):
+        tloc = _table_location(spark, t)
+        shutil.copytree(tloc, f"{tloc}__saved")
+        spark.sql(f"DROP TABLE {t}")
+        shutil.move(f"{tloc}__saved", tloc)
+
+    process_batch(b1, 1, spark, fp_meta, blocks, out, cfg, relayout_table=table)
+    check_covered_tiles(spark, out, want)
+    for t in (table, f"{table}_meta"):
+        spark.sql(f"DROP TABLE IF EXISTS {t}")
+
+
 def test_sink_parts_change_is_refused(spark, tmp_path):
     """Resuming an existing incremental sink with a different
     sink_parts would strand stale tiles in the old part= partitions —
