@@ -1210,6 +1210,134 @@ WHERE jaccard >= 0.2
 """
 
 
+def q_dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Duplicate-CLUSTER assignment — the step after pairwise dedup:
+    near-dup pairs (LSH + exact-Jaccard re-rank) union exact-fingerprint
+    edges, resolved to connected components (alternating large-star/
+    small-star, functions/dedup.py:connected_components), one row per
+    document with its component-min cluster id and the keep flag. A
+    chain A~B~C where A and C share no LSH band still collapses to one
+    kept doc. Oracle: DuckDB recursive-CTE transitive closure."""
+    docs = _read_docs(spark, sf_dir)
+    cl = D.dedup_clusters(
+        docs, k=3, num_hashes=N_MINHASH, bands=N_LSH_BANDS, threshold=0.2,
+        signatures=_minhash_sig_cached(spark, sf_dir),
+    )
+    return cl.select(
+        F.col("doc_id").cast("long").alias("doc_id"),
+        F.col("cluster_id").cast("long").alias("cluster_id"),
+        F.col("is_kept").cast("int").alias("is_kept"),
+    )
+
+
+def _near_exact_edge_ctes() -> str:
+    """CTE block producing the undirected duplicate-evidence edge set
+    (near-dup pairs at threshold 0.2 union exact-fingerprint edges) —
+    shared by the clusters oracle and the clustered corpus-clean
+    oracle. Assumes _SQL_SHINGLES + _lsh_sig_bb_ctes() are in scope."""
+    return """cand AS (
+  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b
+  FROM bb a
+  JOIN bb b ON a.band = b.band AND a.bucket = b.bucket AND a.doc_id < b.doc_id
+  GROUP BY 1, 2
+),
+sets AS (
+  SELECT doc_id, list(shingle) AS shset, count(*) AS n_sh FROM sh GROUP BY doc_id
+),
+near AS (
+  SELECT c.doc_a AS u, c.doc_b AS v
+  FROM cand c
+  JOIN sets sa ON sa.doc_id = c.doc_a
+  JOIN sets sb ON sb.doc_id = c.doc_b
+  WHERE len(list_intersect(sa.shset, sb.shset)) * 1.0
+        / (sa.n_sh + sb.n_sh - len(list_intersect(sa.shset, sb.shset))) >= 0.2
+),
+fps AS (
+  SELECT doc_id, md5(regexp_replace(lower(trim(text)), '\\s+', ' ', 'g')) AS fp
+  FROM documents
+),
+exact_e AS (
+  SELECT min(doc_id) OVER (PARTITION BY fp) AS u, doc_id AS v
+  FROM fps
+  QUALIFY u <> v
+),
+e0 AS (SELECT u, v FROM near UNION SELECT u, v FROM exact_e),
+edges AS (SELECT u, v FROM e0 UNION SELECT v AS u, u AS v FROM e0),
+reach(u, v) AS (
+  SELECT u, v FROM edges
+  UNION
+  SELECT r.u, e.v FROM reach r JOIN edges e ON r.v = e.u
+),
+lab AS (
+  SELECT u AS doc_id, least(u, min(v)) AS cluster_id FROM reach GROUP BY u
+)"""
+
+
+def _dedup_clusters_sql() -> str:
+    return f"""{_SQL_SHINGLES.replace("WITH toks", "WITH RECURSIVE toks", 1)},
+{_lsh_sig_bb_ctes()},
+{_near_exact_edge_ctes()}
+SELECT CAST(d.doc_id AS BIGINT) AS doc_id,
+       CAST(coalesce(l.cluster_id, d.doc_id) AS BIGINT) AS cluster_id,
+       CAST(coalesce(l.cluster_id, d.doc_id) = d.doc_id AS INT) AS is_kept
+FROM documents d
+LEFT JOIN lab l ON l.doc_id = d.doc_id
+"""
+
+
+def q_corpus_clean_clustered(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """corpus_clean consuming CLUSTERS: quality gate, then keep exactly
+    the min-id passing doc of each duplicate cluster (near + exact
+    evidence, transitively closed) — the full production keep/drop
+    chain, vs q_corpus_clean's exact-only keep-list."""
+    docs = _read_docs(spark, sf_dir)
+    qf = T.quality_features(docs)
+    passed = qf.where((F.col("n_tokens") >= 10) & (F.col("stopword_ratio") <= 0.5))
+    clusters = D.dedup_clusters(
+        docs, k=3, num_hashes=N_MINHASH, bands=N_LSH_BANDS, threshold=0.2,
+        signatures=_minhash_sig_cached(spark, sf_dir),
+    ).select("doc_id", "cluster_id")
+    pc = passed.join(clusters, on="doc_id")
+    keep = pc.groupBy("cluster_id").agg(F.min("doc_id").alias("doc_id"))
+    return (
+        pc.join(keep.select("doc_id"), on="doc_id", how="left_semi")
+        .select(
+            F.col("doc_id").cast("long").alias("doc_id"),
+            F.col("cluster_id").cast("long").alias("cluster_id"),
+            F.col("n_tokens").cast("long").alias("n_tokens"),
+        )
+    )
+
+
+def _corpus_clean_clustered_sql() -> str:
+    return f"""{_SQL_SHINGLES.replace("WITH toks", "WITH RECURSIVE toks", 1)},
+{_lsh_sig_bb_ctes()},
+{_near_exact_edge_ctes()},
+qf AS (
+  SELECT doc_id,
+         len(string_split_regex(trim(text), '\\s+')) AS n_tokens,
+         CASE WHEN len(string_split_regex(trim(text), '\\s+')) > 0
+           THEN len(list_filter(string_split_regex(trim(text), '\\s+'),
+                    x -> x IN ('the','a','and','of','to','in','is','it'))) * 1.0
+                / len(string_split_regex(trim(text), '\\s+'))
+           ELSE 0.0 END AS stopword_ratio
+  FROM documents
+),
+passed AS (
+  SELECT p.doc_id, p.n_tokens,
+         coalesce(l.cluster_id, p.doc_id) AS cluster_id
+  FROM qf p
+  LEFT JOIN lab l ON l.doc_id = p.doc_id
+  WHERE p.n_tokens >= 10 AND p.stopword_ratio <= 0.5
+)
+SELECT CAST(doc_id AS BIGINT) AS doc_id,
+       CAST(cluster_id AS BIGINT) AS cluster_id,
+       CAST(n_tokens AS BIGINT) AS n_tokens
+FROM passed
+QUALIFY doc_id = min(doc_id) OVER (PARTITION BY cluster_id)
+"""
+
+
 def q_dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = _read_docs(spark, sf_dir)
     return D.simhash(docs).select(
@@ -1810,6 +1938,8 @@ def queries() -> dict:
         "dedup_minhash_sig": q_dedup_minhash_sig,
         "dedup_lsh_candidates": q_dedup_lsh_candidates,
         "dedup_lsh_neardup": q_dedup_lsh_neardup,
+        "dedup_clusters": q_dedup_clusters,
+        "corpus_clean_clustered": q_corpus_clean_clustered,
         "dedup_simhash": q_dedup_simhash,
         "embedding_topk": q_embedding_topk,
         "lineitem_agg": q_lineitem_agg,
@@ -1850,6 +1980,8 @@ def oracle_sql() -> dict:
         "dedup_minhash_sig": _minhash_sig_sql(),
         "dedup_lsh_candidates": _lsh_candidates_sql(),
         "dedup_lsh_neardup": _lsh_neardup_sql(),
+        "dedup_clusters": _dedup_clusters_sql(),
+        "corpus_clean_clustered": _corpus_clean_clustered_sql(),
         "dedup_simhash": SQL_DEDUP_SIMHASH,
         "embedding_topk": SQL_EMBEDDING_TOPK,
         "lineitem_agg": SQL_LINEITEM_AGG,

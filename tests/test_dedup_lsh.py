@@ -192,3 +192,58 @@ def test_lsh_neardup_rerank_has_no_array_payload(spark):
         assert exact[pair] == j
     # near-identical docs must be recalled (all bands tie on the core)
     assert (0, 1) in got and (1, 2) in got
+
+
+def test_connected_components_path_graph_log_rounds(spark):
+    """A 64-node path graph (worst-case diameter for naive label
+    propagation) must collapse to ONE cluster rooted at the min node in
+    O(log n) alternating large/small-star rounds — not O(n)."""
+    edges = spark.createDataFrame(
+        [(i, i + 1) for i in range(63)], "doc_a long, doc_b long"
+    )
+    stats = {}
+    cc = {r.doc_id: r.cluster_id
+          for r in D.connected_components(edges, stats=stats).collect()}
+    assert cc == {i: 0 for i in range(64)}
+    assert stats["iterations"] <= 7, stats  # ~log2(64) + slack, never ~64
+
+
+def test_connected_components_multi_component_and_types(spark):
+    """Separate components keep separate min labels; string ids order
+    lexicographically."""
+    edges = spark.createDataFrame(
+        [("d9", "d2"), ("d2", "d5"), ("x1", "x2")], "doc_a string, doc_b string"
+    )
+    cc = {r.doc_id: r.cluster_id
+          for r in D.connected_components(edges).collect()}
+    assert cc == {"d9": "d2", "d5": "d2", "d2": "d2", "x1": "x1", "x2": "x1"}
+
+
+def test_dedup_clusters_transitive_chain_across_bands(spark):
+    """The production gap clusters close: A~B and B~C are near-dup
+    pairs but A and C fall below the pair threshold (different LSH
+    evidence) — all three must still land in ONE cluster with exactly
+    one kept doc, alongside an exact-dup edge and an untouched
+    singleton."""
+    base = " ".join(f"tok{i}" for i in range(30))
+    mid = " ".join(f"tok{i}" for i in range(10, 40))
+    far = " ".join(f"tok{i}" for i in range(20, 50))
+    rows = [
+        (1, base),          # A
+        (2, mid),           # B: overlaps A and C
+        (3, far),           # C: overlaps B, far from A
+        (4, "totally disjoint text with none of those tokens whatsoever"),
+        (5, base),          # exact dup of A
+    ]
+    df = spark.createDataFrame(rows, ["doc_id", "text"])
+    # sanity: A-C not a direct near-dup pair at this threshold
+    pairs = {(r.doc_a, r.doc_b)
+             for r in D.lsh_neardup_pairs(df, k=3, num_hashes=8, bands=4,
+                                          threshold=0.3).collect()}
+    assert (1, 2) in pairs and (2, 3) in pairs and (1, 3) not in pairs
+
+    got = {r.doc_id: (r.cluster_id, r.is_kept)
+           for r in D.dedup_clusters(df, k=3, num_hashes=8, bands=4,
+                                     threshold=0.3).collect()}
+    assert got == {1: (1, True), 2: (1, False), 3: (1, False),
+                   4: (4, True), 5: (1, False)}
