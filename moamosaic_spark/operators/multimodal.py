@@ -1,13 +1,15 @@
 """Multimodal columns: image/audio/video as opaque binary + typed
 metadata, processed via Arrow-batched ``mapInPandas`` pipelines.
 
-The container has no image/audio codecs, so the decode step is STUBBED:
-``decode_image`` raises NotImplementedError unless ``fake=True``, in
-which case a deterministic pseudo-decode (seeded from the payload hash)
-produces a real ndarray of the declared shape. Everything Spark-side —
-schemas, batch iteration, partitioning, UDF signatures, output
-contracts — is real and tested; swapping the stub for PIL/ffmpeg is a
-one-function change.
+Decode is REAL for the formats parseable without codec libraries
+(operators/codecs.py): uncompressed BMP, binary PPM/PGM, and 16-bit
+PCM WAV are sniffed by magic bytes and decoded with pure numpy.
+Compressed formats (JPEG/PNG/MP4, and video generally) still gate:
+``fake=True`` substitutes a deterministic pseudo-decode (seeded from
+the payload hash) of the declared shape; otherwise
+NotImplementedError names the library to swap in. Everything
+Spark-side — schemas, batch iteration, partitioning, UDF signatures,
+output contracts — is identical on both paths.
 
 Media rows: (media_id string, kind string 'image'|'audio'|'video',
 payload binary, meta struct<width,height,channels,sample_rate,n_frames>)
@@ -23,6 +25,8 @@ import pandas as pd
 
 from pyspark.sql import DataFrame, functions as F
 from pyspark.sql import types as T
+
+from . import codecs
 
 MEDIA_SCHEMA = T.StructType(
     [
@@ -64,6 +68,17 @@ RESIZED_SCHEMA = T.StructType(
     ]
 )
 
+AUDIO_FEATURES_SCHEMA = T.StructType(
+    [
+        T.StructField("media_id", T.StringType()),
+        T.StructField("sample_rate", T.IntegerType()),
+        T.StructField("n_samples", T.IntegerType()),
+        T.StructField("duration_s", T.DoubleType()),
+        T.StructField("rms", T.DoubleType()),
+        T.StructField("zero_crossings", T.IntegerType()),
+    ]
+)
+
 FRAME_SAMPLE_SCHEMA = T.StructType(
     [
         T.StructField("media_id", T.StringType()),
@@ -77,17 +92,65 @@ def decode_image(payload: bytes, width: int, height: int, channels: int,
                  fake: bool = False) -> np.ndarray:
     """Decode an image payload to (height, width, channels) uint8.
 
-    STUB: real codecs are unavailable in this container. With
-    ``fake=True`` a deterministic pseudo-decode derives pixels from the
-    payload's sha256 (stable across runs and partitionings)."""
-    if not fake:
+    BMP (``BM``) and binary PPM/PGM (``P6``/``P5``) payloads decode for
+    real (operators/codecs.py, pure numpy); a grayscale source is
+    broadcast up / an RGB source averaged down to the declared channel
+    count, and a decoded size disagreeing with the declared meta raises
+    (corrupt metadata must not flow silently into features). Other
+    formats: ``fake=True`` gives the deterministic pseudo-decode
+    (pixels from the payload's sha256 — stable across runs and
+    partitionings); otherwise NotImplementedError."""
+    payload = bytes(payload)
+    magic = payload[:2]
+    if magic == b"BM":
+        arr = codecs.decode_bmp(payload)
+    elif magic in (b"P6", b"P5"):
+        arr = codecs.decode_ppm(payload)
+    elif fake:
+        seed = int.from_bytes(hashlib.sha256(payload).digest()[:8], "big")
+        rng = np.random.default_rng(seed)
+        return rng.integers(0, 256, size=(height, width, channels), dtype=np.uint8)
+    else:
         raise NotImplementedError(
-            "image codecs unavailable in this environment; pass fake=True "
-            "for the deterministic stub or swap in PIL/opencv here"
+            "payload is not BMP/PPM/PGM (the formats decodable without codec "
+            "libs); pass fake=True for the deterministic stub or swap in "
+            "PIL/opencv here"
         )
-    seed = int.from_bytes(hashlib.sha256(payload).digest()[:8], "big")
-    rng = np.random.default_rng(seed)
-    return rng.integers(0, 256, size=(height, width, channels), dtype=np.uint8)
+    if arr.shape[:2] != (height, width):
+        raise ValueError(
+            f"decoded image is {arr.shape[1]}x{arr.shape[0]} but meta declares "
+            f"{width}x{height}"
+        )
+    if arr.shape[2] != channels:
+        if arr.shape[2] == 1:
+            arr = np.repeat(arr, channels, axis=2)
+        elif channels == 1:
+            arr = arr.mean(axis=2, keepdims=True).astype(np.uint8)
+        else:
+            raise ValueError(
+                f"decoded {arr.shape[2]} channels, meta declares {channels}"
+            )
+    return arr
+
+
+def decode_audio(payload: bytes, sample_rate: int,
+                 fake: bool = False, fake_n: int = 16000) -> tuple[np.ndarray, int]:
+    """Decode an audio payload to ((n, ch) int16 samples, rate). PCM
+    WAV (``RIFF``) decodes for real; otherwise ``fake=True`` derives a
+    deterministic int16 signal of ``fake_n`` samples from the payload
+    hash at the declared rate."""
+    payload = bytes(payload)
+    if payload[:4] == b"RIFF":
+        samples, rate = codecs.decode_wav(payload)
+        return samples, rate
+    if fake:
+        seed = int.from_bytes(hashlib.sha256(payload).digest()[:8], "big")
+        rng = np.random.default_rng(seed)
+        return rng.integers(-2048, 2048, size=(fake_n, 1), dtype=np.int16), sample_rate
+    raise NotImplementedError(
+        "payload is not PCM WAV (the format decodable without codec libs); "
+        "pass fake=True for the deterministic stub or swap in soundfile here"
+    )
 
 
 def _phash(gray: np.ndarray, bits: int = 64) -> int:
@@ -170,6 +233,37 @@ def resize_images(media: DataFrame, out_w: int, out_h: int,
     return media.mapInPandas(run, RESIZED_SCHEMA)
 
 
+def audio_features(media: DataFrame, fake_decode: bool = False) -> DataFrame:
+    """Decode + feature-extract audio rows via mapInPandas: duration,
+    RMS level, zero-crossing count — the standard cheap audio-quality
+    gates for a training corpus. Real decode for PCM WAV payloads."""
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            out = []
+            for r in pdf.itertuples(index=False):
+                if r.kind != "audio":
+                    continue
+                samples, rate = decode_audio(
+                    bytes(r.payload), r.meta["sample_rate"], fake=fake_decode
+                )
+                mono = samples.astype(np.float64).mean(axis=1)
+                n = mono.shape[0]
+                out.append(
+                    {
+                        "media_id": r.media_id,
+                        "sample_rate": int(rate),
+                        "n_samples": int(n),
+                        "duration_s": float(n / rate),
+                        "rms": float(np.sqrt(np.mean(mono**2))) if n else 0.0,
+                        "zero_crossings": int(np.sum(np.signbit(mono[1:]) != np.signbit(mono[:-1]))),
+                    }
+                )
+            yield pd.DataFrame(out, columns=[f.name for f in AUDIO_FEATURES_SCHEMA])
+
+    return media.mapInPandas(run, AUDIO_FEATURES_SCHEMA)
+
+
 def sample_frames(media: DataFrame, every_n: int = 10,
                   fake_decode: bool = True) -> DataFrame:
     """Video frame sampling: emit every-n-th frame's features. Frames are
@@ -201,21 +295,37 @@ def sample_frames(media: DataFrame, every_n: int = 10,
     return media.mapInPandas(run, FRAME_SAMPLE_SCHEMA)
 
 
-def synth_media(spark, n: int = 20, seed: int = 7) -> DataFrame:
-    """Deterministic fake media table (binary payloads from the seed)."""
+def synth_media(spark, n: int = 20, seed: int = 7,
+                real_payloads: bool = True) -> DataFrame:
+    """Deterministic media table. With ``real_payloads`` (default)
+    image rows carry genuine BMP/PPM bytes (alternating) and audio
+    rows genuine PCM WAV bytes — the real-decode path end-to-end;
+    video rows stay opaque (no codec-free video container), exercising
+    the ``fake=`` gate. ``real_payloads=False`` reverts every kind to
+    opaque bytes (the stub path)."""
     rows = []
     rng = np.random.default_rng(seed)
     for i in range(n):
         kind = ["image", "image", "audio", "video"][i % 4]
-        payload = rng.bytes(64)
+        w, h = 64 + 8 * (i % 5), 48 + 8 * (i % 3)
+        if not real_payloads or kind == "video":
+            payload = rng.bytes(64)
+        elif kind == "image":
+            img = rng.integers(0, 256, size=(h, w, 3), dtype=np.uint8)
+            payload = codecs.encode_bmp(img) if i % 4 == 0 else codecs.encode_ppm(img)
+        else:  # audio: 0.1 s deterministic tone + noise
+            t = np.arange(1600)
+            sig = 4000 * np.sin(2 * np.pi * (110 + 13 * i) * t / 16000)
+            sig = (sig + rng.integers(-256, 256, size=t.shape)).astype(np.int16)
+            payload = codecs.encode_wav(sig, 16000)
         rows.append(
             {
                 "media_id": f"m{i:04d}",
                 "kind": kind,
                 "payload": bytearray(payload),
                 "meta": {
-                    "width": 64 + 8 * (i % 5),
-                    "height": 48 + 8 * (i % 3),
+                    "width": w,
+                    "height": h,
                     "channels": 3,
                     "sample_rate": 16000,
                     "n_frames": 30 if kind == "video" else 1,

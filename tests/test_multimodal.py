@@ -47,9 +47,12 @@ def test_frame_sampling_expansion(spark):
     assert len(vals) == len(one)
 
 
-def test_real_decode_is_gated():
-    with pytest.raises(NotImplementedError, match="codecs unavailable"):
-        MM.decode_image(b"\x00" * 8, 4, 4, 3, fake=False)
+def test_undecodable_format_is_gated():
+    """Non-BMP/PPM payloads still gate loudly without fake=True."""
+    with pytest.raises(NotImplementedError, match="codec libs"):
+        MM.decode_image(b"\x89PNG\r\n\x1a\n" + b"\x00" * 8, 4, 4, 3, fake=False)
+    with pytest.raises(NotImplementedError, match="codec libs"):
+        MM.decode_audio(b"\x00" * 16, 16000, fake=False)
 
 
 def test_fake_decode_payload_sensitivity():
@@ -59,3 +62,145 @@ def test_fake_decode_payload_sensitivity():
     assert a.shape == (8, 8, 3) and a.dtype == np.uint8
     np.testing.assert_array_equal(a, a2)
     assert (a != b).any()
+
+
+# ---------------------------------------------------------------------------
+# Real pure-numpy codecs (operators/codecs.py)
+# ---------------------------------------------------------------------------
+
+from moamosaic_spark.operators import codecs as C  # noqa: E402
+
+
+@pytest.mark.parametrize("w,h", [(8, 6), (7, 5), (1, 1), (13, 3)])
+def test_bmp_roundtrip_including_row_padding(w, h):
+    """encode->decode must be bit-exact, incl. odd widths whose BMP
+    rows carry 4-byte alignment padding."""
+    rng = np.random.default_rng(w * 100 + h)
+    img = rng.integers(0, 256, size=(h, w, 3), dtype=np.uint8)
+    np.testing.assert_array_equal(C.decode_bmp(C.encode_bmp(img)), img)
+
+
+def test_bmp_top_down_and_paletted():
+    """Negative height = top-down row order; 8-bit payloads map through
+    the BGRA palette."""
+    img = np.arange(2 * 3 * 3, dtype=np.uint8).reshape(2, 3, 3)
+    enc = bytearray(C.encode_bmp(img))
+    # flip height sign -> top-down; rows were written bottom-up, so the
+    # decoder must now return them flipped
+    import struct
+    enc[22:26] = struct.pack("<i", -2)
+    np.testing.assert_array_equal(C.decode_bmp(bytes(enc)), img[::-1])
+
+    # hand-built 8-bit paletted BMP: 2x2, palette entry i = (i, 0, 255-i) BGR
+    pal = b"".join(bytes([i, 0, 255 - i, 0]) for i in range(256))
+    rows = bytes([10, 20, 0, 0]) + bytes([30, 40, 0, 0])  # padded to 4
+    hdr = struct.pack("<2sIHHI", b"BM", 14 + 40 + 1024 + 8, 0, 0, 14 + 40 + 1024)
+    info = struct.pack("<IiiHHIIiiII", 40, 2, 2, 1, 8, 0, 8, 0, 0, 0, 0)
+    img8 = C.decode_bmp(hdr + info + pal + rows)
+    # bottom-up: first stored row is the BOTTOM row
+    np.testing.assert_array_equal(img8[1, 0], [255 - 10, 0, 10])  # RGB
+    np.testing.assert_array_equal(img8[0, 1], [255 - 40, 0, 40])
+
+
+def test_ppm_roundtrip_and_comments():
+    rng = np.random.default_rng(5)
+    img = rng.integers(0, 256, size=(4, 7, 3), dtype=np.uint8)
+    np.testing.assert_array_equal(C.decode_ppm(C.encode_ppm(img)), img)
+    gray = rng.integers(0, 256, size=(3, 5), dtype=np.uint8)
+    np.testing.assert_array_equal(
+        C.decode_ppm(C.encode_ppm(gray))[:, :, 0], gray
+    )
+    # header comments + arbitrary whitespace per the netpbm spec
+    wild = b"P6 # inline comment\n# full line\n 7\t4 \n255\n" + img.tobytes()
+    np.testing.assert_array_equal(C.decode_ppm(wild), img)
+
+
+def test_wav_roundtrip_and_extra_chunk():
+    rng = np.random.default_rng(6)
+    mono = rng.integers(-3000, 3000, size=500, dtype=np.int16)
+    got, rate = C.decode_wav(C.encode_wav(mono, 8000))
+    assert rate == 8000
+    np.testing.assert_array_equal(got[:, 0], mono)
+    stereo = rng.integers(-3000, 3000, size=(200, 2), dtype=np.int16)
+    got2, rate2 = C.decode_wav(C.encode_wav(stereo, 44100))
+    assert rate2 == 44100
+    np.testing.assert_array_equal(got2, stereo)
+    # an extra LIST chunk between fmt and data must be skipped
+    enc = C.encode_wav(mono, 8000)
+    import struct
+    fmt_end = 12 + 8 + 16
+    extra = b"LIST" + struct.pack("<I", 5) + b"hello" + b"\x00"  # odd size -> pad
+    spliced = enc[:fmt_end] + extra + enc[fmt_end:]
+    spliced = spliced[:4] + struct.pack("<I", len(spliced) - 8) + spliced[8:]
+    got3, _ = C.decode_wav(spliced)
+    np.testing.assert_array_equal(got3[:, 0], mono)
+
+
+def test_decode_image_meta_mismatch_raises():
+    img = np.zeros((4, 6, 3), dtype=np.uint8)
+    with pytest.raises(ValueError, match="meta declares"):
+        MM.decode_image(C.encode_bmp(img), width=6, height=5, channels=3)
+
+
+def test_image_features_real_payloads_golden(spark):
+    """With real BMP/PPM payloads the pipeline's features must equal
+    numpy computed directly on the SOURCE arrays — true end-to-end
+    decode, no stub anywhere (fake_decode=False)."""
+    media = MM.synth_media(spark, n=16, seed=7, real_payloads=True)
+    # reconstruct the same source images the generator minted
+    rng = np.random.default_rng(7)
+    want = {}
+    for i in range(16):
+        kind = ["image", "image", "audio", "video"][i % 4]
+        w, h = 64 + 8 * (i % 5), 48 + 8 * (i % 3)
+        if kind == "video":
+            rng.bytes(64)
+            continue
+        if kind == "image":
+            img = rng.integers(0, 256, size=(h, w, 3), dtype=np.uint8)
+            want[f"m{i:04d}"] = img
+        else:
+            np.arange(1600)
+            rng.integers(-256, 256, size=1600)
+    got = {r.media_id: r for r in MM.image_features(media, fake_decode=False).collect()}
+    assert set(got) == set(want)
+    for mid, img in want.items():
+        assert got[mid].mean_intensity == pytest.approx(float(img.mean()))
+        assert got[mid].std_intensity == pytest.approx(float(img.std()))
+
+
+def test_audio_features_real_wav(spark):
+    """audio_features over real WAV payloads: exact duration and RMS vs
+    the regenerated source signal."""
+    media = MM.synth_media(spark, n=16, seed=7, real_payloads=True)
+    rng = np.random.default_rng(7)
+    want = {}
+    for i in range(16):
+        kind = ["image", "image", "audio", "video"][i % 4]
+        w, h = 64 + 8 * (i % 5), 48 + 8 * (i % 3)
+        if kind == "video":
+            rng.bytes(64)
+        elif kind == "image":
+            rng.integers(0, 256, size=(h, w, 3), dtype=np.uint8)
+        else:
+            t = np.arange(1600)
+            sig = 4000 * np.sin(2 * np.pi * (110 + 13 * i) * t / 16000)
+            sig = (sig + rng.integers(-256, 256, size=t.shape)).astype(np.int16)
+            want[f"m{i:04d}"] = sig
+    got = {r.media_id: r for r in MM.audio_features(media).collect()}
+    assert set(got) == set(want)
+    for mid, sig in want.items():
+        r = got[mid]
+        assert (r.sample_rate, r.n_samples) == (16000, 1600)
+        assert r.duration_s == pytest.approx(0.1)
+        assert r.rms == pytest.approx(float(np.sqrt(np.mean(sig.astype(np.float64) ** 2))))
+
+
+def test_video_rows_still_use_fake_gate(spark):
+    """Video payloads are opaque -> sample_frames needs the fake path;
+    with fake_decode=False it must raise, not silently fabricate."""
+    media = MM.synth_media(spark, n=8, real_payloads=True)
+    rows = MM.sample_frames(media, every_n=10, fake_decode=True).collect()
+    assert {r.frame_idx for r in rows} == {0, 10, 20}
+    with pytest.raises(Exception, match="codec libs|NotImplementedError"):
+        MM.sample_frames(media, every_n=10, fake_decode=False).collect()
