@@ -740,12 +740,14 @@ KNN_R = 3 * R_STRIDE * RES  # candidate radius (m) — ≥ k sources inside
 
 def q_tile_knn_sources(spark: SparkSession, sf_dir: str) -> DataFrame:
     """North-star kNN: for every output tile, the KNN_K nearest source
-    rasters by footprint-center distance. Scale shape: a bounded-radius
-    candidate join (|dx|,|dy| <= KNN_R — the cell-cover analog of a ring
-    search; at 10^12 docs the broadcast becomes the Z-order cell join
-    with a widening ring when a tile sees < k candidates) + per-tile
-    top-k window. Ties (the derived corpus is a symmetric grid, so
-    distances DO tie) break deterministically by priority."""
+    rasters by footprint-center distance. This query uses the
+    bounded-radius BROADCAST candidate join (|dx|,|dy| <= KNN_R) —
+    right for a dim-table footprint side. The at-scale form is
+    functions/knn.knn_join: cell-keyed equi-join with ring widening,
+    exact top-k with no broadcast and no silent under-fill; its
+    equality with this query is asserted in tests/test_knn.py. Ties
+    (the derived corpus is a symmetric grid, so distances DO tie)
+    break deterministically by priority."""
     from pyspark.sql import Window
 
     res = _mosaic_result_cached(sf_dir, spark)
