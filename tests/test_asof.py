@@ -173,3 +173,34 @@ def test_kmv_sketch_accuracy_and_exact_below_k(spark):
     assert n == 5000
     assert abs(est - 5000) / 5000 < 0.5  # 3-4 sigma at k=64
     assert got["small"] == (40, 40.0)    # below capacity: exact
+
+
+def test_kmv_two_pass_pool_shrinks_and_stays_exact(spark):
+    """At cardinality >> k the windowed relation must be the pruned
+    pool (~safety*k rows), not all distinct hashes — and its bottom-k
+    must still be EXACTLY the global bottom-k. A deliberately starved
+    safety factor must trigger the rescue path and stay exact too."""
+    from moamosaic_spark.functions.portable import hash32
+    from moamosaic_spark.functions.sketch import _bottomk_pool, kmv_distinct
+
+    n = 30000
+    df = spark.range(n).select(
+        F.lit("g").alias("grp"), F.col("id").cast("string").alias("uid")
+    )
+    h = df.select("grp", hash32(F.col("uid")).alias("_h")).distinct()
+    counts = h.groupBy("grp").agg(F.count("*").cast("long").alias("n_hashes"))
+    pool = _bottomk_pool(h, counts, ["grp"], 64, 4.0)
+    n_pool = pool.count()
+    assert n_pool < n / 20, n_pool          # ~256 expected of 30000
+    full64 = [r._h for r in h.orderBy("_h").limit(64).collect()]
+    pool64 = [r._h for r in pool.orderBy("_h").limit(64).collect()]
+    assert pool64 == full64
+
+    want_est = 63 * 2**32 / full64[-1]
+    got = kmv_distinct(df, ["grp"], "uid", k=64).collect()[0]
+    assert got.n_hashes == n
+    assert abs(got.kmv_est - want_est) < 1e-3
+
+    # starved threshold -> rescue path -> identical result
+    got2 = kmv_distinct(df, ["grp"], "uid", k=64, safety=0.05).collect()[0]
+    assert (got2.n_hashes, got2.kmv_est) == (got.n_hashes, got.kmv_est)

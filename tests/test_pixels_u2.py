@@ -206,3 +206,24 @@ def test_u2_streaming_incremental_over_relayout(spark, tmp_path):
     assert set(got) == covered
     for k, a in got.items():
         np.testing.assert_array_equal(a, want.tiles[k].astype("<u2"), err_msg=str(k))
+
+
+def test_u2_no_per_pixel_decode_below_stitch(spark):
+    """Fence for the zero-copy hot path: the stitch input side must
+    never contain a per-PIXEL decode (unpack_u2's interpreted
+    hex->conv per element is quadratic on big blobs — it belongs only
+    at correctness-query boundaries ABOVE the kernel). The per-ROW
+    substr clip is linear and allowed; the distinctive per-pixel
+    marker is conv(.., 16, 10)."""
+    rasters = synth.grid3x3(100, 100)
+    fp, bl = _fp_blocks(spark, rasters, "u2")
+    res = do_mosaic(spark, fp, bl, MosaicConfig(blocksize=64, src_blocksize=256,
+                                                with_overviews=False))
+    plan = res.tiles._jdf.queryExecution().executedPlan().toString()
+    stitch = plan.find("FlatMapGroupsIn")
+    assert stitch >= 0, plan[:500]
+    below = plan[stitch:]
+    assert "conv(" not in below, below
+    # and the decode trap is absent from the WHOLE tiles plan (packed
+    # output stays packed)
+    assert "conv(" not in plan
