@@ -36,7 +36,7 @@ import pandas as pd
 from pyspark.sql import DataFrame, Window, functions as F
 from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
 from pyspark.sql.types import (
-    DoubleType, LongType, StructField, StructType,
+    ArrayType, DoubleType, LongType, StructField, StructType,
 )
 
 SESSION_SCHEMA = StructType([
@@ -52,6 +52,15 @@ STATE_SCHEMA = StructType([
     StructField("last", DoubleType()),
     StructField("n", LongType()),
     StructField("sum_value", DoubleType()),
+])
+
+# emit-once mode holds EVERY not-yet-final island (bounded by the
+# watermark horizon), not just the latest one
+STATE_SCHEMA_EMIT_ONCE = StructType([
+    StructField("starts", ArrayType(DoubleType())),
+    StructField("ends", ArrayType(DoubleType())),
+    StructField("ns", ArrayType(LongType())),
+    StructField("sums", ArrayType(DoubleType())),
 ])
 
 
@@ -134,16 +143,7 @@ def _make_session_fn(gap_seconds: float):
         # session's start stays a separate (earlier) session and is
         # emitted, exactly as the batch twin would — instead of silently
         # merging out-of-order-beyond-gap events.
-        merged: list[list[float]] = []
-        for st, en, n, sv in islands:
-            if merged and st - merged[-1][1] <= gap:
-                m = merged[-1]
-                m[0] = min(m[0], st)
-                m[1] = max(m[1], en)
-                m[2] += n
-                m[3] += sv
-            else:
-                merged.append([st, en, n, sv])
+        merged = _merge_islands(islands, gap)
         if merged:
             # latest island stays open in state; everything earlier is
             # closed and emitted
@@ -158,23 +158,121 @@ def _make_session_fn(gap_seconds: float):
     return fn
 
 
+def _merge_islands(islands: list, gap: float) -> list[list[float]]:
+    """Merge time-sorted (start, end, n, sum) islands whose interval
+    gap is <= gap."""
+    merged: list[list[float]] = []
+    for st, en, n, sv in islands:
+        if merged and st - merged[-1][1] <= gap:
+            m = merged[-1]
+            m[0] = min(m[0], st)
+            m[1] = max(m[1], en)
+            m[2] += n
+            m[3] += sv
+        else:
+            merged.append([st, en, n, sv])
+    return merged
+
+
+def _make_session_fn_emit_once(gap_seconds: float):
+    """Watermark + event-time-timeout sessionizer: a session is emitted
+    ONLY when the event-time watermark passes session_end + gap — at
+    that point no in-order-enough event can still extend it (later
+    fragments are beyond-watermark and DROPPED, documented), so every
+    session row is emitted exactly once. The trade vs the default
+    kernel: emission waits for the watermark instead of the next
+    closing event, and state holds every island inside the watermark
+    horizon (bounded by it) instead of just the open tail."""
+    gap = float(gap_seconds)
+
+    def fn(
+        key, pdfs: Iterator[pd.DataFrame], state: GroupState
+    ) -> Iterator[pd.DataFrame]:
+        (user_id,) = key
+        wm = state.getCurrentWatermarkMs() / 1000.0
+        islands: list[tuple[float, float, int, float]] = []
+        if state.exists:
+            starts, ends, ns, svs = state.get
+            islands = [
+                (float(a), float(b), int(c), float(d))
+                for a, b, c, d in zip(starts, ends, ns, svs)
+            ]
+        eps, vals = [], []
+        for pdf in pdfs:
+            if len(pdf):
+                ep = pdf["epoch"].to_numpy(dtype=np.float64)
+                va = pdf["value"].to_numpy(dtype=np.float64)
+                keep = ep >= wm  # beyond-watermark fragments: dropped
+                if keep.any():
+                    eps.append(ep[keep])
+                    vals.append(va[keep])
+        if eps:
+            islands += _batch_islands(np.concatenate(eps), np.concatenate(vals), gap)
+            islands.sort(key=lambda t: (t[0], t[1]))
+        merged = _merge_islands(islands, gap)
+        final = [m for m in merged if m[1] + gap <= wm]
+        pending = [m for m in merged if m[1] + gap > wm]
+        if pending:
+            state.update((
+                [m[0] for m in pending],
+                [m[1] for m in pending],
+                [int(m[2]) for m in pending],
+                [m[3] for m in pending],
+            ))
+            # wake when the watermark passes the earliest pending close
+            wake_ms = int((pending[0][1] + gap) * 1000)
+            state.setTimeoutTimestamp(max(wake_ms, int(wm * 1000) + 1))
+        elif state.exists:
+            state.remove()
+        if final:
+            yield pd.DataFrame(
+                [(user_id, m[0], m[1], int(m[2]), m[3]) for m in final],
+                columns=["user_id", "session_start", "session_end",
+                         "n_events", "sum_value"],
+            )
+
+    return fn
+
+
 def sessionize_stream(
     events_stream: DataFrame,
     gap_seconds: float,
     checkpoint: str,
     out_path: str,
     trigger_available_now: bool = True,
+    emit_once: bool = False,
+    watermark: str = "10 minutes",
 ):
     """Wire a streaming events DataFrame (columns user_id, epoch,
     value) into the stateful sessionizer; CLOSED sessions append to the
-    parquet sink at ``out_path``. Returns the StreamingQuery."""
-    closed = events_stream.groupBy("user_id").applyInPandasWithState(
-        _make_session_fn(gap_seconds),
-        outputStructType=SESSION_SCHEMA,
-        stateStructType=STATE_SCHEMA,
-        outputMode="append",
-        timeoutConf=GroupStateTimeout.NoTimeout,
-    )
+    parquet sink at ``out_path``. Returns the StreamingQuery.
+
+    Default mode emits a session as soon as a later event closes it —
+    lowest latency, but a fragment arriving after that may re-emit the
+    session's range. ``emit_once=True`` switches to the watermark +
+    event-time-timeout kernel: sessions emit only once the event-time
+    watermark (``watermark`` behind max event time) passes their end +
+    gap; fragments later than the watermark are dropped — exactly-once
+    session rows, latency = the watermark delay."""
+    if emit_once:
+        ev = events_stream.withColumn(
+            "_ts", F.col("epoch").cast("timestamp")
+        ).withWatermark("_ts", watermark)
+        closed = ev.groupBy("user_id").applyInPandasWithState(
+            _make_session_fn_emit_once(gap_seconds),
+            outputStructType=SESSION_SCHEMA,
+            stateStructType=STATE_SCHEMA_EMIT_ONCE,
+            outputMode="append",
+            timeoutConf=GroupStateTimeout.EventTimeTimeout,
+        )
+    else:
+        closed = events_stream.groupBy("user_id").applyInPandasWithState(
+            _make_session_fn(gap_seconds),
+            outputStructType=SESSION_SCHEMA,
+            stateStructType=STATE_SCHEMA,
+            outputMode="append",
+            timeoutConf=GroupStateTimeout.NoTimeout,
+        )
     writer = (
         closed.writeStream.format("parquet")
         .option("path", out_path)

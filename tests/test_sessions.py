@@ -266,3 +266,64 @@ def test_streaming_session_big_batch_matches_batch_twin(spark, tmp_path):
     )
     assert len(batch) > 10, "fixture should produce many sessions"
     assert got == batch[:-1]  # trailing session stays open in state
+
+
+def test_streaming_sessions_emit_once_no_late_duplicate(spark, tmp_path):
+    """emit_once mode: a session emits ONLY when the event-time
+    watermark passes its end + gap, and a late fragment arriving after
+    that emission is dropped — never a duplicated/extended session row
+    (the default mode's documented re-emission hazard)."""
+    src = tmp_path / "ev_src1"
+    out = str(tmp_path / "sessions1")
+    ckpt = str(tmp_path / "ckpt1")
+    src.mkdir()
+
+    def feed(rows, name):
+        spark.createDataFrame(rows, EV_SCHEMA).coalesce(1).write.parquet(
+            str(src / name)
+        )
+
+    def run():
+        stream = (
+            spark.readStream.schema(EV_SCHEMA)
+            .option("maxFilesPerTrigger", "1")
+            .parquet(str(src) + "/*")
+        )
+        q = sessionize_stream(stream, GAP, ckpt, out, emit_once=True,
+                              watermark="10 seconds")
+        q.awaitTermination(300)
+
+    def sessions():
+        try:
+            return sorted(
+                (r.user_id, r.session_start, r.session_end, r.n_events, r.sum_value)
+                for r in spark.read.parquet(out).collect()
+            )
+        except Exception:
+            return []
+
+    # session A for user 1; nothing can emit yet (watermark behind)
+    feed([(1, 10.0, 1.0), (1, 50.0, 2.0)], "b1")
+    run()
+    assert sessions() == []
+
+    # advance event time far past A's end+gap; A emits on the NEXT
+    # batch (watermark trails one batch), via the event-time timer —
+    # no user-1 event needed
+    feed([(1, 5000.0, 3.0)], "b2")
+    run()
+    assert sessions() == [(1, 10.0, 50.0, 2, 3.0)]
+
+    # next run's no-data batch advances the watermark past 5000's
+    # close, firing user 1's event-time timer with no new user-1 data
+    feed([(2, 6000.0, 5.0)], "b3")
+    run()
+    assert sessions() == [(1, 10.0, 50.0, 2, 3.0),
+                          (1, 5000.0, 5000.0, 1, 3.0)]
+
+    # a LATE fragment inside A's range: beyond-watermark -> dropped;
+    # the emitted sessions must not duplicate, extend, or re-emit
+    feed([(1, 60.0, 99.0)], "b4")
+    run()
+    assert sessions() == [(1, 10.0, 50.0, 2, 3.0),
+                          (1, 5000.0, 5000.0, 1, 3.0)]
