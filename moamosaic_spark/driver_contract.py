@@ -1878,6 +1878,43 @@ WHERE p.doc_id IN (SELECT doc_id FROM keep)
 """
 
 
+def q_media_image_features(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Multimodal pipeline end-to-end with REAL decode: deterministic
+    BMP/PPM payloads (operators/codecs.py — pure numpy, no codec libs)
+    through the mapInPandas feature extractor. No SQL oracle exists for
+    binary image decoding, so this is a rows-only gate; the bit-exact
+    codec roundtrips and the features==numpy-on-source-arrays equality
+    live in tests/test_multimodal.py. Deterministic across runs and
+    partitionings (seeded generator, seeded payloads)."""
+    from .operators import multimodal as MM
+
+    media = MM.synth_media(spark, n=40, seed=11, real_payloads=True)
+    feats = MM.image_features(media, fake_decode=False)
+    return feats.select(
+        "media_id",
+        F.col("width").cast("int").alias("width"),
+        F.col("height").cast("int").alias("height"),
+        F.round("mean_intensity", 4).alias("mean_intensity"),
+        F.col("phash").cast("long").alias("phash"),
+    )
+
+
+def q_media_audio_features(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PCM-WAV audio rows through decode + duration/RMS/zero-crossing
+    extraction (rows-only gate; see q_media_image_features)."""
+    from .operators import multimodal as MM
+
+    media = MM.synth_media(spark, n=40, seed=11, real_payloads=True)
+    feats = MM.audio_features(media)
+    return feats.select(
+        "media_id",
+        F.col("sample_rate").cast("int").alias("sample_rate"),
+        F.col("n_samples").cast("int").alias("n_samples"),
+        F.round("rms", 4).alias("rms"),
+        F.col("zero_crossings").cast("int").alias("zero_crossings"),
+    )
+
+
 def q_embedding_neardup_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Embedding-cosine near-duplicate pairs above a threshold. EXACT
     semantics via the shifted-grid bucketed candidate generator
@@ -1957,6 +1994,10 @@ def queries() -> dict:
         "doc_lang_pred": q_doc_lang_pred,
         "corpus_clean": q_corpus_clean,
         "embedding_neardup_pairs": q_embedding_neardup_pairs,
+        # rows-only entries (no SQL oracle can decode binary media;
+        # codec correctness is golden-tested in test_multimodal.py)
+        "media_image_features": q_media_image_features,
+        "media_audio_features": q_media_audio_features,
     }
 
 

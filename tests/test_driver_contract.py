@@ -47,7 +47,16 @@ def normalize(rows):
 @pytest.mark.parametrize("name", sorted(DC.queries().keys()))
 def test_query_matches_oracle(spark, duck, name):
     q = DC.queries()[name]
-    sql = DC.oracle_sql()[name]
+    sql = DC.oracle_sql().get(name)
+    if sql is None:
+        # rows-only entry (no SQL oracle CAN exist, e.g. binary media
+        # decode): the driver records the weaker rows-only check; here
+        # assert it runs, returns rows, and is deterministic across
+        # partitionings
+        a = sorted(tuple(r) for r in q(spark, SF_DIR).collect())
+        b = sorted(tuple(r) for r in q(spark, SF_DIR).repartition(7).collect())
+        assert len(a) > 0 and a == b
+        return
     sdf = q(spark, SF_DIR)
     spark_cols = [c.lower() for c in sdf.columns]
     srows = [tuple(r) for r in sdf.collect()]
