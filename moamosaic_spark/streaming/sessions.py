@@ -210,8 +210,12 @@ def _make_session_fn_emit_once(gap_seconds: float):
             islands += _batch_islands(np.concatenate(eps), np.concatenate(vals), gap)
             islands.sort(key=lambda t: (t[0], t[1]))
         merged = _merge_islands(islands, gap)
-        final = [m for m in merged if m[1] + gap <= wm]
-        pending = [m for m in merged if m[1] + gap > wm]
+        # STRICT close (end+gap < wm, not <=): an event at exactly
+        # ts == wm passes the late filter and may still extend a
+        # session whose end+gap == wm — emitting it then would split
+        # what the batch twin merges
+        final = [m for m in merged if m[1] + gap < wm]
+        pending = [m for m in merged if m[1] + gap >= wm]
         if pending:
             state.update((
                 [m[0] for m in pending],
