@@ -175,6 +175,11 @@ def run_headline(spark) -> dict:
         lambda: DC.q_embedding_neardup_pairs(spark, sf).count(),
     )
     timed("doc_token_stats", lambda: DC.q_doc_token_stats(spark, sf).count())
+    timed(
+        "mosaic_resampled",
+        lambda: DC.q_mosaic_resampled_checksums(spark, sf).collect(),
+    )
+    timed("mosaic_warped", lambda: DC.q_mosaic_warped_checksums(spark, sf).collect())
     timed("lineitem_agg", lambda: DC.q_lineitem_agg(spark, sf).collect())
     timed("events_hourly", lambda: DC.q_events_hourly(spark, sf).count())
     timed("orders_by_nation", lambda: DC.q_orders_by_nation(spark, sf).collect())
@@ -287,6 +292,81 @@ def run_dedup_scaling(spark, cores: int) -> dict:
         ts.append(time.time() - t0)
     ts.sort()
     return {"seconds": ts[1], "runs_seconds": [round(t, 3) for t in ts]}
+
+
+def _kernel_worker(args) -> float:
+    """tiles/s of the Arrow stitch kernel on ONE in-memory group — no
+    Spark, no shuffle, no Arrow IPC: the pure-compute ceiling of the
+    pixel path. Runs in a worker process so the pool variant measures
+    multi-core compute without JVM/Python-worker plumbing."""
+    tile_px, n_contrib, reps = args
+    import numpy as np
+    import pyarrow as pa
+
+    from moamosaic_spark.operators.stitch import make_stitch_fn_arrow
+    from moamosaic_spark.plans.grid import OutputGrid
+
+    grid = OutputGrid(
+        x_min=300000.0, y_max=7000000.0, x_res=10.0, y_res=10.0,
+        ncols=tile_px, nrows=tile_px, n_bands=1, nullval=0,
+        dtype="uint16", projection="EPSG:32756",
+    )
+    bs = 512
+    nb = tile_px // bs
+    rng = np.random.default_rng(3)
+    cols: dict = {c: [] for c in (
+        "top", "left", "ysize", "xsize", "priority",
+        "in_top", "in_left", "in_ysize", "in_xsize",
+        "src_ncols", "src_nrows", "b_top", "b_left", "b_ysize", "b_xsize",
+    )}
+    payloads = []
+    for p in range(n_contrib):
+        for br in range(nb):
+            for bc in range(nb):
+                cols["top"].append(0); cols["left"].append(0)
+                cols["ysize"].append(tile_px); cols["xsize"].append(tile_px)
+                cols["priority"].append(p)
+                cols["in_top"].append(0); cols["in_left"].append(0)
+                cols["in_ysize"].append(tile_px); cols["in_xsize"].append(tile_px)
+                cols["src_ncols"].append(tile_px); cols["src_nrows"].append(tile_px)
+                cols["b_top"].append(br * bs); cols["b_left"].append(bc * bs)
+                cols["b_ysize"].append(bs); cols["b_xsize"].append(bs)
+                arr = rng.integers(1, 60000, size=(bs, bs), dtype="<u2")
+                arr[:: 7 + p] = 0  # some null runs: exercise the mask path
+                payloads.append(arr.tobytes())
+    tbl = pa.table(
+        {**{c: pa.array(v, pa.int32()) for c, v in cols.items()},
+         "pixels": pa.array(payloads, pa.binary())}
+    )
+    fn = make_stitch_fn_arrow(grid, [], "last", binary=True)
+    key = (1, 0, 0)
+    fn(key, tbl)  # warm
+    import time as _t
+
+    t0 = _t.time()
+    for _ in range(reps):
+        fn(key, tbl)
+    return reps / (_t.time() - t0)
+
+
+def kernel_bench(nprocs: tuple[int, ...] = (1, 16), tile_px: int = 1024,
+                 n_contrib: int = 3, reps: int = 20) -> dict:
+    """Host-independent compute ceiling of the stitch kernel: tiles/s
+    of make_stitch_fn_arrow on in-memory Arrow groups (1024^2 tile,
+    n_contrib full-tile contributors in 512^2 chunks). The Spark
+    pipeline can never beat procs x this number; the GAP between this
+    ceiling and the measured pipeline quantifies shuffle + Arrow IPC +
+    host bandwidth, separating engine design from host state."""
+    import multiprocessing as mp
+
+    out: dict = {"tile_px": tile_px, "n_contrib": n_contrib}
+    for np_ in nprocs:
+        with mp.Pool(np_) as pool:
+            rates = pool.map(_kernel_worker, [(tile_px, n_contrib, reps)] * np_)
+        agg = sum(rates)
+        out[f"tiles_per_sec_p{np_}"] = round(agg, 2)
+        out[f"mpx_per_sec_p{np_}"] = round(agg * tile_px * tile_px / 1e6, 1)
+    return out
 
 
 def memcpy_control(nproc: int) -> float:
@@ -411,6 +491,7 @@ def main() -> None:
                 str(hi_cores): memcpy_control(hi_cores),
             },
         },
+        "kernel_ceiling": kernel_bench(),
     }
     print(json.dumps(out))
 

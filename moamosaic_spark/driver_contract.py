@@ -1185,10 +1185,11 @@ def q_dedup_lsh_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-def _lsh_neardup_sql() -> str:
-    return f"""{_SQL_SHINGLES},
-{_lsh_sig_bb_ctes()},
-cand AS (
+# LSH candidate-pair + shingle-set CTEs shared by the neardup oracle
+# and the cluster oracles (one definition so a bucket/threshold change
+# cannot silently desynchronize them — same rationale as
+# _lsh_sig_bb_ctes)
+_SQL_CAND_SETS = """cand AS (
   SELECT a.doc_id AS doc_a, b.doc_id AS doc_b
   FROM bb a
   JOIN bb b ON a.band = b.band AND a.bucket = b.bucket AND a.doc_id < b.doc_id
@@ -1196,7 +1197,13 @@ cand AS (
 ),
 sets AS (
   SELECT doc_id, list(shingle) AS shset, count(*) AS n_sh FROM sh GROUP BY doc_id
-),
+)"""
+
+
+def _lsh_neardup_sql() -> str:
+    return f"""{_SQL_SHINGLES},
+{_lsh_sig_bb_ctes()},
+{_SQL_CAND_SETS},
 scored AS (
   SELECT c.doc_a, c.doc_b,
          len(list_intersect(sa.shset, sb.shset)) * 1.0
@@ -1212,6 +1219,25 @@ WHERE jaccard >= 0.2
 """
 
 
+_CLUSTERS_CACHE: dict = {}
+
+
+def _dedup_clusters_cached(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """One persisted cluster relation per (session, sf_dir):
+    q_dedup_clusters and q_corpus_clean_clustered both consume it, so
+    the eager connected-components iteration (several Spark jobs at
+    construction time) runs ONCE per run — same pattern as
+    _minhash_sig_cached."""
+    key = (spark, sf_dir)
+    if key not in _CLUSTERS_CACHE:
+        docs = _read_docs(spark, sf_dir)
+        _CLUSTERS_CACHE[key] = D.dedup_clusters(
+            docs, k=3, num_hashes=N_MINHASH, bands=N_LSH_BANDS, threshold=0.2,
+            signatures=_minhash_sig_cached(spark, sf_dir),
+        ).persist()
+    return _CLUSTERS_CACHE[key]
+
+
 def q_dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Duplicate-CLUSTER assignment — the step after pairwise dedup:
     near-dup pairs (LSH + exact-Jaccard re-rank) union exact-fingerprint
@@ -1220,11 +1246,7 @@ def q_dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     document with its component-min cluster id and the keep flag. A
     chain A~B~C where A and C share no LSH band still collapses to one
     kept doc. Oracle: DuckDB recursive-CTE transitive closure."""
-    docs = _read_docs(spark, sf_dir)
-    cl = D.dedup_clusters(
-        docs, k=3, num_hashes=N_MINHASH, bands=N_LSH_BANDS, threshold=0.2,
-        signatures=_minhash_sig_cached(spark, sf_dir),
-    )
+    cl = _dedup_clusters_cached(spark, sf_dir)
     return cl.select(
         F.col("doc_id").cast("long").alias("doc_id"),
         F.col("cluster_id").cast("long").alias("cluster_id"),
@@ -1237,15 +1259,7 @@ def _near_exact_edge_ctes() -> str:
     (near-dup pairs at threshold 0.2 union exact-fingerprint edges) —
     shared by the clusters oracle and the clustered corpus-clean
     oracle. Assumes _SQL_SHINGLES + _lsh_sig_bb_ctes() are in scope."""
-    return """cand AS (
-  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b
-  FROM bb a
-  JOIN bb b ON a.band = b.band AND a.bucket = b.bucket AND a.doc_id < b.doc_id
-  GROUP BY 1, 2
-),
-sets AS (
-  SELECT doc_id, list(shingle) AS shset, count(*) AS n_sh FROM sh GROUP BY doc_id
-),
+    return _SQL_CAND_SETS + """,
 near AS (
   SELECT c.doc_a AS u, c.doc_b AS v
   FROM cand c
@@ -1295,10 +1309,7 @@ def q_corpus_clean_clustered(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = _read_docs(spark, sf_dir)
     qf = T.quality_features(docs)
     passed = qf.where((F.col("n_tokens") >= 10) & (F.col("stopword_ratio") <= 0.5))
-    clusters = D.dedup_clusters(
-        docs, k=3, num_hashes=N_MINHASH, bands=N_LSH_BANDS, threshold=0.2,
-        signatures=_minhash_sig_cached(spark, sf_dir),
-    ).select("doc_id", "cluster_id")
+    clusters = _dedup_clusters_cached(spark, sf_dir).select("doc_id", "cluster_id")
     pc = passed.join(clusters, on="doc_id")
     keep = pc.groupBy("cluster_id").agg(F.min("doc_id").alias("doc_id"))
     return (
@@ -1315,16 +1326,7 @@ def _corpus_clean_clustered_sql() -> str:
     return f"""{_SQL_SHINGLES.replace("WITH toks", "WITH RECURSIVE toks", 1)},
 {_lsh_sig_bb_ctes()},
 {_near_exact_edge_ctes()},
-qf AS (
-  SELECT doc_id,
-         len(string_split_regex(trim(text), '\\s+')) AS n_tokens,
-         CASE WHEN len(string_split_regex(trim(text), '\\s+')) > 0
-           THEN len(list_filter(string_split_regex(trim(text), '\\s+'),
-                    x -> x IN ('the','a','and','of','to','in','is','it'))) * 1.0
-                / len(string_split_regex(trim(text), '\\s+'))
-           ELSE 0.0 END AS stopword_ratio
-  FROM documents
-),
+{_SQL_QF_CTE},
 passed AS (
   SELECT p.doc_id, p.n_tokens,
          coalesce(l.cluster_id, p.doc_id) AS cluster_id
@@ -1853,8 +1855,9 @@ def q_corpus_clean(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-SQL_CORPUS_CLEAN = """
-WITH qf AS (
+# the quality-gate CTE shared by both corpus-clean oracles (one
+# definition so a token/stopword change cannot desynchronize them)
+_SQL_QF_CTE = """qf AS (
   SELECT doc_id, text,
          len(string_split_regex(trim(text), '\\s+')) AS n_tokens,
          CASE WHEN len(string_split_regex(trim(text), '\\s+')) > 0
@@ -1863,7 +1866,10 @@ WITH qf AS (
                 / len(string_split_regex(trim(text), '\\s+'))
            ELSE 0.0 END AS stopword_ratio
   FROM documents
-),
+)"""
+
+SQL_CORPUS_CLEAN = f"""
+WITH {_SQL_QF_CTE},
 passed AS (SELECT * FROM qf WHERE n_tokens >= 10 AND stopword_ratio <= 0.5),
 keep AS (
   SELECT min(doc_id) AS doc_id

@@ -134,7 +134,10 @@ def knn_join(
         ext = r2.agg(
             F.min("_cx"), F.max("_cx"), F.min("_cy"), F.max("_cy"), F.count("*")
         ).collect()[0]
-        if ext[4] == 0:
+        lext = remaining.agg(
+            F.min("_cx"), F.max("_cx"), F.min("_cy"), F.max("_cy")
+        ).collect()[0]
+        if ext[4] == 0 or lext[0] is None:  # empty right OR empty left
             out = left.select(*left_keys).limit(0)
             out = out.withColumn("knn_rank", F.lit(1).cast("int"))
             for c in right_cols:
@@ -145,9 +148,6 @@ def knn_join(
         # more than the right span (caught by a probe: a left 200
         # cells east of a right cluster silently lost its 2nd
         # neighbour when the bound was span+1)
-        lext = remaining.agg(
-            F.min("_cx"), F.max("_cx"), F.min("_cy"), F.max("_cy")
-        ).collect()[0]
         max_rings = int(
             max(
                 abs(lext[1] - ext[0]), abs(ext[1] - lext[0]),

@@ -81,22 +81,28 @@ def kmv_distinct(
     engines disagree on NULL ordering). ``safety`` scales the pass-1
     threshold; raising it trades survivor volume against rescue
     probability (the result is exact either way)."""
+    # all internal joins/groupBys key on ONE struct of the group cols:
+    # struct equality matches null fields, so a group whose key holds a
+    # NULL is pruned/rescued/joined like any other (plain equi-joins
+    # would drop its rows and silently fall back to the exact count)
+    gk = "_kmv_gk"
     h = df.where(F.col(value_col).isNotNull()).select(
-        *group_cols, hash32(F.col(value_col).cast("string")).alias("_h")
+        F.struct(*group_cols).alias(gk),
+        hash32(F.col(value_col).cast("string")).alias("_h"),
     ).distinct()
-    counts = h.groupBy(*group_cols).agg(
+    counts = h.groupBy(gk).agg(
         F.count("*").cast("long").alias("n_hashes")
     )
-    pool = _bottomk_pool(h, counts, group_cols, k, float(safety))
-    w = Window.partitionBy(*group_cols).orderBy(F.col("_h").asc())
+    pool = _bottomk_pool(h, counts, [gk], k, float(safety))
+    w = Window.partitionBy(gk).orderBy(F.col("_h").asc())
     ranked = pool.withColumn("_rk", F.row_number().over(w))
-    hk = ranked.groupBy(*group_cols).agg(
+    hk = ranked.groupBy(gk).agg(
         F.max(F.when(F.col("_rk") == k, F.col("_h"))).alias("_hk")
     )
     return (
-        counts.join(hk, on=group_cols, how="left")
+        counts.join(hk, on=gk, how="left")
         .select(
-            *group_cols,
+            *[F.col(f"{gk}.{c}").alias(c) for c in group_cols],
             "n_hashes",
             F.round(
                 F.when(

@@ -102,19 +102,28 @@ def decode_image(payload: bytes, width: int, height: int, channels: int,
     partitionings); otherwise NotImplementedError."""
     payload = bytes(payload)
     magic = payload[:2]
-    if magic == b"BM":
-        arr = codecs.decode_bmp(payload)
-    elif magic in (b"P6", b"P5"):
-        arr = codecs.decode_ppm(payload)
-    elif fake:
-        seed = int.from_bytes(hashlib.sha256(payload).digest()[:8], "big")
-        rng = np.random.default_rng(seed)
-        return rng.integers(0, 256, size=(height, width, channels), dtype=np.uint8)
-    else:
+    arr = None
+    try:
+        if magic == b"BM":
+            arr = codecs.decode_bmp(payload)
+        elif magic in (b"P6", b"P5"):
+            arr = codecs.decode_ppm(payload)
+    except NotImplementedError:
+        # recognized container, unsupported VARIANT (e.g. RLE BMP,
+        # 16-bit PGM): honor the fake= contract — fake=True never
+        # raises — instead of killing the whole mapInPandas job
+        if not fake:
+            raise
+        arr = None
+    if arr is None:
+        if fake:
+            seed = int.from_bytes(hashlib.sha256(payload).digest()[:8], "big")
+            rng = np.random.default_rng(seed)
+            return rng.integers(0, 256, size=(height, width, channels), dtype=np.uint8)
         raise NotImplementedError(
-            "payload is not BMP/PPM/PGM (the formats decodable without codec "
-            "libs); pass fake=True for the deterministic stub or swap in "
-            "PIL/opencv here"
+            "payload is not decodable BMP/PPM/PGM (the formats parseable "
+            "without codec libs); pass fake=True for the deterministic stub "
+            "or swap in PIL/opencv here"
         )
     if arr.shape[:2] != (height, width):
         raise ValueError(
@@ -141,15 +150,19 @@ def decode_audio(payload: bytes, sample_rate: int,
     hash at the declared rate."""
     payload = bytes(payload)
     if payload[:4] == b"RIFF":
-        samples, rate = codecs.decode_wav(payload)
-        return samples, rate
+        try:
+            return codecs.decode_wav(payload)
+        except NotImplementedError:
+            if not fake:  # unsupported variant (float32, 24-bit, ...)
+                raise
     if fake:
         seed = int.from_bytes(hashlib.sha256(payload).digest()[:8], "big")
         rng = np.random.default_rng(seed)
         return rng.integers(-2048, 2048, size=(fake_n, 1), dtype=np.int16), sample_rate
     raise NotImplementedError(
-        "payload is not PCM WAV (the format decodable without codec libs); "
-        "pass fake=True for the deterministic stub or swap in soundfile here"
+        "payload is not decodable PCM WAV (the format parseable without "
+        "codec libs); pass fake=True for the deterministic stub or swap in "
+        "soundfile here"
     )
 
 

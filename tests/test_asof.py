@@ -204,3 +204,26 @@ def test_kmv_two_pass_pool_shrinks_and_stays_exact(spark):
     # starved threshold -> rescue path -> identical result
     got2 = kmv_distinct(df, ["grp"], "uid", k=64, safety=0.05).collect()[0]
     assert (got2.n_hashes, got2.kmv_est) == (got.n_hashes, got.kmv_est)
+
+
+def test_kmv_null_group_key_uses_estimator(spark):
+    """A group whose key is NULL must flow through the two-pass pruner
+    like any other (struct-key joins match null fields) — not silently
+    fall back to the exact count while the DuckDB oracle estimates."""
+    from moamosaic_spark.functions.portable import hash32
+    from moamosaic_spark.functions.sketch import kmv_distinct
+
+    rows = [(None, f"u{i}") for i in range(300)]
+    rows += [("a", f"v{i}") for i in range(300)]
+    df = spark.createDataFrame(rows, "grp string, uid string")
+    got = {r.grp: (r.n_hashes, r.kmv_est)
+           for r in kmv_distinct(df, ["grp"], "uid", k=64).collect()}
+    assert set(got) == {None, "a"}
+    h = df.select("grp", hash32(F.col("uid")).alias("_h")).distinct()
+    for gval in (None, "a"):
+        cond = F.col("grp").isNull() if gval is None else (F.col("grp") == gval)
+        hs = sorted(r._h for r in h.where(cond).collect())
+        want = 63 * 2**32 / hs[63]
+        n, est = got[gval]
+        assert n == 300
+        assert abs(est - want) < 1e-3, (gval, est, want)

@@ -179,3 +179,14 @@ def test_knn_join_agrees_with_broadcast_radius_query(spark):
     want = sorted(tuple(r) for r in DC.q_tile_knn_sources(spark, sf_dir).collect())
     got = sorted(tuple(r) for r in ring.collect())
     assert got == want
+
+
+def test_knn_empty_left(spark):
+    """An empty left side (e.g. a batch that touched no tiles) returns
+    an empty result, not a TypeError from the extent aggregate."""
+    ldf = spark.createDataFrame([], "lid long, x double, y double")
+    rdf = spark.createDataFrame([(1, 0.0, 0.0)], "rid long, rx double, ry double")
+    out = knn_join(ldf, rdf, 3, ["lid"], "x", "y", "rx", "ry", ["rid"],
+                   cell_size=2.0)
+    assert out.collect() == []
+    assert out.columns == ["lid", "knn_rank", "rid", "d2"]

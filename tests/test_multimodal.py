@@ -204,3 +204,27 @@ def test_video_rows_still_use_fake_gate(spark):
     assert {r.frame_idx for r in rows} == {0, 10, 20}
     with pytest.raises(Exception, match="codec libs|NotImplementedError"):
         MM.sample_frames(media, every_n=10, fake_decode=False).collect()
+
+
+def test_unsupported_variant_honors_fake_contract():
+    """A recognized container with an unsupported VARIANT (RLE BMP,
+    float32 WAV) must still honor fake=True — the stub, never a raise
+    that kills the whole mapInPandas job; without fake it raises."""
+    import struct
+
+    hdr = struct.pack("<2sIHHI", b"BM", 100, 0, 0, 54)
+    info = struct.pack("<IiiHHIIiiII", 40, 4, 4, 1, 24, 1, 0, 0, 0, 0, 0)  # RLE
+    rle_bmp = hdr + info + b"\x00" * 32
+    with pytest.raises(NotImplementedError):
+        MM.decode_image(rle_bmp, 4, 4, 3, fake=False)
+    arr = MM.decode_image(rle_bmp, 4, 4, 3, fake=True)
+    assert arr.shape == (4, 4, 3) and arr.dtype == np.uint8
+
+    fmt = struct.pack("<HHIIHH", 3, 1, 8000, 32000, 4, 32)  # float32 PCM
+    wav = (b"RIFF" + struct.pack("<I", 4 + 8 + len(fmt) + 8) + b"WAVE"
+           + b"fmt " + struct.pack("<I", len(fmt)) + fmt
+           + b"data" + struct.pack("<I", 0))
+    with pytest.raises(NotImplementedError):
+        MM.decode_audio(wav, 8000, fake=False)
+    s, r = MM.decode_audio(wav, 8000, fake=True)
+    assert r == 8000 and s.shape[1] == 1 and s.dtype == np.int16
