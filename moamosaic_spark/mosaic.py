@@ -51,7 +51,11 @@ class MosaicConfig:
     check_blocks: bool = False         # integrity prepass over the blocks table
     with_overviews: bool = True
     kernel: str = "arrow"              # 'arrow' (applyInArrow) | 'pandas'
-    merge_policy: str = "last"         # 'last' (reference) | 'nearest' (kNN ext)
+    # 'last' (reference) | 'nearest' (kNN ext) | 'blend' (feathered
+    # edge-blending: overlap pixels weighted by distance to each
+    # contributor's source edge — nodata-aware, seams fade)
+    merge_policy: str = "last"
+    blend_feather: int = 64            # feather width (px) for 'blend'
     stitch_salt: int = 1               # >1: two-stage salted merge for hot tiles
     # tiles with fewer contributors than this skip the two-stage path
     # (stage 1 only pays off when contributors >> buckets);
@@ -304,6 +308,11 @@ def do_mosaic(
     did) re-stitches the entire mosaic and discards most of it. Pruning
     the input side makes a k-of-n batch cost ~1/n of a full run."""
     config = config or MosaicConfig()
+    if config.merge_policy not in ("last", "nearest", "blend"):
+        raise ValueError(
+            f"unknown merge_policy {config.merge_policy!r} "
+            "(expected 'last', 'nearest' or 'blend')"
+        )
     from .session import ensure_workers_can_import
 
     ensure_workers_can_import(spark)
@@ -417,12 +426,14 @@ def do_mosaic(
         from .operators.stitch import make_stitch_fn_arrow
 
         stitched = grouped.applyInArrow(
-            make_stitch_fn_arrow(grid, levels, config.merge_policy, binary=binary),
+            make_stitch_fn_arrow(grid, levels, config.merge_policy, binary=binary,
+                                 feather=config.blend_feather),
             stitch_schema,
         )
     elif config.kernel == "pandas":
         stitched = grouped.applyInPandas(
-            make_stitch_fn(grid, levels, config.merge_policy, binary=binary),
+            make_stitch_fn(grid, levels, config.merge_policy, binary=binary,
+                           feather=config.blend_feather),
             stitch_schema,
         )
     else:

@@ -95,6 +95,28 @@ def _nearest_state(ysize: int, xsize: int):
     return np.full((ysize, xsize), np.inf)
 
 
+def _blend_state(ysize: int, xsize: int, feather: int):
+    """(weight sum, weighted value sum, feather width) accumulators for
+    policy='blend'."""
+    return (
+        np.zeros((ysize, xsize)),
+        np.zeros((ysize, xsize)),
+        int(feather),
+    )
+
+
+def _policy_state(policy: str, ysize: int, xsize: int, feather: int):
+    if policy == "last":
+        return None
+    if policy == "nearest":
+        return _nearest_state(ysize, xsize)
+    if policy == "blend":
+        return _blend_state(ysize, xsize, feather)
+    raise ValueError(
+        f"unknown merge_policy {policy!r} (expected 'last', 'nearest' or 'blend')"
+    )
+
+
 def _apply_window(canvas, win, nullval, policy, best, in_top, in_left,
                   src_nrows, src_ncols):
     """Fold one contributor window into the canvas.
@@ -105,10 +127,30 @@ def _apply_window(canvas, win, nullval, policy, best, in_top, in_left,
     source raster's center is nearer (in output pixels) than the
     current holder's; equal distance falls back to last-wins. ``best``
     carries the per-pixel best distance-squared state.
+    policy='blend': nodata-aware EDGE-BLENDING (north-star extension):
+    overlapping non-null pixels are feathered — each contributor
+    weighs in by its pixel's distance to its own source edge (clamped
+    to the feather width), so seams fade instead of stepping; null
+    pixels contribute nothing. ``best`` carries (weight-sum,
+    weighted-value-sum, feather); the blended canvas is resolved in
+    _finalize_policy.
     """
     non_null = win != nullval
     if policy == "last":
         canvas[non_null] = win[non_null]
+        return
+    if policy == "blend":
+        wsum, wvsum, feather = best
+        # distance of each window pixel to its SOURCE's nearest edge
+        # (source row of window row r is in_top + r); padded
+        # out-of-extent pixels are null and masked out anyway
+        sr = in_top + np.arange(win.shape[0])
+        sc = in_left + np.arange(win.shape[1])
+        dr = np.minimum(sr + 1, src_nrows - sr)
+        dc = np.minimum(sc + 1, src_ncols - sc)
+        w = np.clip(np.minimum(dr[:, None], dc[None, :]), 1.0, float(feather))
+        wsum[non_null] += w[non_null]
+        wvsum[non_null] += w[non_null] * win[non_null]
         return
     # source center in tile-local pixel coords: source col 0 sits at
     # tile-local col -in_left (in_left is the tile's left in src coords)
@@ -120,6 +162,15 @@ def _apply_window(canvas, win, nullval, policy, best, in_top, in_left,
     mask = non_null & (dist <= best)
     canvas[mask] = win[mask]
     best[mask] = dist[mask]
+
+
+def _finalize_policy(canvas, policy, best) -> None:
+    """Resolve accumulated policy state into the canvas (blend only;
+    last/nearest write the canvas directly)."""
+    if policy == "blend":
+        wsum, wvsum, _ = best
+        valid = wsum > 0
+        canvas[valid] = np.rint(wvsum[valid] / wsum[valid]).astype(np.int32)
 
 
 def _extract_arrow_group(tbl: pa.Table):
@@ -208,7 +259,8 @@ def _fold_arrow_group(cols, offsets, values, canvas, nullval, policy, best, key)
 
 
 def make_stitch_fn_arrow(
-    grid: OutputGrid, levels: list[int], policy: str = "last", binary: bool = False
+    grid: OutputGrid, levels: list[int], policy: str = "last", binary: bool = False,
+    feather: int = 64,
 ):
     """The applyInArrow kernel for groupBy(band, tile_row, tile_col):
     reads pixel payloads zero-copy from the Arrow list buffers and emits
@@ -224,9 +276,10 @@ def make_stitch_fn_arrow(
         top, left = int(cols["top"][0]), int(cols["left"][0])
         ysize, xsize = int(cols["ysize"][0]), int(cols["xsize"][0])
         canvas = np.full((ysize, xsize), nullval, dtype=np.int32)
-        best = _nearest_state(ysize, xsize) if policy == "nearest" else None
+        best = _policy_state(policy, ysize, xsize, feather)
         _fold_arrow_group(cols, offsets, values, canvas, nullval, policy, best,
                           (band, tile_row, tile_col))
+        _finalize_policy(canvas, policy, best)
         rows = [_base_row(band, tile_row, tile_col, top, left, canvas, nullval)]
         rows.extend(
             _pyramid_rows(band, tile_row, tile_col, top, left, canvas, levels, ov_shapes)
@@ -308,7 +361,8 @@ def _pandas_pixel_arrays(col) -> list[np.ndarray]:
 
 
 def make_stitch_fn(
-    grid: OutputGrid, levels: list[int], policy: str = "last", binary: bool = False
+    grid: OutputGrid, levels: list[int], policy: str = "last", binary: bool = False,
+    feather: int = 64,
 ):
     """pandas (applyInPandas) variant of the stitch kernel — same
     semantics as make_stitch_fn_arrow; kept for environments where the
@@ -330,9 +384,10 @@ def make_stitch_fn(
         top, left = int(cols["top"][0]), int(cols["left"][0])
         ysize, xsize = int(cols["ysize"][0]), int(cols["xsize"][0])
         canvas = np.full((ysize, xsize), nullval, dtype=np.int32)
-        best = _nearest_state(ysize, xsize) if policy == "nearest" else None
+        best = _policy_state(policy, ysize, xsize, feather)
         _fold_arrow_group(cols, offsets, values, canvas, nullval, policy, best,
                           (band, tile_row, tile_col))
+        _finalize_policy(canvas, policy, best)
         rows = [_base_row(band, tile_row, tile_col, top, left, canvas, nullval)]
         rows.extend(
             _pyramid_rows(band, tile_row, tile_col, top, left, canvas, levels, ov_shapes)

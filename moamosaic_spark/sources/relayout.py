@@ -298,12 +298,14 @@ def stitch_from_relayout(
     grouped = work.groupBy("band", "tile_row", "tile_col")
     if config.kernel == "arrow":
         stitched = grouped.applyInArrow(
-            make_stitch_fn_arrow(grid, levels, config.merge_policy, binary=binary),
+            make_stitch_fn_arrow(grid, levels, config.merge_policy, binary=binary,
+                                 feather=config.blend_feather),
             stitch_schema,
         )
     else:
         stitched = grouped.applyInPandas(
-            make_stitch_fn(grid, levels, config.merge_policy, binary=binary),
+            make_stitch_fn(grid, levels, config.merge_policy, binary=binary,
+                           feather=config.blend_feather),
             stitch_schema,
         )
 

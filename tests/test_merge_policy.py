@@ -74,3 +74,111 @@ def test_nearest_equal_distance_falls_back_to_last(spark):
     res = do_mosaic(spark, fp, blocks, cfg)
     arr = np.asarray(res.tiles.collect()[0].pixels, dtype=np.int32).reshape(64, 64)
     np.testing.assert_array_equal(arr, r1.bands[0])
+
+
+def blend_oracle(rasters, grid, feather=64, nullval=0):
+    """Independent full-canvas feathering oracle: weight = distance of
+    each pixel to its own source's nearest edge, clamped to feather;
+    blended value = rint(sum(w*v)/sum(w)) over non-null contributors."""
+    wsum = np.zeros((grid.nrows, grid.ncols))
+    wvsum = np.zeros((grid.nrows, grid.ncols))
+    for r in rasters:
+        row0 = int(round((grid.y_max - r.y0) / grid.y_res))
+        col0 = int(round((r.x0 - grid.x_min) / grid.x_res))
+        arr = r.bands[0]
+        sr = np.arange(r.nrows)
+        sc = np.arange(r.ncols)
+        dr = np.minimum(sr + 1, r.nrows - sr)
+        dc = np.minimum(sc + 1, r.ncols - sc)
+        w = np.clip(np.minimum(dr[:, None], dc[None, :]), 1.0, float(feather))
+        m = arr != nullval
+        wsum[row0: row0 + r.nrows, col0: col0 + r.ncols][m] += w[m]
+        wvsum[row0: row0 + r.nrows, col0: col0 + r.ncols][m] += (w * arr)[m]
+    canvas = np.full((grid.nrows, grid.ncols), nullval, dtype=np.int32)
+    valid = wsum > 0
+    canvas[valid] = np.rint(wvsum[valid] / wsum[valid]).astype(np.int32)
+    return canvas
+
+
+def _collect_canvas(res, grid, binary=False):
+    got = np.full((grid.nrows, grid.ncols), -1, dtype=np.int32)
+    for r in res.tiles.collect():
+        arr = (np.frombuffer(bytes(r.pixels), "<u2").astype(np.int32)
+               if binary else np.asarray(r.pixels, dtype=np.int32))
+        got[r.y_off: r.y_off + r.ysize, r.x_off: r.x_off + r.xsize] = arr.reshape(
+            r.ysize, r.xsize
+        )
+    return got
+
+
+@pytest.mark.parametrize("kernel,feather", [("arrow", 64), ("pandas", 64),
+                                            ("arrow", 16)])
+def test_blend_policy_matches_oracle(spark, kernel, feather):
+    """Feathered edge-blending (north-star 'edge-blending'): engine ==
+    the independent full-canvas oracle; seams fade (overlap pixels lie
+    between the contributors) and single-contributor regions equal
+    'last' exactly."""
+    rasters = synth.grid3x3(120, 120, overlap=40)
+    fp = to_footprints(spark, synth.footprints_pdf(rasters))
+    blocks = to_blocks(spark, synth.blocks_pdf(rasters, 256))
+    cfg = MosaicConfig(blocksize=64, src_blocksize=256, with_overviews=False,
+                       merge_policy="blend", kernel=kernel,
+                       blend_feather=feather)
+    res = do_mosaic(spark, fp, blocks, cfg)
+    grid = res.grid
+    want = blend_oracle(rasters, grid, feather=feather)
+    got = _collect_canvas(res, grid)
+    np.testing.assert_array_equal(got, want)
+    # it differs from last-wins inside the overlap bands
+    last = synth.oracle(rasters, blocksize=64, min_overview_size=9999).canvas[1]
+    assert (want != last).any()
+
+
+def test_blend_u2_layout_matches_i4(spark):
+    """The packed uint16 layout blends pixel-identically."""
+    from tests.test_pixels_u2 import _fp_blocks
+
+    rasters = synth.grid3x3(100, 100, overlap=30)
+    out = {}
+    for layout in ("i4", "u2"):
+        fp, bl = _fp_blocks(spark, rasters, layout)
+        cfg = MosaicConfig(blocksize=64, src_blocksize=256, with_overviews=False,
+                           merge_policy="blend")
+        res = do_mosaic(spark, fp, bl, cfg)
+        out[layout] = _collect_canvas(res, res.grid, binary=(layout == "u2"))
+    np.testing.assert_array_equal(out["u2"], out["i4"])
+
+
+def test_blend_is_nodata_aware(spark):
+    """A null pixel in one contributor must contribute NOTHING — the
+    blend there equals the other contributor's value, not a pull
+    toward nullval."""
+    r0 = synth.make_rasters(
+        [dict(media_ref="r000", x0=300000.0, y0=7000000.0, nrows=64, ncols=64)]
+    )[0]
+    r1 = synth.make_rasters(
+        [dict(media_ref="r001", x0=300000.0, y0=7000000.0, nrows=64, ncols=64)]
+    )[0]
+    r0.bands[0] = np.full((64, 64), 100, dtype=np.int32)
+    r1.bands[0] = np.full((64, 64), 500, dtype=np.int32)
+    r1.bands[0][10:20, 10:20] = 0  # nodata hole in the later source
+    rasters = [r0, r1]
+    fp = to_footprints(spark, synth.footprints_pdf(rasters))
+    blocks = to_blocks(spark, synth.blocks_pdf(rasters, 256))
+    cfg = MosaicConfig(blocksize=64, src_blocksize=256, with_overviews=False,
+                       merge_policy="blend")
+    res = do_mosaic(spark, fp, blocks, cfg)
+    arr = _collect_canvas(res, res.grid)
+    # identical footprints -> equal weights everywhere both are valid
+    assert (arr[30:40, 30:40] == 300).all()
+    # inside r1's hole only r0 contributes
+    assert (arr[10:20, 10:20] == 100).all()
+
+
+def test_unknown_merge_policy_raises(spark):
+    rasters = synth.grid3x3(60, 60)
+    fp = to_footprints(spark, synth.footprints_pdf(rasters))
+    blocks = to_blocks(spark, synth.blocks_pdf(rasters, 256))
+    with pytest.raises(ValueError, match="merge_policy"):
+        do_mosaic(spark, fp, blocks,
+                  MosaicConfig(merge_policy="average", with_overviews=False))
