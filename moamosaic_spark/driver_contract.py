@@ -1884,6 +1884,51 @@ WHERE p.doc_id IN (SELECT doc_id FROM keep)
 """
 
 
+def q_embedding_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Duplicate-cluster resolution on the EMBEDDING modality: the
+    exact cosine near-dup pairs become edges, connected components
+    assigns every vector its component-min cluster id (transitive
+    chains A~B~C collapse even when cos(A,C) < threshold). Same
+    DataFrame-algebra CC as the text clusters; oracle = recursive-CTE
+    closure over the same SQL pair relation."""
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    pairs = S.neardup_pairs(emb, threshold=0.4999).where(
+        F.round("cos_sim", 4) >= 0.5
+    )
+    cc = D.connected_components(pairs, src="id_a", dst="id_b")
+    return (
+        emb.select(F.col("vec_id").cast("long").alias("vec_id"))
+        .join(
+            cc.select(F.col("doc_id").alias("vec_id"), "cluster_id"),
+            on="vec_id", how="left",
+        )
+        .select(
+            "vec_id",
+            F.coalesce(F.col("cluster_id"), F.col("vec_id"))
+            .cast("long").alias("cluster_id"),
+        )
+    )
+
+
+def _embedding_clusters_sql() -> str:
+    return f"""WITH RECURSIVE pairs AS (
+{SQL_EMBEDDING_NEARDUP_PAIRS}
+),
+e0 AS (SELECT id_a AS u, id_b AS v FROM pairs),
+edges AS (SELECT u, v FROM e0 UNION SELECT v AS u, u AS v FROM e0),
+reach(u, v) AS (
+  SELECT u, v FROM edges
+  UNION
+  SELECT r.u, e.v FROM reach r JOIN edges e ON r.v = e.u
+),
+lab AS (SELECT u AS vec_id, least(u, min(v)) AS cluster_id FROM reach GROUP BY u)
+SELECT CAST(em.vec_id AS BIGINT) AS vec_id,
+       CAST(coalesce(l.cluster_id, em.vec_id) AS BIGINT) AS cluster_id
+FROM embeddings em
+LEFT JOIN lab l ON l.vec_id = em.vec_id
+"""
+
+
 def q_media_image_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Multimodal pipeline end-to-end with REAL decode: deterministic
     BMP/PPM payloads (operators/codecs.py — pure numpy, no codec libs)
@@ -2000,6 +2045,7 @@ def queries() -> dict:
         "doc_lang_pred": q_doc_lang_pred,
         "corpus_clean": q_corpus_clean,
         "embedding_neardup_pairs": q_embedding_neardup_pairs,
+        "embedding_clusters": q_embedding_clusters,
         # rows-only entries (no SQL oracle can decode binary media;
         # codec correctness is golden-tested in test_multimodal.py)
         "media_image_features": q_media_image_features,
@@ -2046,4 +2092,5 @@ def oracle_sql() -> dict:
         "doc_lang_pred": _lang_pred_sql(),
         "corpus_clean": SQL_CORPUS_CLEAN,
         "embedding_neardup_pairs": SQL_EMBEDDING_NEARDUP_PAIRS,
+        "embedding_clusters": _embedding_clusters_sql(),
     }
