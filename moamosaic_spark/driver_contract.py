@@ -330,6 +330,77 @@ def q_mosaic_tile_checksums(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+BLEND_FEATHER = 64
+
+_BLEND_CACHE: dict = {}
+
+
+def _blend_result_cached(sf_dir: str, spark: SparkSession):
+    key = (spark, sf_dir)
+    if key not in _BLEND_CACHE:
+        fp = derived_footprints(spark, sf_dir)
+        blocks = derived_blocks(fp)
+        cfg = MosaicConfig(
+            blocksize=BLOCKSIZE, src_blocksize=SRC_BS, min_overview_size=MIN_OV,
+            merge_policy="blend", blend_feather=BLEND_FEATHER,
+        )
+        _BLEND_CACHE[key] = do_mosaic(spark, fp, blocks, cfg)
+    return _BLEND_CACHE[key]
+
+
+def q_mosaic_blend_checksums(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The feathered edge-blending mosaic (merge_policy='blend'),
+    hash-gated per tile: overlap pixels are the half-up-rounded
+    weighted mean of all non-null contributors, weight = clamped
+    distance to each contributor's source edge. The engine accumulates
+    in exact int64 and rounds via (2*wv + w) // (2*w), so DuckDB
+    replays the blend BIT-IDENTICALLY with integer SQL — no float
+    sum-order or rounding-convention divergence."""
+    from .pixels import unpack_u2
+
+    res = _blend_result_cached(sf_dir, spark)
+    nn = _nonnull(unpack_u2(F.col("pixels")))
+    return res.tiles.where(F.col("px_count") > 0).select(
+        "band",
+        "tile_row",
+        "tile_col",
+        F.col("px_count").cast("long").alias("n_valid"),
+        F.aggregate(nn, F.lit(0).cast("long"), lambda a, x: a + x).alias("sum_val"),
+        F.array_min(nn).cast("int").alias("min_val"),
+        F.array_max(nn).cast("int").alias("max_val"),
+    )
+
+
+def _blend_checksums_sql() -> str:
+    return f"""{_sql_prologue()},
+contrib_w AS (
+  SELECT f.row0 + lr.i AS r, f.col0 + lc.i AS c,
+         least(least(lr.i + 1, f.nrows - lr.i),
+               least(lc.i + 1, f.ncols - lc.i),
+               {BLEND_FEATHER}) AS w,
+         lc.i AS val
+  FROM fpx f,
+       generate_series(0, {R_SIZE - 1}) lr(i),
+       generate_series(0, {R_SIZE - 1}) lc(i)
+  WHERE lr.i < f.nrows AND lc.i < f.ncols AND lc.i != 0
+),
+blended AS (
+  SELECT r, c, (2 * sum(w * val) + sum(w)) // (2 * sum(w)) AS val
+  FROM contrib_w
+  GROUP BY r, c
+)
+SELECT 1 AS band,
+       CAST(least(floor(m.r * 1.0 / {BLOCKSIZE}), nb.nb_r - 1) AS INT) AS tile_row,
+       CAST(least(floor(m.c * 1.0 / {BLOCKSIZE}), nb.nb_c - 1) AS INT) AS tile_col,
+       CAST(count(*) AS BIGINT) AS n_valid,
+       CAST(sum(m.val) AS BIGINT) AS sum_val,
+       CAST(min(m.val) AS INT) AS min_val,
+       CAST(max(m.val) AS INT) AS max_val
+FROM blended m, nb
+GROUP BY 1, 2, 3
+"""
+
+
 def q_mosaic_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     res = _mosaic_result_cached(sf_dir, spark)
     return res.stats.select(
@@ -2012,6 +2083,7 @@ def queries() -> dict:
         "mosaic_tiles": q_mosaic_tiles,
         "mosaic_assignments": q_mosaic_assignments,
         "mosaic_tile_checksums": q_mosaic_tile_checksums,
+        "mosaic_blend_checksums": q_mosaic_blend_checksums,
         "mosaic_stats": q_mosaic_stats,
         "mosaic_overview_checksums": q_mosaic_overview_checksums,
         "mosaic_resampled_checksums": q_mosaic_resampled_checksums,
@@ -2059,6 +2131,7 @@ def oracle_sql() -> dict:
         "mosaic_tiles": SQL_MOSAIC_TILES,
         "mosaic_assignments": SQL_MOSAIC_ASSIGNMENTS,
         "mosaic_tile_checksums": SQL_MOSAIC_TILE_CHECKSUMS,
+        "mosaic_blend_checksums": _blend_checksums_sql(),
         "mosaic_stats": SQL_MOSAIC_STATS,
         "mosaic_overview_checksums": SQL_MOSAIC_OVERVIEW_CHECKSUMS,
         "mosaic_resampled_checksums": _resampled_checksums_sql(),

@@ -97,10 +97,13 @@ def _nearest_state(ysize: int, xsize: int):
 
 def _blend_state(ysize: int, xsize: int, feather: int):
     """(weight sum, weighted value sum, feather width) accumulators for
-    policy='blend'."""
+    policy='blend'. INTEGER accumulators deliberately: weights and
+    pixel values are ints, so the sums are exact and ORDER-FREE —
+    float accumulation would differ from a SQL oracle's arbitrary sum
+    order in the last ulp and flip rounded values at .5 boundaries."""
     return (
-        np.zeros((ysize, xsize)),
-        np.zeros((ysize, xsize)),
+        np.zeros((ysize, xsize), dtype=np.int64),
+        np.zeros((ysize, xsize), dtype=np.int64),
         int(feather),
     )
 
@@ -144,13 +147,13 @@ def _apply_window(canvas, win, nullval, policy, best, in_top, in_left,
         # distance of each window pixel to its SOURCE's nearest edge
         # (source row of window row r is in_top + r); padded
         # out-of-extent pixels are null and masked out anyway
-        sr = in_top + np.arange(win.shape[0])
-        sc = in_left + np.arange(win.shape[1])
+        sr = in_top + np.arange(win.shape[0], dtype=np.int64)
+        sc = in_left + np.arange(win.shape[1], dtype=np.int64)
         dr = np.minimum(sr + 1, src_nrows - sr)
         dc = np.minimum(sc + 1, src_ncols - sc)
-        w = np.clip(np.minimum(dr[:, None], dc[None, :]), 1.0, float(feather))
+        w = np.clip(np.minimum(dr[:, None], dc[None, :]), 1, int(feather))
         wsum[non_null] += w[non_null]
-        wvsum[non_null] += w[non_null] * win[non_null]
+        wvsum[non_null] += w[non_null] * win[non_null].astype(np.int64)
         return
     # source center in tile-local pixel coords: source col 0 sits at
     # tile-local col -in_left (in_left is the tile's left in src coords)
@@ -166,11 +169,16 @@ def _apply_window(canvas, win, nullval, policy, best, in_top, in_left,
 
 def _finalize_policy(canvas, policy, best) -> None:
     """Resolve accumulated policy state into the canvas (blend only;
-    last/nearest write the canvas directly)."""
+    last/nearest write the canvas directly). Blend rounds HALF-UP via
+    exact integer division — (2*wv + w) // (2*w) — so any SQL engine
+    reproduces it bit-identically (np.rint's half-to-even and SQL
+    round()'s half-away diverge at .5 boundaries)."""
     if policy == "blend":
         wsum, wvsum, _ = best
         valid = wsum > 0
-        canvas[valid] = np.rint(wvsum[valid] / wsum[valid]).astype(np.int32)
+        canvas[valid] = (
+            (2 * wvsum[valid] + wsum[valid]) // (2 * wsum[valid])
+        ).astype(np.int32)
 
 
 def _extract_arrow_group(tbl: pa.Table):

@@ -79,24 +79,26 @@ def test_nearest_equal_distance_falls_back_to_last(spark):
 def blend_oracle(rasters, grid, feather=64, nullval=0):
     """Independent full-canvas feathering oracle: weight = distance of
     each pixel to its own source's nearest edge, clamped to feather;
-    blended value = rint(sum(w*v)/sum(w)) over non-null contributors."""
-    wsum = np.zeros((grid.nrows, grid.ncols))
-    wvsum = np.zeros((grid.nrows, grid.ncols))
+    blended value = half-up((sum(w*v)/sum(w))) over non-null
+    contributors, via exact integer arithmetic (order-free, SQL-
+    replayable)."""
+    wsum = np.zeros((grid.nrows, grid.ncols), dtype=np.int64)
+    wvsum = np.zeros((grid.nrows, grid.ncols), dtype=np.int64)
     for r in rasters:
         row0 = int(round((grid.y_max - r.y0) / grid.y_res))
         col0 = int(round((r.x0 - grid.x_min) / grid.x_res))
-        arr = r.bands[0]
-        sr = np.arange(r.nrows)
-        sc = np.arange(r.ncols)
+        arr = r.bands[0].astype(np.int64)
+        sr = np.arange(r.nrows, dtype=np.int64)
+        sc = np.arange(r.ncols, dtype=np.int64)
         dr = np.minimum(sr + 1, r.nrows - sr)
         dc = np.minimum(sc + 1, r.ncols - sc)
-        w = np.clip(np.minimum(dr[:, None], dc[None, :]), 1.0, float(feather))
+        w = np.clip(np.minimum(dr[:, None], dc[None, :]), 1, int(feather))
         m = arr != nullval
         wsum[row0: row0 + r.nrows, col0: col0 + r.ncols][m] += w[m]
         wvsum[row0: row0 + r.nrows, col0: col0 + r.ncols][m] += (w * arr)[m]
     canvas = np.full((grid.nrows, grid.ncols), nullval, dtype=np.int32)
     valid = wsum > 0
-    canvas[valid] = np.rint(wvsum[valid] / wsum[valid]).astype(np.int32)
+    canvas[valid] = ((2 * wvsum[valid] + wsum[valid]) // (2 * wsum[valid])).astype(np.int32)
     return canvas
 
 
