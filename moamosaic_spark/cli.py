@@ -46,7 +46,10 @@ def get_parser() -> argparse.ArgumentParser:
     p.add_argument("--cell-size-px", type=int, default=4096)
     p.add_argument("--salt", type=int, default=1)
     p.add_argument("--kernel", choices=["arrow", "pandas"], default="arrow")
-    p.add_argument("--merge-policy", choices=["last", "nearest"], default="last")
+    p.add_argument("--merge-policy", choices=["last", "nearest", "blend"],
+                   default="last")
+    p.add_argument("--blend-feather", type=int, default=64,
+                   help="feather width (px) for --merge-policy blend")
     p.add_argument("--stitch-salt", type=int, default=1,
                    help=">1: two-stage salted merge for hot tiles")
     p.add_argument("--batches", type=int, default=1,
@@ -140,6 +143,7 @@ def main(argv: list[str] | None = None) -> None:
         salt=args.salt,
         kernel=args.kernel,
         merge_policy=args.merge_policy,
+        blend_feather=args.blend_feather,
         stitch_salt=args.stitch_salt,
         with_overviews=not args.no_overviews,
     )
