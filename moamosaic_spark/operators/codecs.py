@@ -123,6 +123,82 @@ def decode_ppm(payload: bytes) -> np.ndarray:
 
 
 # ---------------------------------------------------------------------------
+# Y4M (YUV4MPEG2, uncompressed video, 4:2:0 / 4:4:4 / mono)
+# ---------------------------------------------------------------------------
+
+_Y4M_PLANES = {"420": 1.5, "444": 3.0, "mono": 1.0}  # bytes/px (luma=1)
+
+
+def encode_y4m(frames: np.ndarray, fps: tuple[int, int] = (25, 1),
+               colorspace: str = "420") -> bytes:
+    """(n, h, w) uint8 LUMA frames -> YUV4MPEG2 bytes (chroma planes
+    filled neutral 128 for 420/444; 'mono' has luma only). h and w must
+    be even for 420 (the subsampled chroma planes are (h/2, w/2))."""
+    f = np.asarray(frames, dtype=np.uint8)
+    if f.ndim != 3:
+        raise ValueError(f"encode_y4m wants (n, h, w) uint8 luma, got {f.shape}")
+    n, h, w = f.shape
+    if colorspace not in _Y4M_PLANES:
+        raise ValueError(f"unsupported colorspace {colorspace!r}")
+    if colorspace == "420" and (h % 2 or w % 2):
+        raise ValueError("4:2:0 needs even frame dimensions")
+    head = f"YUV4MPEG2 W{w} H{h} F{fps[0]}:{fps[1]} Ip A1:1 C{colorspace}\n".encode()
+    if colorspace == "420":
+        chroma = np.full((h // 2) * (w // 2) * 2, 128, dtype=np.uint8).tobytes()
+    elif colorspace == "444":
+        chroma = np.full(h * w * 2, 128, dtype=np.uint8).tobytes()
+    else:
+        chroma = b""
+    body = b"".join(b"FRAME\n" + f[i].tobytes() + chroma for i in range(n))
+    return head + body
+
+
+def decode_y4m(payload: bytes) -> tuple[np.ndarray, tuple[int, int]]:
+    """YUV4MPEG2 -> ((n, h, w) uint8 LUMA frames, (fps_num, fps_den)).
+    Supports C420*, C444 and Cmono; chroma planes are parsed (sized)
+    but only luma is returned — the features this pipeline extracts
+    (per-frame intensity stats, hashes) are luma-only."""
+    if not payload.startswith(b"YUV4MPEG2"):
+        raise ValueError("not a YUV4MPEG2 payload")
+    nl = payload.index(b"\n")
+    w = h = None
+    fps = (25, 1)
+    cs = "420"
+    for tok in payload[10:nl].split():
+        t = tok.decode("ascii", "replace")
+        if t[0] == "W":
+            w = int(t[1:])
+        elif t[0] == "H":
+            h = int(t[1:])
+        elif t[0] == "F":
+            a, b = t[1:].split(":")
+            fps = (int(a), int(b))
+        elif t[0] == "C":
+            base = t[1:]
+            cs = "420" if base.startswith("420") else base
+    if w is None or h is None:
+        raise ValueError("Y4M header missing W/H")
+    if cs not in _Y4M_PLANES:
+        raise NotImplementedError(
+            f"only C420/C444/Cmono Y4M decodable without codec libs (got C{cs})"
+        )
+    frame_bytes = int(h * w * _Y4M_PLANES[cs])
+    luma = h * w
+    frames = []
+    i = nl + 1
+    while i < len(payload):
+        j = payload.index(b"\n", i)  # FRAME line (may carry params)
+        if not payload[i:j].startswith(b"FRAME"):
+            raise ValueError("malformed Y4M: expected FRAME marker")
+        i = j + 1
+        frames.append(
+            np.frombuffer(payload, np.uint8, luma, i).reshape(h, w)
+        )
+        i += frame_bytes
+    return np.stack(frames) if frames else np.empty((0, h, w), np.uint8), fps
+
+
+# ---------------------------------------------------------------------------
 # WAV (RIFF, 16-bit PCM)
 # ---------------------------------------------------------------------------
 

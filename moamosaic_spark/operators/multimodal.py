@@ -277,11 +277,46 @@ def audio_features(media: DataFrame, fake_decode: bool = False) -> DataFrame:
     return media.mapInPandas(run, AUDIO_FEATURES_SCHEMA)
 
 
+def decode_video(payload: bytes, width: int, height: int, n_frames: int,
+                 fake: bool = False) -> np.ndarray:
+    """Decode a video payload to (n, height, width) uint8 LUMA frames.
+    YUV4MPEG2 (``YUV4MPEG2`` magic — the standard uncompressed video
+    container) decodes for real via pure numpy; other formats gate
+    behind ``fake=True`` (per-frame pseudo-decode of the declared
+    shape, seeded from (payload, frame_idx))."""
+    payload = bytes(payload)
+    if payload.startswith(b"YUV4MPEG2"):
+        try:
+            frames, _ = codecs.decode_y4m(payload)
+            if frames.shape[1:] != (height, width):
+                raise ValueError(
+                    f"decoded video is {frames.shape[2]}x{frames.shape[1]} but "
+                    f"meta declares {width}x{height}"
+                )
+            return frames
+        except NotImplementedError:
+            if not fake:
+                raise
+    if fake:
+        return np.stack([
+            decode_image(
+                payload + idx.to_bytes(4, "big"), width, height, 1, fake=True
+            )[:, :, 0]
+            for idx in range(int(n_frames))
+        ])
+    raise NotImplementedError(
+        "payload is not decodable YUV4MPEG2 (the video container parseable "
+        "without codec libs); pass fake=True for the deterministic stub or "
+        "swap in ffmpeg here"
+    )
+
+
 def sample_frames(media: DataFrame, every_n: int = 10,
                   fake_decode: bool = True) -> DataFrame:
-    """Video frame sampling: emit every-n-th frame's features. Frames are
-    pseudo-decoded per (payload, frame_idx) — the UDTF-style 1->N row
-    expansion is the real plumbing under any codec."""
+    """Video frame sampling: emit every-n-th frame's features via the
+    UDTF-style 1->N row expansion. Y4M payloads decode for real
+    (luma); other containers use the per-frame pseudo-decode behind
+    ``fake_decode``."""
 
     def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
@@ -290,17 +325,16 @@ def sample_frames(media: DataFrame, every_n: int = 10,
                 if r.kind != "video":
                     continue
                 m = r.meta
-                for idx in range(0, int(m["n_frames"]), every_n):
-                    frame = decode_image(
-                        bytes(r.payload) + idx.to_bytes(4, "big"),
-                        m["width"], m["height"], m["channels"],
-                        fake=fake_decode,
-                    )
+                frames = decode_video(
+                    bytes(r.payload), m["width"], m["height"], m["n_frames"],
+                    fake=fake_decode,
+                )
+                for idx in range(0, frames.shape[0], every_n):
                     out.append(
                         {
                             "media_id": r.media_id,
                             "frame_idx": idx,
-                            "mean_intensity": float(frame.mean()),
+                            "mean_intensity": float(frames[idx].mean()),
                         }
                     )
             yield pd.DataFrame(out, columns=[f.name for f in FRAME_SAMPLE_SCHEMA])
@@ -311,18 +345,21 @@ def sample_frames(media: DataFrame, every_n: int = 10,
 def synth_media(spark, n: int = 20, seed: int = 7,
                 real_payloads: bool = True) -> DataFrame:
     """Deterministic media table. With ``real_payloads`` (default)
-    image rows carry genuine BMP/PPM bytes (alternating) and audio
-    rows genuine PCM WAV bytes — the real-decode path end-to-end;
-    video rows stay opaque (no codec-free video container), exercising
-    the ``fake=`` gate. ``real_payloads=False`` reverts every kind to
-    opaque bytes (the stub path)."""
+    image rows carry genuine BMP/PPM bytes (alternating), audio rows
+    genuine PCM WAV bytes, and video rows genuine YUV4MPEG2 bytes —
+    the real-decode path end-to-end for every modality.
+    ``real_payloads=False`` reverts every kind to opaque bytes (the
+    ``fake=`` stub path)."""
     rows = []
     rng = np.random.default_rng(seed)
     for i in range(n):
         kind = ["image", "image", "audio", "video"][i % 4]
         w, h = 64 + 8 * (i % 5), 48 + 8 * (i % 3)
-        if not real_payloads or kind == "video":
+        if not real_payloads:
             payload = rng.bytes(64)
+        elif kind == "video":
+            frames = rng.integers(0, 256, size=(30, h, w), dtype=np.uint8)
+            payload = codecs.encode_y4m(frames)
         elif kind == "image":
             img = rng.integers(0, 256, size=(h, w, 3), dtype=np.uint8)
             payload = codecs.encode_bmp(img) if i % 4 == 0 else codecs.encode_ppm(img)

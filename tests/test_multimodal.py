@@ -154,7 +154,7 @@ def test_image_features_real_payloads_golden(spark):
         kind = ["image", "image", "audio", "video"][i % 4]
         w, h = 64 + 8 * (i % 5), 48 + 8 * (i % 3)
         if kind == "video":
-            rng.bytes(64)
+            rng.integers(0, 256, size=(30, h, w), dtype=np.uint8)
             continue
         if kind == "image":
             img = rng.integers(0, 256, size=(h, w, 3), dtype=np.uint8)
@@ -179,7 +179,7 @@ def test_audio_features_real_wav(spark):
         kind = ["image", "image", "audio", "video"][i % 4]
         w, h = 64 + 8 * (i % 5), 48 + 8 * (i % 3)
         if kind == "video":
-            rng.bytes(64)
+            rng.integers(0, 256, size=(30, h, w), dtype=np.uint8)
         elif kind == "image":
             rng.integers(0, 256, size=(h, w, 3), dtype=np.uint8)
         else:
@@ -196,10 +196,10 @@ def test_audio_features_real_wav(spark):
         assert r.rms == pytest.approx(float(np.sqrt(np.mean(sig.astype(np.float64) ** 2))))
 
 
-def test_video_rows_still_use_fake_gate(spark):
-    """Video payloads are opaque -> sample_frames needs the fake path;
-    with fake_decode=False it must raise, not silently fabricate."""
-    media = MM.synth_media(spark, n=8, real_payloads=True)
+def test_video_fake_gate_for_opaque_payloads(spark):
+    """Opaque (non-Y4M) video payloads need the fake path; with
+    fake_decode=False they must raise, not silently fabricate."""
+    media = MM.synth_media(spark, n=8, real_payloads=False)
     rows = MM.sample_frames(media, every_n=10, fake_decode=True).collect()
     assert {r.frame_idx for r in rows} == {0, 10, 20}
     with pytest.raises(Exception, match="codec libs|NotImplementedError"):
@@ -228,3 +228,43 @@ def test_unsupported_variant_honors_fake_contract():
         MM.decode_audio(wav, 8000, fake=False)
     s, r = MM.decode_audio(wav, 8000, fake=True)
     assert r == 8000 and s.shape[1] == 1 and s.dtype == np.int16
+
+
+def test_y4m_roundtrip_and_variants():
+    rng = np.random.default_rng(9)
+    frames = rng.integers(0, 256, size=(5, 6, 8), dtype=np.uint8)
+    got, fps = C.decode_y4m(C.encode_y4m(frames, fps=(30, 1)))
+    assert fps == (30, 1)
+    np.testing.assert_array_equal(got, frames)
+    for cs in ("444", "mono"):
+        got2, _ = C.decode_y4m(C.encode_y4m(frames, colorspace=cs))
+        np.testing.assert_array_equal(got2, frames)
+    # unsupported colorspace gates loudly
+    enc = C.encode_y4m(frames).replace(b"C420", b"C422")
+    with pytest.raises(NotImplementedError, match="C422"):
+        C.decode_y4m(enc)
+
+
+def test_sample_frames_real_y4m_golden(spark):
+    """Real Y4M video end-to-end: sampled frame means equal numpy on
+    the regenerated source frames, with fake_decode=False."""
+    media = MM.synth_media(spark, n=8, seed=7, real_payloads=True)
+    rng = np.random.default_rng(7)
+    want = {}
+    for i in range(8):
+        kind = ["image", "image", "audio", "video"][i % 4]
+        w, h = 64 + 8 * (i % 5), 48 + 8 * (i % 3)
+        if kind == "video":
+            frames = rng.integers(0, 256, size=(30, h, w), dtype=np.uint8)
+            want[f"m{i:04d}"] = frames
+        elif kind == "image":
+            rng.integers(0, 256, size=(h, w, 3), dtype=np.uint8)
+        else:
+            np.arange(1600)
+            rng.integers(-256, 256, size=1600)
+    rows = MM.sample_frames(media, every_n=10, fake_decode=False).collect()
+    assert {r.media_id for r in rows} == set(want)
+    for r in rows:
+        assert r.mean_intensity == pytest.approx(
+            float(want[r.media_id][r.frame_idx].mean())
+        )
