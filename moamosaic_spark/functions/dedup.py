@@ -53,30 +53,20 @@ def shingle_postings(
     return p.distinct() if distinct else p
 
 
-def ngram_jaccard_pairs(
-    docs: DataFrame,
-    id_col: str = "doc_id",
-    text_col: str = "text",
-    k: int = 3,
+def postings_jaccard_pairs(
+    postings: DataFrame,
     threshold: float = 0.5,
     max_doc_freq: int | None = None,
 ) -> DataFrame:
-    """Near-duplicate pairs by word-k-gram Jaccard similarity.
-
-    Candidate generation is the shingle self-join (inverted index) —
-    a doc pair is compared iff it shares >= 1 shingle, so disjoint
-    documents cost nothing. Returns (doc_a, doc_b, jaccard), doc_a <
-    doc_b, jaccard >= threshold.
-
-    ``max_doc_freq`` (off by default — exact Jaccard, oracle-equal)
-    caps the inverted index: a shingle appearing in more than this many
-    documents (boilerplate) is dropped BEFORE the self-join, bounding
-    the per-shingle pair blowup (one shingle in m docs emits m^2/2 join
-    rows). With the cap on, Jaccard is computed over the capped shingle
-    universe — pairs whose only overlap is boilerplate are skipped by
-    design.
-    """
-    p = shingle_postings(docs, id_col, text_col, k)
+    """Near-duplicate pairs by Jaccard over ANY distinct
+    (doc_id, shingle) postings relation — text shingles, video
+    frame-hashes, audio chunk-hashes: anything set-shaped. The
+    inverted-index self-join generates candidates (a pair is compared
+    iff it shares >= 1 posting), intersections count join rows, unions
+    come by inclusion-exclusion. Returns (doc_a, doc_b, jaccard),
+    doc_a < doc_b, jaccard >= threshold. ``max_doc_freq`` caps the
+    index as in ngram_jaccard_pairs."""
+    p = postings
     if max_doc_freq is not None:
         hot = (
             p.groupBy("shingle")
@@ -107,6 +97,30 @@ def ngram_jaccard_pairs(
             ).alias("jaccard"),
         )
         .where(F.col("jaccard") >= threshold)
+    )
+
+
+def ngram_jaccard_pairs(
+    docs: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    k: int = 3,
+    threshold: float = 0.5,
+    max_doc_freq: int | None = None,
+) -> DataFrame:
+    """Near-duplicate pairs by word-k-gram Jaccard similarity — the
+    text instantiation of postings_jaccard_pairs.
+
+    ``max_doc_freq`` (off by default — exact Jaccard, oracle-equal)
+    caps the inverted index: a shingle appearing in more than this many
+    documents (boilerplate) is dropped BEFORE the self-join, bounding
+    the per-shingle pair blowup (one shingle in m docs emits m^2/2 join
+    rows). With the cap on, Jaccard is computed over the capped shingle
+    universe — pairs whose only overlap is boilerplate are skipped by
+    design.
+    """
+    return postings_jaccard_pairs(
+        shingle_postings(docs, id_col, text_col, k), threshold, max_doc_freq
     )
 
 

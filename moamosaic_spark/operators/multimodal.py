@@ -342,6 +342,60 @@ def sample_frames(media: DataFrame, every_n: int = 10,
     return media.mapInPandas(run, FRAME_SAMPLE_SCHEMA)
 
 
+VIDEO_FRAME_HASH_SCHEMA = T.StructType(
+    [
+        T.StructField("doc_id", T.StringType()),    # = media_id
+        T.StructField("shingle", T.StringType()),   # = per-frame hash
+    ]
+)
+
+
+def video_frame_hashes(media: DataFrame, every_n: int = 1,
+                       fake_decode: bool = False) -> DataFrame:
+    """Distinct (doc_id=media_id, shingle=frame perceptual hash)
+    postings over video rows — the video analog of text shingle
+    postings, shaped for functions.dedup.postings_jaccard_pairs /
+    minhash. The hash is the 8x8 average-hash of each sampled luma
+    frame (the same _phash as image_features), so re-encoded or
+    re-containered copies of a clip land on identical postings."""
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            out = []
+            for r in pdf.itertuples(index=False):
+                if r.kind != "video":
+                    continue
+                m = r.meta
+                frames = decode_video(
+                    bytes(r.payload), m["width"], m["height"], m["n_frames"],
+                    fake=fake_decode,
+                )
+                for idx in range(0, frames.shape[0], every_n):
+                    out.append(
+                        {
+                            "doc_id": r.media_id,
+                            "shingle": format(_phash(frames[idx].astype(np.float64)), "x"),
+                        }
+                    )
+            yield pd.DataFrame(out, columns=["doc_id", "shingle"])
+
+    return media.mapInPandas(run, VIDEO_FRAME_HASH_SCHEMA).distinct()
+
+
+def video_neardup_pairs(media: DataFrame, threshold: float = 0.5,
+                        every_n: int = 1,
+                        fake_decode: bool = False) -> DataFrame:
+    """Near-duplicate VIDEO pairs: Jaccard over per-frame hash sets via
+    the shared inverted-index machinery (a pair is compared iff it
+    shares >= 1 frame hash — disjoint clips cost nothing; same scale
+    shape as text dedup). Returns (doc_a, doc_b, jaccard)."""
+    from ..functions.dedup import postings_jaccard_pairs
+
+    return postings_jaccard_pairs(
+        video_frame_hashes(media, every_n, fake_decode), threshold
+    )
+
+
 def synth_media(spark, n: int = 20, seed: int = 7,
                 real_payloads: bool = True) -> DataFrame:
     """Deterministic media table. With ``real_payloads`` (default)

@@ -268,3 +268,31 @@ def test_sample_frames_real_y4m_golden(spark):
         assert r.mean_intensity == pytest.approx(
             float(want[r.media_id][r.frame_idx].mean())
         )
+
+
+def test_video_neardup_pairs_real_y4m(spark):
+    """Video near-dup: a clip sharing most frames with another (e.g. a
+    re-containered copy with a few frames changed) pairs up by
+    frame-hash Jaccard; unrelated clips do not. Frames decode for real
+    (Y4M), hashes via the image pipeline's average-hash."""
+    rng = np.random.default_rng(21)
+    base = rng.integers(0, 256, size=(20, 32, 32), dtype=np.uint8)
+    variant = base.copy()
+    variant[18:] = rng.integers(0, 256, size=(2, 32, 32), dtype=np.uint8)
+    other = rng.integers(0, 256, size=(20, 32, 32), dtype=np.uint8)
+    rows = [
+        {"media_id": mid, "kind": "video",
+         "payload": bytearray(C.encode_y4m(fr)),
+         "meta": {"width": 32, "height": 32, "channels": 1,
+                  "sample_rate": 0, "n_frames": fr.shape[0]}}
+        for mid, fr in [("va", base), ("vb", variant), ("vc", other)]
+    ]
+    media = spark.createDataFrame(rows, schema=MM.MEDIA_SCHEMA)
+    pairs = {(r.doc_a, r.doc_b): r.jaccard
+             for r in MM.video_neardup_pairs(media, threshold=0.5).collect()}
+    assert ("va", "vb") in pairs and pairs[("va", "vb")] >= 0.8
+    assert all({"vc"} - set(k) for k in pairs), pairs  # vc pairs with nobody
+
+    # postings are deterministic + distinct per (video, frame hash)
+    ph = MM.video_frame_hashes(media).collect()
+    assert len(ph) == len({(r.doc_id, r.shingle) for r in ph})
