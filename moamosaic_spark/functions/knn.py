@@ -117,15 +117,22 @@ def knn_join(
     order_cols = [F.col(_D2).asc()] + [F.col(c).asc() for c in payload]
     w = Window.partitionBy(*left_keys).orderBy(*order_cols)
 
+    # coordinates cast to double so d2 is ALWAYS double — the
+    # empty-input early-return emits d2 as double, and without the cast
+    # integer-typed coordinates would make the normal path emit long,
+    # a schema that differs between the empty and non-empty cases
     r2 = right.select(
-        F.col(rx).alias("_rx"), F.col(ry).alias("_ry"),
+        F.col(rx).cast("double").alias("_rx"),
+        F.col(ry).cast("double").alias("_ry"),
         *payload,
         F.floor(F.col(rx) / s).cast("long").alias("_cx"),
         F.floor(F.col(ry) / s).cast("long").alias("_cy"),
     ).localCheckpoint(eager=True)
 
     remaining = left.select(
-        *left_keys, F.col(lx).alias("_lx"), F.col(ly).alias("_ly"),
+        *left_keys,
+        F.col(lx).cast("double").alias("_lx"),
+        F.col(ly).cast("double").alias("_ly"),
         F.floor(F.col(lx) / s).cast("long").alias("_cx"),
         F.floor(F.col(ly) / s).cast("long").alias("_cy"),
     )

@@ -61,12 +61,24 @@ def decode_bmp(payload: bytes) -> np.ndarray:
         )
     top_down, h = h < 0, abs(h)
     row_bytes = (w * bpp // 8 + 3) & ~3
+    # biClrUsed (file offset 46 = info-header offset 32): 0 = full table.
+    clr_used = (int.from_bytes(payload[46:50], "little") or 256) if bpp == 8 else 0
+    if data_off == 0:
+        # some writers leave bfOffBits zero: pixels start right after
+        # the info header and (for 8-bit) the actual-size palette.
+        data_off = 14 + hdr_size + clr_used * 4
     raw = np.frombuffer(payload, np.uint8, row_bytes * h, data_off).reshape(h, row_bytes)
     if bpp == 24:
         img = raw[:, : w * 3].reshape(h, w, 3)[:, :, ::-1]  # BGR -> RGB
     else:
+        # Size the palette read by biClrUsed; a fixed 1024-byte read
+        # would overrun into pixel data (or past EOF) for files that
+        # store a shorter table. Pad to 256 entries before indexing.
         pal_off = 14 + hdr_size
-        pal = np.frombuffer(payload, np.uint8, 256 * 4, pal_off).reshape(256, 4)
+        pal = np.zeros((256, 4), np.uint8)
+        pal[:clr_used] = np.frombuffer(
+            payload, np.uint8, clr_used * 4, pal_off
+        ).reshape(clr_used, 4)
         img = pal[raw[:, :w]][:, :, 2::-1]  # BGRA entries -> RGB
     if not top_down:
         img = img[::-1]

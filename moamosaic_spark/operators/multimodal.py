@@ -18,6 +18,7 @@ payload binary, meta struct<width,height,channels,sample_rate,n_frames>)
 from __future__ import annotations
 
 import hashlib
+import struct
 from collections.abc import Iterator
 
 import numpy as np
@@ -108,10 +109,12 @@ def decode_image(payload: bytes, width: int, height: int, channels: int,
             arr = codecs.decode_bmp(payload)
         elif magic in (b"P6", b"P5"):
             arr = codecs.decode_ppm(payload)
-    except NotImplementedError:
-        # recognized container, unsupported VARIANT (e.g. RLE BMP,
-        # 16-bit PGM): honor the fake= contract — fake=True never
-        # raises — instead of killing the whole mapInPandas job
+    except (NotImplementedError, ValueError, struct.error, IndexError):
+        # recognized container but unsupported VARIANT (e.g. RLE BMP,
+        # 16-bit PGM) — or a corrupt/truncated body whose magic sniffed
+        # fine (np.frombuffer buffer-too-small raises ValueError).
+        # Honor the fake= contract — fake=True never raises — instead
+        # of killing the whole mapInPandas job on one bad row.
         if not fake:
             raise
         arr = None
@@ -152,9 +155,9 @@ def decode_audio(payload: bytes, sample_rate: int,
     if payload[:4] == b"RIFF":
         try:
             return codecs.decode_wav(payload)
-        except NotImplementedError:
+        except (NotImplementedError, ValueError, struct.error, IndexError):
             if not fake:  # unsupported variant (float32, 24-bit, ...)
-                raise
+                raise    # ... or a corrupt/truncated body
     if fake:
         seed = int.from_bytes(hashlib.sha256(payload).digest()[:8], "big")
         rng = np.random.default_rng(seed)
@@ -294,8 +297,8 @@ def decode_video(payload: bytes, width: int, height: int, n_frames: int,
                     f"meta declares {width}x{height}"
                 )
             return frames
-        except NotImplementedError:
-            if not fake:
+        except (NotImplementedError, ValueError, struct.error, IndexError):
+            if not fake:  # unsupported variant or corrupt/truncated body
                 raise
     if fake:
         return np.stack([

@@ -190,3 +190,20 @@ def test_knn_empty_left(spark):
                    cell_size=2.0)
     assert out.collect() == []
     assert out.columns == ["lid", "knn_rank", "rid", "d2"]
+
+
+def test_knn_d2_double_for_integer_coords(spark):
+    """Integer-typed coordinate columns must still emit d2 as double —
+    the empty-input early-return always casts d2 to double, so the
+    normal path has to match or the output schema flips with the data."""
+    ldf = spark.createDataFrame([(1, 0, 0), (2, 5, 5)], "lid long, x int, y int")
+    rdf = spark.createDataFrame([(10, 1, 1), (11, 3, 4)], "rid long, rx int, ry int")
+    out = knn_join(ldf, rdf, 1, ["lid"], "x", "y", "rx", "ry", ["rid"],
+                   cell_size=2.0)
+    assert dict(out.dtypes)["d2"] == "double"
+    rows = {r.lid: (r.rid, r.d2) for r in out.collect()}
+    assert rows == {1: (10, 2.0), 2: (11, 5.0)}
+    # and the empty-right path agrees
+    empty = knn_join(ldf, spark.createDataFrame([], "rid long, rx int, ry int"),
+                     1, ["lid"], "x", "y", "rx", "ry", ["rid"], cell_size=2.0)
+    assert dict(empty.dtypes)["d2"] == "double"

@@ -296,3 +296,47 @@ def test_video_neardup_pairs_real_y4m(spark):
     # postings are deterministic + distinct per (video, frame hash)
     ph = MM.video_frame_hashes(media).collect()
     assert len(ph) == len({(r.doc_id, r.shingle) for r in ph})
+
+
+def test_bmp_short_palette_and_zero_offset():
+    """biClrUsed < 256: the palette read must be sized by the header
+    (a fixed 1024-byte read overruns into pixel data / past EOF), and
+    a zero bfOffBits means pixels start right after the actual-size
+    palette."""
+    import struct
+    # 2x2 8-bit BMP with a 16-entry palette: entry i = (i*16, i, 0) BGR
+    pal = b"".join(bytes([i * 16, i, 0, 0]) for i in range(16))
+    rows = bytes([3, 7, 0, 0]) + bytes([11, 15, 0, 0])  # padded to 4
+    info = struct.pack("<IiiHHIIiiII", 40, 2, 2, 1, 8, 0, 8, 0, 0, 16, 0)
+    # explicit bfOffBits
+    hdr = struct.pack("<2sIHHI", b"BM", 14 + 40 + 64 + 8, 0, 0, 14 + 40 + 64)
+    img = C.decode_bmp(hdr + info + pal + rows)
+    np.testing.assert_array_equal(img[1, 0], [0, 3, 3 * 16])   # RGB of idx 3
+    np.testing.assert_array_equal(img[0, 1], [0, 15, 15 * 16])
+    # bfOffBits = 0: decoder must derive 14 + hdr + 4*biClrUsed
+    hdr0 = struct.pack("<2sIHHI", b"BM", 14 + 40 + 64 + 8, 0, 0, 0)
+    np.testing.assert_array_equal(C.decode_bmp(hdr0 + info + pal + rows), img)
+    # the file ends at the palette+pixels — the old fixed 1024-byte
+    # palette read raised ValueError from np.frombuffer here
+
+
+def test_fake_true_survives_corrupt_recognized_magic():
+    """A payload whose magic sniffs as BMP/RIFF/Y4M but whose body is
+    truncated must fall through to the pseudo-decode under fake=True
+    (one bad row must not kill the mapInPandas job) and still raise
+    under fake=False."""
+    bad_bmp = b"BM" + b"\x00" * 40          # truncated: frombuffer fails
+    bad_wav = b"RIFF\x10\x00\x00\x00WAVE"   # no fmt/data chunks
+    bad_y4m = b"YUV4MPEG2 W8 H8 F25:1 C420\nFRAME\n\x01\x02"  # short frame
+    out = MM.decode_image(bad_bmp, 4, 4, 3, fake=True)
+    assert out.shape == (4, 4, 3)
+    samples, rate = MM.decode_audio(bad_wav, 8000, fake=True)
+    assert rate == 8000 and samples.dtype == np.int16
+    frames = MM.decode_video(bad_y4m, 8, 8, 2, fake=True)
+    assert frames.shape == (2, 8, 8)
+    with pytest.raises((ValueError, NotImplementedError)):
+        MM.decode_image(bad_bmp, 4, 4, 3, fake=False)
+    with pytest.raises((ValueError, NotImplementedError)):
+        MM.decode_audio(bad_wav, 8000, fake=False)
+    with pytest.raises((ValueError, NotImplementedError)):
+        MM.decode_video(bad_y4m, 8, 8, 2, fake=False)
