@@ -151,6 +151,78 @@ def run_mosaic(spark) -> dict:
     }
 
 
+def run_mosaic_relayout(spark) -> dict:
+    """The zero-Exchange storage path, build + stitch split out.
+
+    ``relayout_to_table`` pays the mosaic's one wide shuffle ONCE into a
+    table bucketed by the stitch group keys; ``stitch_from_relayout``
+    then satisfies the grouped-map distribution straight off the
+    bucketed scan (plan-asserted Exchange-free in test_relayout). The
+    stitch leg is the engine's repeated-run cost — the number to hold
+    against BASELINE.md's 26 tiles/s — while the build leg is the
+    amortized one-time cost. Equality vs the direct do_mosaic path is
+    asserted per-tile (md5 of the packed payload) before returning."""
+    from pyspark.sql import functions as F
+
+    from moamosaic_spark.mosaic import MosaicConfig, do_mosaic
+    from moamosaic_spark.sources.relayout import relayout_to_table, stitch_from_relayout
+
+    ensure_corpus(spark)
+    fp = spark.read.parquet(f"{CORPUS_DIR}/footprints")
+    blocks = spark.read.parquet(f"{CORPUS_DIR}/blocks")
+    cfg = MosaicConfig(
+        blocksize=BLOCKSIZE,
+        src_blocksize=SRC_BS,
+        min_overview_size=1024,
+        strategy="cell",
+        cell_size_px=4096,
+    )
+    table = "bench_relayout"
+    t0 = time.time()
+    # buckets > tiles: the bucketed scan runs one task per bucket, so
+    # finer buckets balance per-tile stitch cost across cores (100
+    # tiles into 64 buckets puts 4 tiles in a straggler bucket)
+    relayout_to_table(spark, fp, blocks, table, cfg, n_buckets=128)
+    build_s = time.time() - t0
+
+    runs, tiles, px = [], 0, 0
+    for _ in range(3):
+        t0 = time.time()
+        res = stitch_from_relayout(spark, table, cfg)
+        row = res.tiles.agg(
+            F.count("*").alias("tiles"), F.sum("px_count").alias("px")
+        ).collect()[0]
+        runs.append(time.time() - t0)
+        tiles, px = int(row["tiles"]), int(row["px"])
+    runs.sort()
+    stitch_s = runs[1]
+
+    # tiles == direct: every (band, tile_row, tile_col) must carry a
+    # bit-identical packed payload on both paths
+    key = ["band", "tile_row", "tile_col"]
+    d = do_mosaic(spark, fp, blocks, cfg).tiles.select(
+        *key, F.md5(F.col("pixels")).alias("h")
+    )
+    r = stitch_from_relayout(spark, table, cfg).tiles.select(
+        *key, F.md5(F.col("pixels")).alias("h")
+    )
+    bad = (
+        d.unionAll(r).groupBy(*key, "h").count().where(F.col("count") != 2).count()
+    )
+    if bad:
+        raise AssertionError(f"relayout != direct on {bad} tile payloads")
+    return {
+        "build_seconds": round(build_s, 3),
+        "stitch_seconds": round(stitch_s, 3),
+        "stitch_runs_seconds": [round(t, 3) for t in runs],
+        "tiles": tiles,
+        "valid_px": px,
+        "stitch_tiles_per_sec": round(tiles / stitch_s, 3),
+        "stitch_px_per_sec": round(px / stitch_s, 1),
+        "equal_to_direct": True,
+    }
+
+
 def run_headline(spark) -> dict:
     """Headline operator suite at SF_DIR."""
     from moamosaic_spark import driver_contract as DC
@@ -385,6 +457,9 @@ def child_main(mode: str, cores: int) -> None:
         if mode == "mosaic":
             warmup(spark)
             print("RESULT:" + json.dumps(run_mosaic_median(spark)))
+        elif mode == "relayout":
+            warmup(spark)
+            print("RESULT:" + json.dumps(run_mosaic_relayout(spark)))
         elif mode == "joinscale":
             print("RESULT:" + json.dumps(run_join_scaling(spark)))
         elif mode == "dedupscale":
@@ -431,6 +506,7 @@ def main() -> None:
 
     sf = SF_DIR.rstrip("/").split("sf")[-1]
     head = spawn("headline", CPUS)
+    rel = spawn("relayout", CPUS)
 
     # 4 vs 16 cores: a true 4x while keeping JVM task threads + Python
     # kernel workers within the machine's 32 hardware threads at the
@@ -459,9 +535,17 @@ def main() -> None:
         "similarity + text + relational) at sf, local[%d]" % CPUS,
         "value": round(head["total"], 3),
         "unit": "sec",
-        "queries": head["queries"],
+        "queries": {
+            **head["queries"],
+            # zero-Exchange storage path, same corpus as "mosaic":
+            # build pays the wide shuffle once; stitch is the
+            # repeated-run cost (bucketed scan, no Exchange)
+            "mosaic_pipeline_relayout_build": rel["build_seconds"],
+            "mosaic_pipeline_relayout_stitch": rel["stitch_seconds"],
+        },
         "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
         "mosaic": head["mosaic"],
+        "mosaic_relayout": rel,
         "scaling": {
             "cores_lo": lo_cores,
             "cores_hi": hi_cores,
