@@ -2003,11 +2003,11 @@ LEFT JOIN lab l ON l.vec_id = em.vec_id
 def q_media_image_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Multimodal pipeline end-to-end with REAL decode: deterministic
     BMP/PPM payloads (operators/codecs.py — pure numpy, no codec libs)
-    through the mapInPandas feature extractor. No SQL oracle exists for
-    binary image decoding, so this is a rows-only gate; the bit-exact
-    codec roundtrips and the features==numpy-on-source-arrays equality
-    live in tests/test_multimodal.py. Deterministic across runs and
-    partitionings (seeded generator, seeded payloads)."""
+    through the mapInPandas feature extractor. The oracle is a
+    decoded-truth sidecar computed from the SOURCE arrays at corpus
+    mint time (multimodal.media_truth_features — the decode path never
+    touched), embedded as a DuckDB VALUES relation: a hash match gates
+    the whole encode -> decode -> feature chain bit-for-bit."""
     from .operators import multimodal as MM
 
     media = MM.synth_media(spark, n=40, seed=11, real_payloads=True)
@@ -2023,7 +2023,8 @@ def q_media_image_features(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 def q_media_audio_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     """PCM-WAV audio rows through decode + duration/RMS/zero-crossing
-    extraction (rows-only gate; see q_media_image_features)."""
+    extraction, gated by the source-array truth sidecar (see
+    q_media_image_features)."""
     from .operators import multimodal as MM
 
     media = MM.synth_media(spark, n=40, seed=11, real_payloads=True)
@@ -2035,6 +2036,96 @@ def q_media_audio_features(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round("rms", 4).alias("rms"),
         F.col("zero_crossings").cast("int").alias("zero_crossings"),
     )
+
+
+def _round_half_up(x: float, nd: int) -> float:
+    """Spark's ROUND(double, n): HALF_UP on the value's shortest
+    decimal representation (Java BigDecimal.valueOf semantics — which
+    is Double.toString, i.e. shortest round-trip, matching Python's
+    repr)."""
+    from decimal import ROUND_HALF_UP, Decimal
+
+    return float(Decimal(repr(float(x))).quantize(
+        Decimal(1).scaleb(-nd), rounding=ROUND_HALF_UP
+    ))
+
+
+def _media_image_features_sql() -> str:
+    from .operators import multimodal as MM
+
+    imgs, _ = MM.media_truth_features(n=40, seed=11)
+    values = ",\n  ".join(
+        f"('{r['media_id']}', {r['width']}, {r['height']}, "
+        f"{_round_half_up(r['mean_intensity'], 4)!r}, {r['phash']})"
+        for r in imgs
+    )
+    return f"""
+WITH truth(media_id, width, height, mean_intensity, phash) AS (VALUES
+  {values})
+SELECT media_id, CAST(width AS INT) AS width, CAST(height AS INT) AS height,
+       CAST(mean_intensity AS DOUBLE) AS mean_intensity,
+       CAST(phash AS BIGINT) AS phash
+FROM truth
+"""
+
+
+def _media_audio_features_sql() -> str:
+    from .operators import multimodal as MM
+
+    _, auds = MM.media_truth_features(n=40, seed=11)
+    values = ",\n  ".join(
+        f"('{r['media_id']}', {r['sample_rate']}, {r['n_samples']}, "
+        f"{_round_half_up(r['rms'], 4)!r}, {r['zero_crossings']})"
+        for r in auds
+    )
+    return f"""
+WITH truth(media_id, sample_rate, n_samples, rms, zero_crossings) AS (VALUES
+  {values})
+SELECT media_id, CAST(sample_rate AS INT) AS sample_rate,
+       CAST(n_samples AS INT) AS n_samples, CAST(rms AS DOUBLE) AS rms,
+       CAST(zero_crossings AS INT) AS zero_crossings
+FROM truth
+"""
+
+
+def q_video_neardup_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Near-duplicate VIDEO pairs over the planted-duplicate Y4M clip
+    corpus: per-frame perceptual hashes (real Y4M luma decode) through
+    the shared postings-Jaccard inverted index. The oracle replays the
+    Jaccard in DuckDB over a frame-hash sidecar computed from the
+    SOURCE frames at mint time (multimodal.video_truth_postings)."""
+    from .operators import multimodal as MM
+
+    media = MM.synth_video_clips(spark, seed=13)
+    pairs = MM.video_neardup_pairs(media, threshold=0.5)
+    return pairs.select(
+        "doc_a",
+        "doc_b",
+        F.round("jaccard", 6).alias("jaccard"),
+    )
+
+
+def _video_neardup_sql() -> str:
+    from .operators import multimodal as MM
+
+    posts = MM.video_truth_postings(seed=13)
+    values = ",\n  ".join(f"('{d}', '{s}')" for d, s in posts)
+    return f"""
+WITH post(doc_id, shingle) AS (VALUES
+  {values}),
+sizes AS (SELECT doc_id, count(*) AS n_sh FROM post GROUP BY doc_id),
+inter AS (
+  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS n_common
+  FROM post a JOIN post b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+  GROUP BY 1, 2
+)
+SELECT i.doc_a, i.doc_b,
+       round(i.n_common * 1.0 / (sa.n_sh + sb.n_sh - i.n_common), 6) AS jaccard
+FROM inter i
+JOIN sizes sa ON sa.doc_id = i.doc_a
+JOIN sizes sb ON sb.doc_id = i.doc_b
+WHERE i.n_common * 1.0 / (sa.n_sh + sb.n_sh - i.n_common) >= 0.5
+"""
 
 
 def q_embedding_neardup_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -2118,10 +2209,12 @@ def queries() -> dict:
         "corpus_clean": q_corpus_clean,
         "embedding_neardup_pairs": q_embedding_neardup_pairs,
         "embedding_clusters": q_embedding_clusters,
-        # rows-only entries (no SQL oracle can decode binary media;
-        # codec correctness is golden-tested in test_multimodal.py)
+        # media queries: real decode, gated by source-array truth
+        # sidecars embedded as DuckDB VALUES (decode never consulted
+        # when computing the truth)
         "media_image_features": q_media_image_features,
         "media_audio_features": q_media_audio_features,
+        "video_neardup_pairs": q_video_neardup_pairs,
     }
 
 
@@ -2166,4 +2259,7 @@ def oracle_sql() -> dict:
         "corpus_clean": SQL_CORPUS_CLEAN,
         "embedding_neardup_pairs": SQL_EMBEDDING_NEARDUP_PAIRS,
         "embedding_clusters": _embedding_clusters_sql(),
+        "media_image_features": _media_image_features_sql(),
+        "media_audio_features": _media_audio_features_sql(),
+        "video_neardup_pairs": _video_neardup_sql(),
     }

@@ -399,6 +399,28 @@ def video_neardup_pairs(media: DataFrame, threshold: float = 0.5,
     )
 
 
+def _synth_media_source(n: int = 20, seed: int = 7):
+    """The SOURCE arrays behind synth_media's payloads, pre-encoding.
+    Shared by the payload minting (synth_media) and the decoded-truth
+    sidecar (media_truth_features) so the truth can never drift from
+    the corpus: both consume this generator's rng stream verbatim."""
+    rng = np.random.default_rng(seed)
+    for i in range(n):
+        kind = ["image", "image", "audio", "video"][i % 4]
+        w, h = 64 + 8 * (i % 5), 48 + 8 * (i % 3)
+        rec = {"media_id": f"m{i:04d}", "kind": kind, "w": w, "h": h}
+        if kind == "video":
+            rec["frames"] = rng.integers(0, 256, size=(30, h, w), dtype=np.uint8)
+        elif kind == "image":
+            rec["img"] = rng.integers(0, 256, size=(h, w, 3), dtype=np.uint8)
+            rec["fmt"] = "bmp" if i % 4 == 0 else "ppm"
+        else:  # audio: 0.1 s deterministic tone + noise
+            t = np.arange(1600)
+            sig = 4000 * np.sin(2 * np.pi * (110 + 13 * i) * t / 16000)
+            rec["sig"] = (sig + rng.integers(-256, 256, size=t.shape)).astype(np.int16)
+        yield rec
+
+
 def synth_media(spark, n: int = 20, seed: int = 7,
                 real_payloads: bool = True) -> DataFrame:
     """Deterministic media table. With ``real_payloads`` (default)
@@ -408,26 +430,32 @@ def synth_media(spark, n: int = 20, seed: int = 7,
     ``real_payloads=False`` reverts every kind to opaque bytes (the
     ``fake=`` stub path)."""
     rows = []
-    rng = np.random.default_rng(seed)
-    for i in range(n):
-        kind = ["image", "image", "audio", "video"][i % 4]
-        w, h = 64 + 8 * (i % 5), 48 + 8 * (i % 3)
+    if real_payloads:
+        recs = list(_synth_media_source(n, seed))
+    else:
+        rng = np.random.default_rng(seed)
+        recs = []
+        for i in range(n):
+            recs.append({
+                "media_id": f"m{i:04d}",
+                "kind": ["image", "image", "audio", "video"][i % 4],
+                "w": 64 + 8 * (i % 5), "h": 48 + 8 * (i % 3),
+                "opaque": rng.bytes(64),
+            })
+    for rec in recs:
+        kind, w, h = rec["kind"], rec["w"], rec["h"]
         if not real_payloads:
-            payload = rng.bytes(64)
+            payload = rec["opaque"]
         elif kind == "video":
-            frames = rng.integers(0, 256, size=(30, h, w), dtype=np.uint8)
-            payload = codecs.encode_y4m(frames)
+            payload = codecs.encode_y4m(rec["frames"])
         elif kind == "image":
-            img = rng.integers(0, 256, size=(h, w, 3), dtype=np.uint8)
-            payload = codecs.encode_bmp(img) if i % 4 == 0 else codecs.encode_ppm(img)
-        else:  # audio: 0.1 s deterministic tone + noise
-            t = np.arange(1600)
-            sig = 4000 * np.sin(2 * np.pi * (110 + 13 * i) * t / 16000)
-            sig = (sig + rng.integers(-256, 256, size=t.shape)).astype(np.int16)
-            payload = codecs.encode_wav(sig, 16000)
+            payload = (codecs.encode_bmp(rec["img"]) if rec["fmt"] == "bmp"
+                       else codecs.encode_ppm(rec["img"]))
+        else:
+            payload = codecs.encode_wav(rec["sig"], 16000)
         rows.append(
             {
-                "media_id": f"m{i:04d}",
+                "media_id": rec["media_id"],
                 "kind": kind,
                 "payload": bytearray(payload),
                 "meta": {
@@ -440,3 +468,85 @@ def synth_media(spark, n: int = 20, seed: int = 7,
             }
         )
     return spark.createDataFrame(rows, schema=MEDIA_SCHEMA)
+
+
+def _synth_video_source(n_families: int = 3, n_frames: int = 20,
+                        size: int = 32, seed: int = 13):
+    """Source frames for a video corpus WITH planted near-duplicates.
+    Family j mints three clips: base b{j}; variant v{j} sharing all but
+    the last 4 frames (Jaccard 16/24 = 0.666...); unrelated u{j} fully
+    independent. Expected near-dup pairs at threshold 0.5 are exactly
+    the (b{j}, v{j}) pairs. Even dims (4:2:0 chroma)."""
+    rng = np.random.default_rng(seed)
+    for j in range(n_families):
+        base = rng.integers(0, 256, size=(n_frames, size, size), dtype=np.uint8)
+        variant = base.copy()
+        variant[-4:] = rng.integers(0, 256, size=(4, size, size), dtype=np.uint8)
+        unrelated = rng.integers(0, 256, size=(n_frames, size, size), dtype=np.uint8)
+        yield f"b{j}", base
+        yield f"v{j}", variant
+        yield f"u{j}", unrelated
+
+
+def synth_video_clips(spark, n_families: int = 3, n_frames: int = 20,
+                      size: int = 32, seed: int = 13) -> DataFrame:
+    """Deterministic Y4M clip table (media rows, kind='video') with
+    planted near-duplicates — the video_neardup_pairs fixture."""
+    rows = []
+    for clip_id, frames in _synth_video_source(n_families, n_frames, size, seed):
+        rows.append({
+            "media_id": clip_id,
+            "kind": "video",
+            "payload": bytearray(codecs.encode_y4m(frames)),
+            "meta": {"width": size, "height": size, "channels": 1,
+                     "sample_rate": 0, "n_frames": frames.shape[0]},
+        })
+    return spark.createDataFrame(rows, schema=MEDIA_SCHEMA)
+
+
+def video_truth_postings(n_families: int = 3, n_frames: int = 20,
+                         size: int = 32, seed: int = 13) -> list[tuple[str, str]]:
+    """Frame-hash sidecar for synth_video_clips, computed from the
+    SOURCE frames at mint time (decode never touched): the distinct
+    (clip_id, frame-phash-hex) postings a DuckDB oracle replays the
+    postings Jaccard over."""
+    posts = set()
+    for clip_id, frames in _synth_video_source(n_families, n_frames, size, seed):
+        for idx in range(frames.shape[0]):
+            posts.add((clip_id, format(_phash(frames[idx].astype(np.float64)), "x")))
+    return sorted(posts)
+
+
+def media_truth_features(n: int = 20, seed: int = 7) -> tuple[list, list]:
+    """Decoded-truth sidecar for synth_media(real_payloads=True):
+    expected image and audio features computed straight from the SOURCE
+    arrays at mint time — the decode path is never touched, so this is
+    an independent oracle over encode -> decode -> feature-extract.
+    Returns (image_rows, audio_rows) of plain dicts; driver_contract
+    embeds them as a DuckDB VALUES relation."""
+    imgs, auds = [], []
+    for rec in _synth_media_source(n, seed):
+        if rec["kind"] == "image":
+            arr = rec["img"]
+            imgs.append({
+                "media_id": rec["media_id"],
+                "width": rec["w"],
+                "height": rec["h"],
+                "mean_intensity": float(arr.mean()),
+                "std_intensity": float(arr.std()),
+                "phash": _phash(arr.mean(axis=2)),
+            })
+        elif rec["kind"] == "audio":
+            mono = rec["sig"][:, None].astype(np.float64).mean(axis=1)
+            nsamp = mono.shape[0]
+            auds.append({
+                "media_id": rec["media_id"],
+                "sample_rate": 16000,
+                "n_samples": nsamp,
+                "duration_s": float(nsamp / 16000),
+                "rms": float(np.sqrt(np.mean(mono**2))),
+                "zero_crossings": int(np.sum(
+                    np.signbit(mono[1:]) != np.signbit(mono[:-1])
+                )),
+            })
+    return imgs, auds
