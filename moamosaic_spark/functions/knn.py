@@ -84,6 +84,44 @@ def _ring_candidates(
     )
 
 
+def estimate_cell_size(
+    right: DataFrame, k: int, rx: str, ry: str,
+    n_probes: int = 256, n_sample: int = 4096, seed: int = 7,
+) -> float:
+    """Pick ``cell_size`` near the typical k-th-neighbour distance by
+    MEASURING it on a bounded random subset: sample ``n_sample`` right
+    points (one small collect — never the full relation), take
+    ``n_probes`` of them as probes, and compute each probe's k-th-NN
+    distance within the sample with numpy. Sampling thins density by
+    f = n_sample/n, which inflates k-NN distances by ~1/sqrt(f) in 2-D,
+    so the median is corrected by sqrt(f) before returning. The result
+    only *tunes* ring count vs join fan-out — exactness never depends
+    on it."""
+    import numpy as np
+
+    n = right.count()
+    if n == 0:
+        return 1.0
+    f = min(1.0, n_sample / n)
+    sample = right.select(
+        F.col(rx).cast("double").alias("x"), F.col(ry).cast("double").alias("y")
+    )
+    if f < 1.0:
+        sample = sample.sample(fraction=min(1.0, f * 1.2), seed=seed)
+    pts = np.array(sample.limit(n_sample).collect(), dtype=np.float64)
+    if len(pts) <= k:
+        # degenerate: spread cells over the extent instead
+        span = max(pts[:, 0].ptp(), pts[:, 1].ptp()) if len(pts) > 1 else 1.0
+        return float(span or 1.0)
+    rng = np.random.default_rng(seed)
+    probes = pts[rng.choice(len(pts), size=min(n_probes, len(pts)), replace=False)]
+    d2 = ((probes[:, None, :] - pts[None, :, :]) ** 2).sum(axis=2)
+    # k-th NEIGHBOUR = (k+1)-th smallest including self (distance 0)
+    kth = np.sqrt(np.partition(d2, min(k, d2.shape[1] - 1), axis=1)[:, min(k, d2.shape[1] - 1)])
+    est = float(np.median(kth) * np.sqrt(max(f, 1e-12)))
+    return est if est > 0 else 1.0
+
+
 def knn_join(
     left: DataFrame,
     right: DataFrame,
@@ -94,9 +132,11 @@ def knn_join(
     rx: str,
     ry: str,
     right_cols: list[str],
-    cell_size: float,
+    cell_size: float | None = None,
     tiebreak: list[str] | None = None,
     max_rings: int | None = None,
+    probe_budget: int = 64_000_000,
+    debug_stats: list | None = None,
 ) -> DataFrame:
     """For every left row, the ``k`` nearest right rows by squared
     Euclidean distance (ties broken by ``tiebreak`` then ``right_cols``
@@ -107,11 +147,22 @@ def knn_join(
     ``_lx/_ly/_rx/_ry/_cx/_cy`` working names.
 
     ``cell_size`` trades join fan-out against ring count: pick it near
-    the expected k-th-neighbour distance. ``max_rings`` defaults to
-    enough rings to cover the right extent (exactness preserved); cap
-    it only when an approximate cutoff is acceptable.
+    the expected k-th-neighbour distance, or leave it None to have
+    ``estimate_cell_size`` measure that distance on a bounded random
+    subset. ``max_rings`` defaults to enough rings to cover the right
+    extent (exactness preserved); cap it only when an approximate
+    cutoff is acceptable.
+
+    ``probe_budget`` bounds each batch's exploded probe relation
+    (|unresolved lefts| x shell cells): ring widening narrows to fit,
+    trading driver rounds for bounded shuffle volume, so a
+    pathologically small ``cell_size`` degrades to more rounds — never
+    to an unbounded join. ``debug_stats`` (a list) receives one dict
+    per batch: lo/hi ring, unresolved count, and the probe-row bound.
     """
     tiebreak = list(tiebreak or [])
+    if cell_size is None:
+        cell_size = estimate_cell_size(right, k, rx, ry)
     s = float(cell_size)
     payload = list(dict.fromkeys(tiebreak + right_cols))
     order_cols = [F.col(_D2).asc()] + [F.col(c).asc() for c in payload]
@@ -165,11 +216,24 @@ def knn_join(
     kept: DataFrame | None = None  # top-k-so-far of unresolved lefts
     resolved: list[DataFrame] = []
 
+    def _shell_cells(lo_: int, hi_: int) -> int:
+        inner = (2 * (lo_ - 1) + 1) ** 2 if lo_ > 0 else 0
+        return (2 * hi_ + 1) ** 2 - inner
+
     # geometric ring batches (0; 1; 2-3; 4-7; ...): O(log max_rings)
     # driver rounds even when the k-th neighbour is many cells away —
     # per-ring stepping would pay one Spark job per cell of distance.
+    # probe_budget narrows a batch's shell when |remaining| x cells
+    # would exceed it (at least one ring always proceeds).
     lo, hi = 0, 0
+    n_rem = remaining.count()
     while True:
+        if debug_stats is not None:
+            debug_stats.append({
+                "lo": lo, "hi": hi, "n_remaining": n_rem,
+                "probe_cells": _shell_cells(lo, hi),
+                "probe_rows_bound": n_rem * _shell_cells(lo, hi),
+            })
         cand = _ring_candidates(
             remaining, r2, lo, hi, left_keys, payload, k, w, kept
         ).localCheckpoint(eager=True)
@@ -184,15 +248,22 @@ def knn_join(
         )
         resolved.append(cand.join(done_keys, on=left_keys, how="left_semi"))
         remaining = remaining.join(done_keys, on=left_keys, how="left_anti")
-        if remaining.isEmpty():
+        remaining = remaining.localCheckpoint(eager=True)
+        n_rem = remaining.count()
+        if n_rem == 0:
             kept = None
             break
         kept = cand.join(done_keys, on=left_keys, how="left_anti")
-        remaining = remaining.localCheckpoint(eager=True)
         if hi >= max_rings:
             kept = kept.localCheckpoint(eager=True)
             break
-        lo, hi = hi + 1, min(max(2 * hi, 1), max_rings)
+        lo = hi + 1
+        target = min(max(2 * hi, 1), max_rings)
+        # widest h in [lo, target] whose batch fits the probe budget:
+        # n_rem * ((2h+1)^2 - (2(lo-1)+1)^2) <= probe_budget
+        allowed = probe_budget // max(n_rem, 1) + (2 * (lo - 1) + 1) ** 2
+        h_fit = int((allowed ** 0.5 - 1) // 2)
+        hi = max(lo, min(target, h_fit))
     if kept is not None:
         # rings exhausted the extent: whatever is kept IS the full
         # top-k (possibly < k rows for lefts with a small right set)

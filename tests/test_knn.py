@@ -207,3 +207,43 @@ def test_knn_d2_double_for_integer_coords(spark):
     empty = knn_join(ldf, spark.createDataFrame([], "rid long, rx int, ry int"),
                      1, ["lid"], "x", "y", "rx", "ry", ["rid"], cell_size=2.0)
     assert dict(empty.dtypes)["d2"] == "double"
+
+
+def test_knn_auto_cell_size(spark, pts):
+    """cell_size=None estimates from a sampled k-th-NN distance and
+    must stay exact (the estimate only tunes ring count)."""
+    lpts, rpts, ldf, rdf = pts
+    res = knn_join(ldf, rdf, 3, ["lid"], "x", "y", "rx", "ry", ["rid"],
+                   cell_size=None).collect()
+    got = {}
+    for r in res:
+        got.setdefault(r.lid, []).append((r.knn_rank, r.rid, r.d2))
+    want = brute_knn(lpts, rpts, 3)
+    assert set(got) == set(want)
+    for lid in want:
+        assert sorted(got[lid]) == want[lid]
+
+
+@pytest.mark.parametrize("cell", [0.1, 1000.0])  # ~100x too small / too large
+def test_knn_pathological_cell_size_bounded_probes(spark, pts, cell):
+    """A wildly wrong cell_size must degrade to MORE ROUNDS, never to
+    an unbounded probe join: every batch's |remaining| x shell-cells
+    bound stays within probe_budget (except the irreducible single-ring
+    floor), and exactness is retained."""
+    lpts, rpts, ldf, rdf = pts
+    stats = []
+    budget = 200_000
+    res = knn_join(ldf, rdf, 3, ["lid"], "x", "y", "rx", "ry", ["rid"],
+                   cell_size=cell, probe_budget=budget,
+                   debug_stats=stats).collect()
+    got = {}
+    for r in res:
+        got.setdefault(r.lid, []).append((r.knn_rank, r.rid, r.d2))
+    want = brute_knn(lpts, rpts, 3)
+    assert set(got) == set(want)
+    for lid in want:
+        assert sorted(got[lid]) == want[lid]
+    assert len(stats) >= 1
+    for s in stats[1:]:  # batch 0 is the irreducible 1-cell probe
+        floor = s["n_remaining"] * (8 * s["lo"] if s["lo"] else 1)
+        assert s["probe_rows_bound"] <= max(budget, floor), s
