@@ -324,6 +324,62 @@ def run_join_scaling(spark) -> dict:
     }
 
 
+def run_cc_scale(spark) -> dict:
+    """Connected components at the 10^5-node shape the small fixtures
+    don't reach: 64 chains of 1000 nodes (the O(log n)-round worst
+    case for star contraction) + 4 stars of 10k nodes (the hub shape).
+    Ground truth is id-derivable, so correctness is a full assertion,
+    not a sample; the round count is asserted <= O(log^2 max-component)
+    per Kiveris et al. 2014."""
+    import math
+
+    from pyspark.sql import functions as F
+
+    from moamosaic_spark.functions.dedup import connected_components
+
+    CH, CHL = 64, 1000          # 64 chains x 1000 nodes
+    NS, SS = 4, 10_000          # 4 stars x 10k nodes
+    base = 10_000_000
+    chains = spark.range(CH * CHL).where((F.col("id") % CHL) != CHL - 1).select(
+        F.col("id").alias("doc_a"), (F.col("id") + 1).alias("doc_b")
+    )
+    stars = spark.range(NS * SS).where((F.col("id") % SS) != 0).select(
+        (base + F.floor(F.col("id") / SS) * SS).alias("doc_a"),
+        (base + F.col("id")).alias("doc_b"),
+    )
+    edges = (
+        chains.unionByName(stars).repartition(max(CPUS, 8))
+        .localCheckpoint(eager=True)  # input materialized outside timing
+    )
+    stats: dict = {}
+    t0 = time.time()
+    cc = connected_components(edges, stats=stats)
+    expected = F.when(
+        F.col("doc_id") >= base,
+        base + F.floor((F.col("doc_id") - base) / SS) * SS,
+    ).otherwise(F.floor(F.col("doc_id") / CHL) * CHL)
+    row = cc.agg(
+        F.count("*").alias("n"),
+        F.sum((F.col("cluster_id") != expected).cast("long")).alias("bad"),
+    ).collect()[0]
+    dt = time.time() - t0
+    n_nodes = CH * CHL + NS * SS
+    if row["bad"] or row["n"] != n_nodes:
+        raise AssertionError(f"cc scale: {row['bad']} wrong labels, n={row['n']}")
+    max_comp = max(CHL, SS)
+    if stats["iterations"] > math.ceil(math.log2(max_comp)) ** 2:
+        raise AssertionError(f"cc rounds {stats['iterations']} above O(log^2 n) bound")
+    return {
+        "seconds": round(dt, 3),
+        "nodes": n_nodes,
+        "edges": CH * (CHL - 1) + NS * (SS - 1),
+        "iterations": stats["iterations"],
+        "log2_bound": math.ceil(math.log2(max_comp)) ** 2,
+        "nodes_per_sec": round(n_nodes / dt, 1),
+        "all_labels_correct": True,
+    }
+
+
 def _memcpy_worker(_):
     import numpy as np
 
@@ -464,6 +520,8 @@ def child_main(mode: str, cores: int) -> None:
             print("RESULT:" + json.dumps(run_join_scaling(spark)))
         elif mode == "dedupscale":
             print("RESULT:" + json.dumps(run_dedup_scaling(spark, cores)))
+        elif mode == "ccscale":
+            print("RESULT:" + json.dumps(run_cc_scale(spark)))
         else:
             # corpus generation is one-time setup, not engine time —
             # materialize it OUTSIDE the timed region (the reference
@@ -546,6 +604,7 @@ def main() -> None:
         "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
         "mosaic": head["mosaic"],
         "mosaic_relayout": rel,
+        "dedup_clusters_scale": spawn("ccscale", CPUS),
         "scaling": {
             "cores_lo": lo_cores,
             "cores_hi": hi_cores,

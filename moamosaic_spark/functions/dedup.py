@@ -306,9 +306,15 @@ def connected_components(
     for _ in range(max_iterations):
         e2 = _cc_small_star(_cc_large_star(e)).localCheckpoint(eager=True)
         n_iter += 1
+        # single symmetric-difference action (both sides are distinct,
+        # so a (u, v) appearing once is in exactly one side) — one
+        # driver job per round instead of two anti-join probes
         unchanged = (
-            e2.join(e, on=["u", "v"], how="left_anti").isEmpty()
-            and e.join(e2, on=["u", "v"], how="left_anti").isEmpty()
+            e2.unionByName(e)
+            .groupBy("u", "v")
+            .agg(F.count("*").alias("_n"))
+            .where(F.col("_n") != 2)
+            .isEmpty()
         )
         e = e2
         if unchanged:
