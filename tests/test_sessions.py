@@ -327,3 +327,69 @@ def test_streaming_sessions_emit_once_no_late_duplicate(spark, tmp_path):
     run()
     assert sessions() == [(1, 10.0, 50.0, 2, 3.0),
                           (1, 5000.0, 5000.0, 1, 3.0)]
+
+
+def test_streaming_emit_once_survives_kill_restart(spark, tmp_path):
+    """emit_once across checkpoint restarts: every run() below is a
+    COLD START of the streaming query from the same checkpoint (the
+    previous query object is gone — the kill/restart boundary). A
+    session held only in state must survive restarts and emit exactly
+    once when a post-restart watermark passes it; a restart with no
+    new data (pure replay) must neither duplicate nor lose emissions."""
+    src = tmp_path / "ev_src_kr"
+    out = str(tmp_path / "sessions_kr")
+    ckpt = str(tmp_path / "ckpt_kr")
+    src.mkdir()
+
+    def feed(rows, name):
+        spark.createDataFrame(rows, EV_SCHEMA).coalesce(1).write.parquet(
+            str(src / name)
+        )
+
+    def run():
+        stream = (
+            spark.readStream.schema(EV_SCHEMA)
+            .option("maxFilesPerTrigger", "1")
+            .parquet(str(src) + "/*")
+        )
+        q = sessionize_stream(stream, GAP, ckpt, out, emit_once=True,
+                              watermark="10 seconds")
+        q.awaitTermination(300)
+
+    def sessions():
+        try:
+            return sorted(
+                (r.user_id, r.session_start, r.session_end, r.n_events, r.sum_value)
+                for r in spark.read.parquet(out).collect()
+            )
+        except Exception:
+            return []
+
+    A = (1, 10.0, 50.0, 2, 3.0)
+    B = (1, 5000.0, 5000.0, 1, 3.0)
+
+    # session A enters STATE only; the query then dies
+    feed([(1, 10.0, 1.0), (1, 50.0, 2.0)], "b1")
+    run()
+    assert sessions() == []
+    # restart with no new data: nothing duplicated, nothing lost
+    run()
+    assert sessions() == []
+
+    # post-restart data advances the watermark past A's close: the
+    # session held in pre-restart state emits exactly once
+    feed([(1, 5000.0, 3.0)], "b2")
+    run()
+    assert sessions() == [A]
+    # another pure-replay restart: still exactly one A
+    run()
+    assert sessions() == [A]
+
+    # the 5000-session now lives in state ACROSS two restart
+    # boundaries; a watermark-advancing batch after yet another
+    # restart fires its event-time timer — not lost, not doubled
+    feed([(2, 6000.0, 5.0)], "b3")
+    run()
+    assert sessions() == [A, B]
+    run()
+    assert sessions() == [A, B]
