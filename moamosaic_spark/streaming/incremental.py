@@ -80,6 +80,7 @@ def process_batch(
     out_path: str,
     config: MosaicConfig,
     relayout_table: str | None = None,
+    sink_table: str | None = None,
 ) -> dict:
     """One micro-batch of the incremental mosaic (foreachBatch body).
 
@@ -162,29 +163,41 @@ def process_batch(
     out_tiles = res.tiles.withColumn("part", part_of)
     n = out_tiles.count()
 
-    # Row-level MERGE emulation over a partitioned parquet sink (an
-    # Iceberg sink would do this natively): rewrite only the partitions
-    # containing touched tiles, carrying over their untouched rows.
-    # Dynamic partition overwrite alone would drop untouched tiles that
-    # share a partition with touched ones.
-    existing = _read_parquet_if_exists(spark, f"{out_path}/tiles")
-    if existing is not None:
-        keep = (
-            existing.join(touched, on=["tile_row", "tile_col"], how="left_anti")
-            .join(
-                out_tiles.select("part").distinct(), on="part", how="left_semi"
+    # Sink routing (catalog.py seam): with ``sink_table`` set AND the
+    # Iceberg runtime on the classpath, the touched tiles go through a
+    # real row-level MERGE INTO and the parquet emulation is skipped.
+    # Jars absent (this sandbox) or sink_table unset: the emulation
+    # below runs — identical results, partition rewrites instead of
+    # row-level commits.
+    merged_natively = False
+    if sink_table is not None:
+        from ..catalog import merge_touched_tiles
+
+        merged_natively = merge_touched_tiles(spark, out_tiles, sink_table)
+    if not merged_natively:
+        # Row-level MERGE emulation over a partitioned parquet sink (an
+        # Iceberg sink does this natively): rewrite only the partitions
+        # containing touched tiles, carrying over their untouched rows.
+        # Dynamic partition overwrite alone would drop untouched tiles
+        # that share a partition with touched ones.
+        existing = _read_parquet_if_exists(spark, f"{out_path}/tiles")
+        if existing is not None:
+            keep = (
+                existing.join(touched, on=["tile_row", "tile_col"], how="left_anti")
+                .join(
+                    out_tiles.select("part").distinct(), on="part", how="left_semi"
+                )
             )
+            out_tiles = out_tiles.unionByName(keep.select(*out_tiles.columns))
+            # materialize before overwriting the path we just read from
+            out_tiles = out_tiles.localCheckpoint(eager=True)
+        (
+            out_tiles.repartitionByRange("band", "tile_row", "tile_col")
+            .sortWithinPartitions("band", "tile_row", "tile_col")
+            .write.mode("overwrite")
+            .partitionBy("part")
+            .parquet(f"{out_path}/tiles")
         )
-        out_tiles = out_tiles.unionByName(keep.select(*out_tiles.columns))
-        # materialize before overwriting the path we just read from
-        out_tiles = out_tiles.localCheckpoint(eager=True)
-    (
-        out_tiles.repartitionByRange("band", "tile_row", "tile_col")
-        .sortWithinPartitions("band", "tile_row", "tile_col")
-        .write.mode("overwrite")
-        .partitionBy("part")
-        .parquet(f"{out_path}/tiles")
-    )
     # State commit LAST: only once the tiles are durably in the sink do
     # the batch's refs count as seen. A failure anywhere above replays
     # the whole batch (state unchanged -> identical recompute).
@@ -202,13 +215,18 @@ def incremental_mosaic_stream(
     checkpoint: str | None = None,
     trigger_available_now: bool = True,
     relayout_table: str | None = None,
+    sink_table: str | None = None,
 ):
     """Wire a streaming documents DataFrame into the incremental mosaic.
 
     ``docs_stream`` is a streaming DF with the documents schema (e.g.
     ``spark.readStream.schema(DOCUMENTS_SCHEMA).parquet(dir)``).
     ``relayout_table`` routes each batch through the bucketed work table
-    (see process_batch). Returns the StreamingQuery.
+    (see process_batch). ``sink_table`` names a catalog table for the
+    tile sink: with the Iceberg runtime present each batch commits via
+    MERGE INTO; absent, the parquet emulation at ``out_path`` is used
+    regardless (catalog.py capability probe). Returns the
+    StreamingQuery.
     """
     config = config or MosaicConfig()
     checkpoint = checkpoint or f"{out_path}/_checkpoint"
@@ -216,7 +234,7 @@ def incremental_mosaic_stream(
     def fb(batch_docs: DataFrame, batch_id: int) -> None:
         process_batch(
             batch_docs, batch_id, spark, footprint_meta, blocks, out_path, config,
-            relayout_table=relayout_table,
+            relayout_table=relayout_table, sink_table=sink_table,
         )
 
     writer = docs_stream.writeStream.foreachBatch(fb).option(
