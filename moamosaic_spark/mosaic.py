@@ -371,8 +371,10 @@ def do_mosaic(
         # fold is associative given order preservation — see
         # operators/stitch.py:make_partial_merge_fn_arrow); stage 2 is
         # the normal stitch over one synthetic contributor per bucket.
-        if config.merge_policy != "last":
-            raise ValueError("stitch_salt requires merge_policy='last'")
+        if config.merge_policy not in ("last", "blend"):
+            # 'nearest' carries per-pixel arg-min state a value-only
+            # partial cannot decompose
+            raise ValueError("stitch_salt requires merge_policy 'last' or 'blend'")
         if config.kernel != "arrow":
             raise ValueError("stitch_salt requires kernel='arrow'")
         from pyspark.sql import Window
@@ -413,16 +415,48 @@ def do_mosaic(
         work_hot = work_c.where(F.col("_nc") >= threshold).drop("_nc")
         work_cold = work_c.where(F.col("_nc") < threshold).drop("_nc")
         salted = work_hot.join(F.broadcast(buckets), on="priority", how="inner")
-        pm_schema = PARTIAL_MERGE_SCHEMA_U2 if binary else PARTIAL_MERGE_SCHEMA
-        merged_hot = salted.groupBy("band", "tile_row", "tile_col", "_ssalt").applyInArrow(
-            make_partial_merge_fn_arrow(grid, binary=binary), pm_schema
-        )
-        work = merged_hot.unionByName(
-            work_cold.select(*[f.name for f in pm_schema.fields])
-        )
+        if config.merge_policy == "blend":
+            # blend partials are (wsum, wvsum) int64 canvases — the
+            # commutative decomposition (stitch.py:
+            # make_blend_partial_fn_arrow); cold rows ride along with
+            # null canvases and fold as raw contributors in stage 2
+            from .operators.stitch import make_blend_partial_fn_arrow
+            from .schema import BLEND_PARTIAL_SCHEMA, BLEND_PARTIAL_SCHEMA_U2
+
+            bp_schema = BLEND_PARTIAL_SCHEMA_U2 if binary else BLEND_PARTIAL_SCHEMA
+            merged_hot = salted.groupBy(
+                "band", "tile_row", "tile_col", "_ssalt"
+            ).applyInArrow(
+                make_blend_partial_fn_arrow(grid, config.blend_feather, binary=binary),
+                bp_schema,
+            )
+            cold = work_cold
+            for c in ("wsum", "wvsum"):
+                cold = cold.withColumn(c, F.lit(None).cast("array<bigint>"))
+            work = merged_hot.unionByName(
+                cold.select(*[f.name for f in bp_schema.fields])
+            )
+        else:
+            pm_schema = PARTIAL_MERGE_SCHEMA_U2 if binary else PARTIAL_MERGE_SCHEMA
+            merged_hot = salted.groupBy(
+                "band", "tile_row", "tile_col", "_ssalt"
+            ).applyInArrow(
+                make_partial_merge_fn_arrow(grid, binary=binary), pm_schema
+            )
+            work = merged_hot.unionByName(
+                work_cold.select(*[f.name for f in pm_schema.fields])
+            )
 
     grouped = work.groupBy("band", "tile_row", "tile_col")
-    if config.kernel == "arrow":
+    if config.stitch_salt > 1 and config.merge_policy == "blend":
+        from .operators.stitch import make_blend_stitch_fn_arrow
+
+        stitched = grouped.applyInArrow(
+            make_blend_stitch_fn_arrow(grid, levels, config.blend_feather,
+                                       binary=binary),
+            stitch_schema,
+        )
+    elif config.kernel == "arrow":
         from .operators.stitch import make_stitch_fn_arrow
 
         stitched = grouped.applyInArrow(

@@ -358,6 +358,124 @@ def make_partial_merge_fn_arrow(grid: OutputGrid, binary: bool = False):
     return partial
 
 
+def make_blend_partial_fn_arrow(grid: OutputGrid, feather: int, binary: bool = False):
+    """Stage-1 kernel of the SALTED BLEND stitch. Blend is a per-pixel
+    SUM of (weight, weight*value) over non-null contributors —
+    commutative and associative, unlike 'last' (order-dependent) or
+    'nearest' (arg-min state) — so each priority bucket can emit its
+    integer (wsum, wvsum) partial canvases and stage 2 just adds them:
+    exact under any bucket composition order. Partials ride the
+    PARTIAL_MERGE geometry convention (bbox placed via in_top=-r0) with
+    two int64 payload columns; ``pixels`` is null on partial rows, which
+    is how the stage-2 kernel tells them from raw (cold-tile) rows."""
+    nullval = int(grid.nullval)
+    base = _binary_pixel_schema(PARTIAL_SCHEMA) if binary else PARTIAL_SCHEMA
+    out_schema = pa.schema(
+        list(base)
+        + [pa.field("wsum", pa.list_(pa.int64())), pa.field("wvsum", pa.list_(pa.int64()))]
+    )
+
+    def partial(key: tuple, tbl: pa.Table) -> pa.Table:
+        band, tile_row, tile_col, salt = (
+            int(k.as_py() if hasattr(k, "as_py") else k) for k in key
+        )
+        cols, offsets, values = _extract_arrow_group(tbl)
+        top, left = int(cols["top"][0]), int(cols["left"][0])
+        ysize, xsize = int(cols["ysize"][0]), int(cols["xsize"][0])
+        canvas = np.full((ysize, xsize), nullval, dtype=np.int32)  # unused sink
+        best = _blend_state(ysize, xsize, feather)
+        _fold_arrow_group(cols, offsets, values, canvas, nullval, "blend", best,
+                          (band, tile_row, tile_col, salt))
+        wsum, wvsum, _ = best
+        nz_rows = np.flatnonzero((wsum > 0).any(axis=1))
+        nz_cols = np.flatnonzero((wsum > 0).any(axis=0))
+        if nz_rows.size == 0:
+            r0, r1, c0, c1 = 0, 1, 0, 1
+        else:
+            r0, r1 = int(nz_rows[0]), int(nz_rows[-1]) + 1
+            c0, c1 = int(nz_cols[0]), int(nz_cols[-1]) + 1
+        row = {
+            "tile_row": tile_row, "tile_col": tile_col, "band": band,
+            "top": top, "left": left, "ysize": ysize, "xsize": xsize,
+            "priority": salt,
+            "in_top": -r0, "in_left": -c0,
+            "in_ysize": ysize, "in_xsize": xsize,
+            "src_nrows": r1 - r0, "src_ncols": c1 - c0,
+            "b_top": 0, "b_left": 0, "b_ysize": r1 - r0, "b_xsize": c1 - c0,
+        }
+        arrs = []
+        for field in out_schema:
+            if field.name == "pixels":
+                arrs.append(pa.nulls(1, field.type))
+            elif field.name in ("wsum", "wvsum"):
+                payload = (wsum if field.name == "wsum" else wvsum)[r0:r1, c0:c1].ravel()
+                arrs.append(pa.ListArray.from_arrays(
+                    pa.array([0, payload.size], pa.int32()),
+                    pa.array(payload, pa.int64()),
+                ))
+            else:
+                arrs.append(pa.array([row[field.name]], field.type))
+        return pa.Table.from_arrays(arrs, schema=out_schema)
+
+    return partial
+
+
+def make_blend_stitch_fn_arrow(
+    grid: OutputGrid, levels: list[int], feather: int, binary: bool = False,
+):
+    """Stage-2 kernel of the salted blend stitch: raw rows (cold tiles —
+    ``pixels`` non-null) fold through the normal blend accumulate;
+    partial rows (hot tiles) add their (wsum, wvsum) canvases at their
+    bbox offsets. Finalize is the same exact integer half-up division
+    as the unsalted path, so salted == unsalted bit-for-bit."""
+    import pyarrow.compute as pc
+
+    nullval = int(grid.nullval)
+    ov_shapes = {lvl: overview_shape(grid.nrows, grid.ncols, lvl) for lvl in levels}
+    out_schema = _binary_pixel_schema(ARROW_STITCH_SCHEMA) if binary else ARROW_STITCH_SCHEMA
+
+    def stitch(key: tuple, tbl: pa.Table) -> pa.Table:
+        band, tile_row, tile_col = (
+            int(k.as_py() if hasattr(k, "as_py") else k) for k in key
+        )
+        mask = pc.is_valid(tbl.column("wsum").combine_chunks())
+        raw_tbl = tbl.filter(pc.invert(mask))
+        part_tbl = tbl.filter(mask)
+        top = int(tbl.column("top")[0].as_py())
+        left = int(tbl.column("left")[0].as_py())
+        ysize = int(tbl.column("ysize")[0].as_py())
+        xsize = int(tbl.column("xsize")[0].as_py())
+        canvas = np.full((ysize, xsize), nullval, dtype=np.int32)
+        best = _blend_state(ysize, xsize, feather)
+        if raw_tbl.num_rows:
+            cols, offsets, values = _extract_arrow_group(raw_tbl)
+            _fold_arrow_group(cols, offsets, values, canvas, nullval, "blend", best,
+                              (band, tile_row, tile_col))
+        if part_tbl.num_rows:
+            wsum_t, wvsum_t, _ = best
+            geo = {
+                c: part_tbl.column(c).to_numpy(zero_copy_only=False)
+                for c in ("in_top", "in_left", "src_nrows", "src_ncols")
+            }
+            ws = part_tbl.column("wsum").combine_chunks()
+            wv = part_tbl.column("wvsum").combine_chunks()
+            ws_off, ws_val = ws.offsets.to_numpy(), ws.values.to_numpy(zero_copy_only=False)
+            wv_off, wv_val = wv.offsets.to_numpy(), wv.values.to_numpy(zero_copy_only=False)
+            for i in range(part_tbl.num_rows):
+                r0, c0 = -int(geo["in_top"][i]), -int(geo["in_left"][i])
+                h, w = int(geo["src_nrows"][i]), int(geo["src_ncols"][i])
+                wsum_t[r0: r0 + h, c0: c0 + w] += ws_val[ws_off[i]: ws_off[i + 1]].reshape(h, w)
+                wvsum_t[r0: r0 + h, c0: c0 + w] += wv_val[wv_off[i]: wv_off[i + 1]].reshape(h, w)
+        _finalize_policy(canvas, "blend", best)
+        rows = [_base_row(band, tile_row, tile_col, top, left, canvas, nullval)]
+        rows.extend(
+            _pyramid_rows(band, tile_row, tile_col, top, left, canvas, levels, ov_shapes)
+        )
+        return _rows_to_arrow(rows, out_schema)
+
+    return stitch
+
+
 def _pandas_pixel_arrays(col) -> list[np.ndarray]:
     """Per-row pixel arrays from a pandas column of either layout
     (int lists/arrays, or u2-packed bytes)."""

@@ -143,6 +143,24 @@ BLOCKS_SCHEMA_U2 = _with_binary_pixels(BLOCKS_SCHEMA)
 STITCH_SCHEMA_U2 = _with_binary_pixels(STITCH_SCHEMA)
 PARTIAL_MERGE_SCHEMA_U2 = _with_binary_pixels(PARTIAL_MERGE_SCHEMA)
 
+
+def _with_blend_partials(schema: T.StructType) -> T.StructType:
+    """Salted-BLEND stage-1 output: the partial-merge relation plus the
+    two int64 partial canvases (weight sum, weighted value sum). On raw
+    (cold-tile) rows the canvases are null; on partial rows ``pixels``
+    is null — how the stage-2 kernel tells them apart."""
+    return T.StructType(
+        list(schema.fields)
+        + [
+            T.StructField("wsum", T.ArrayType(T.LongType())),
+            T.StructField("wvsum", T.ArrayType(T.LongType())),
+        ]
+    )
+
+
+BLEND_PARTIAL_SCHEMA = _with_blend_partials(PARTIAL_MERGE_SCHEMA)
+BLEND_PARTIAL_SCHEMA_U2 = _with_blend_partials(PARTIAL_MERGE_SCHEMA_U2)
+
 STATS_SCHEMA = T.StructType(
     [
         T.StructField("band", T.IntegerType()),

@@ -144,3 +144,78 @@ def test_hot_cold_split_mixed_corpus(spark):
             assert r.nc < 8, f"cold tile {r} misclassified as hot"
         else:
             assert r.nc >= 8, f"hot tile {r} misclassified as cold"
+
+
+@pytest.mark.parametrize("salt", [2, 5])
+def test_salted_blend_equals_unsalted(spark, salt):
+    """merge_policy='blend' on the two-stage path: blend is a per-pixel
+    (wsum, wvsum) SUM — commutative, so bucket partials composed in any
+    order must equal the unsalted blend bit-for-bit (exact integer
+    accumulators; same half-up finalize)."""
+    rasters = synth.hot_cell(20, 128, 128)
+    fp = to_footprints(spark, synth.footprints_pdf(rasters))
+    blocks = to_blocks(spark, synth.blocks_pdf(rasters, 256))
+    base = dict(blocksize=64, src_blocksize=256, with_overviews=False,
+                merge_policy="blend", blend_feather=16)
+
+    plain = tiles_of(do_mosaic(spark, fp, blocks, MosaicConfig(**base)))
+    salted = tiles_of(
+        do_mosaic(spark, fp, blocks, MosaicConfig(**base, stitch_salt=salt))
+    )
+    assert set(plain) == set(salted)
+    for k in plain:
+        np.testing.assert_array_equal(salted[k], plain[k], err_msg=f"tile {k}")
+
+
+def test_salted_blend_hot_cold_mix_and_overviews(spark):
+    """Blend two-stage with a hot stack + a far cold raster: cold rows
+    ride the union with null partial canvases and fold as raw
+    contributors in stage 2; overviews flow through too."""
+    hot = synth.hot_cell(12, 128, 128)
+    cold = synth.make_rasters(
+        [dict(media_ref="rcold", x0=300000.0 + 50000.0, y0=7000000.0,
+              nrows=128, ncols=128)]
+    )
+    rasters = hot + cold
+    pdf = synth.footprints_pdf(rasters)
+    pdf["priority"] = range(len(pdf))
+    fp = to_footprints(spark, pdf)
+    blocks = to_blocks(spark, synth.blocks_pdf(rasters, 256))
+    base = dict(blocksize=64, src_blocksize=256, min_overview_size=32,
+                merge_policy="blend", blend_feather=16)
+
+    plain_res = do_mosaic(spark, fp, blocks, MosaicConfig(**base))
+    salt_res = do_mosaic(spark, fp, blocks, MosaicConfig(**base, stitch_salt=3))
+    plain, salted = tiles_of(plain_res), tiles_of(salt_res)
+    assert set(plain) == set(salted)
+    for k in plain:
+        np.testing.assert_array_equal(salted[k], plain[k], err_msg=f"tile {k}")
+    ov_p = {(r.level, r.band, r.tile_row, r.tile_col): list(r.pixels)
+            for r in plain_res.overviews.collect()}
+    ov_s = {(r.level, r.band, r.tile_row, r.tile_col): list(r.pixels)
+            for r in salt_res.overviews.collect()}
+    assert ov_p == ov_s and len(ov_p) > 0
+
+
+def test_salted_blend_u2_layout(spark):
+    """Salted blend on the packed u2 layout equals the i4 run."""
+    from moamosaic_spark.schema import BLOCKS_SCHEMA_U2, FOOTPRINTS_SCHEMA
+
+    rasters = synth.hot_cell(10, 128, 128)
+    fp = spark.createDataFrame(synth.footprints_pdf(rasters),
+                               schema=FOOTPRINTS_SCHEMA)
+    pdf_u2 = synth.blocks_pdf(rasters, 256, layout="u2")
+    blocks_u2 = spark.createDataFrame(pdf_u2, schema=BLOCKS_SCHEMA_U2)
+    blocks_i4 = to_blocks(spark, synth.blocks_pdf(rasters, 256))
+    base = dict(blocksize=64, src_blocksize=256, with_overviews=False,
+                merge_policy="blend", blend_feather=16, stitch_salt=3)
+
+    i4 = tiles_of(do_mosaic(spark, fp, blocks_i4, MosaicConfig(**base)))
+    got = {}
+    for r in do_mosaic(spark, fp, blocks_u2, MosaicConfig(**base)).tiles.collect():
+        got[(r.band, r.tile_row, r.tile_col)] = np.frombuffer(
+            bytes(r.pixels), "<u2"
+        ).astype(np.int32).reshape(r.ysize, r.xsize)
+    assert set(i4) == set(got)
+    for k in i4:
+        np.testing.assert_array_equal(got[k], i4[k], err_msg=f"tile {k}")
