@@ -2088,6 +2088,78 @@ FROM truth
 """
 
 
+def q_media_frame_samples(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Video frame sampling (1->N row expansion over real Y4M decode):
+    every 10th frame's mean luma intensity, gated by the source-frame
+    truth sidecar (multimodal.media_truth_frame_samples)."""
+    from .operators import multimodal as MM
+
+    media = MM.synth_media(spark, n=40, seed=11, real_payloads=True)
+    frames = MM.sample_frames(media, every_n=10, fake_decode=False)
+    return frames.select(
+        "media_id",
+        F.col("frame_idx").cast("int").alias("frame_idx"),
+        F.round("mean_intensity", 4).alias("mean_intensity"),
+    )
+
+
+def _media_frame_samples_sql() -> str:
+    from .operators import multimodal as MM
+
+    rows = MM.media_truth_frame_samples(n=40, seed=11, every_n=10)
+    values = ",\n  ".join(
+        f"('{r['media_id']}', {r['frame_idx']}, "
+        f"{_round_half_up(r['mean_intensity'], 4)!r})"
+        for r in rows
+    )
+    return f"""
+WITH truth(media_id, frame_idx, mean_intensity) AS (VALUES
+  {values})
+SELECT media_id, CAST(frame_idx AS INT) AS frame_idx,
+       CAST(mean_intensity AS DOUBLE) AS mean_intensity
+FROM truth
+"""
+
+
+def q_audio_neardup_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Near-duplicate AUDIO pairs over the planted-duplicate PCM-WAV
+    corpus: sample-chunk hashes (real decode) through the shared
+    postings-Jaccard inverted index; DuckDB replays the Jaccard over a
+    chunk-hash sidecar computed from the SOURCE signals."""
+    from .operators import multimodal as MM
+
+    media = MM.synth_audio_clips(spark, seed=29)
+    pairs = MM.audio_neardup_pairs(media, threshold=0.5)
+    return pairs.select(
+        "doc_a",
+        "doc_b",
+        F.round("jaccard", 6).alias("jaccard"),
+    )
+
+
+def _audio_neardup_sql() -> str:
+    from .operators import multimodal as MM
+
+    posts = MM.audio_truth_postings(seed=29)
+    values = ",\n  ".join(f"('{d}', '{s}')" for d, s in posts)
+    return f"""
+WITH post(doc_id, shingle) AS (VALUES
+  {values}),
+sizes AS (SELECT doc_id, count(*) AS n_sh FROM post GROUP BY doc_id),
+inter AS (
+  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS n_common
+  FROM post a JOIN post b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+  GROUP BY 1, 2
+)
+SELECT i.doc_a, i.doc_b,
+       round(i.n_common * 1.0 / (sa.n_sh + sb.n_sh - i.n_common), 6) AS jaccard
+FROM inter i
+JOIN sizes sa ON sa.doc_id = i.doc_a
+JOIN sizes sb ON sb.doc_id = i.doc_b
+WHERE i.n_common * 1.0 / (sa.n_sh + sb.n_sh - i.n_common) >= 0.5
+"""
+
+
 def q_video_neardup_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Near-duplicate VIDEO pairs over the planted-duplicate Y4M clip
     corpus: per-frame perceptual hashes (real Y4M luma decode) through
@@ -2214,7 +2286,9 @@ def queries() -> dict:
         # when computing the truth)
         "media_image_features": q_media_image_features,
         "media_audio_features": q_media_audio_features,
+        "media_frame_samples": q_media_frame_samples,
         "video_neardup_pairs": q_video_neardup_pairs,
+        "audio_neardup_pairs": q_audio_neardup_pairs,
     }
 
 
@@ -2261,5 +2335,7 @@ def oracle_sql() -> dict:
         "embedding_clusters": _embedding_clusters_sql(),
         "media_image_features": _media_image_features_sql(),
         "media_audio_features": _media_audio_features_sql(),
+        "media_frame_samples": _media_frame_samples_sql(),
         "video_neardup_pairs": _video_neardup_sql(),
+        "audio_neardup_pairs": _audio_neardup_sql(),
     }

@@ -470,6 +470,109 @@ def synth_media(spark, n: int = 20, seed: int = 7,
     return spark.createDataFrame(rows, schema=MEDIA_SCHEMA)
 
 
+AUDIO_CHUNK_HASH_SCHEMA = T.StructType(
+    [
+        T.StructField("doc_id", T.StringType()),    # = media_id
+        T.StructField("shingle", T.StringType()),   # = chunk hash
+    ]
+)
+
+
+def audio_chunk_hashes(media: DataFrame, chunk_samples: int = 1024,
+                       fake_decode: bool = False) -> DataFrame:
+    """Distinct (doc_id=media_id, shingle=sample-chunk hash) postings
+    over audio rows — the audio analog of text shingles and video
+    frame hashes, shaped for functions.dedup.postings_jaccard_pairs.
+    Chunks are fixed windows of the mono-folded int16 stream hashed
+    with md5, so bit-identical re-containered copies (and copies with
+    localized edits) land on mostly-shared postings. The trailing
+    partial chunk is hashed too (an edit there still changes exactly
+    one posting)."""
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            out = []
+            for r in pdf.itertuples(index=False):
+                if r.kind != "audio":
+                    continue
+                samples, _ = decode_audio(
+                    bytes(r.payload), r.meta["sample_rate"], fake=fake_decode
+                )
+                mono = samples.astype(np.int32).mean(axis=1).astype(np.int16)
+                for i in range(0, mono.shape[0], chunk_samples):
+                    chunk = mono[i: i + chunk_samples]
+                    out.append({
+                        "doc_id": r.media_id,
+                        "shingle": hashlib.md5(chunk.tobytes()).hexdigest()[:16],
+                    })
+            yield pd.DataFrame(out, columns=["doc_id", "shingle"])
+
+    return media.mapInPandas(run, AUDIO_CHUNK_HASH_SCHEMA).distinct()
+
+
+def audio_neardup_pairs(media: DataFrame, threshold: float = 0.5,
+                        chunk_samples: int = 1024,
+                        fake_decode: bool = False) -> DataFrame:
+    """Near-duplicate AUDIO pairs: Jaccard over chunk-hash sets via the
+    shared inverted-index machinery. Returns (doc_a, doc_b, jaccard)."""
+    from ..functions.dedup import postings_jaccard_pairs
+
+    return postings_jaccard_pairs(
+        audio_chunk_hashes(media, chunk_samples, fake_decode), threshold
+    )
+
+
+def _synth_audio_source(n_families: int = 3, n_samples: int = 16384,
+                        rate: int = 16000, seed: int = 29):
+    """Source signals for an audio corpus WITH planted near-duplicates:
+    family j = base b{j}; variant v{j} sharing all but the last quarter
+    of samples (chunk Jaccard 12/20 = 0.6 at 1024-sample chunks);
+    unrelated u{j}."""
+    rng = np.random.default_rng(seed)
+    for j in range(n_families):
+        base = rng.integers(-8192, 8192, size=n_samples).astype(np.int16)
+        variant = base.copy()
+        cut = n_samples - n_samples // 4
+        variant[cut:] = rng.integers(-8192, 8192, size=n_samples - cut).astype(np.int16)
+        unrelated = rng.integers(-8192, 8192, size=n_samples).astype(np.int16)
+        yield f"b{j}", base
+        yield f"v{j}", variant
+        yield f"u{j}", unrelated
+
+
+def synth_audio_clips(spark, n_families: int = 3, n_samples: int = 16384,
+                      rate: int = 16000, seed: int = 29) -> DataFrame:
+    """Deterministic PCM-WAV clip table with planted near-duplicates —
+    the audio_neardup_pairs fixture."""
+    rows = []
+    for clip_id, sig in _synth_audio_source(n_families, n_samples, rate, seed):
+        rows.append({
+            "media_id": clip_id,
+            "kind": "audio",
+            "payload": bytearray(codecs.encode_wav(sig, rate)),
+            "meta": {"width": 0, "height": 0, "channels": 1,
+                     "sample_rate": rate, "n_frames": 0},
+        })
+    return spark.createDataFrame(rows, schema=MEDIA_SCHEMA)
+
+
+def audio_truth_postings(n_families: int = 3, n_samples: int = 16384,
+                         rate: int = 16000, seed: int = 29,
+                         chunk_samples: int = 1024) -> list[tuple[str, str]]:
+    """Chunk-hash sidecar for synth_audio_clips, computed from the
+    SOURCE signals at mint time (decode never touched). Mono clips
+    round-trip WAV bit-exactly, so the mono fold is the identity on
+    the source samples."""
+    posts = set()
+    for clip_id, sig in _synth_audio_source(n_families, n_samples, rate, seed):
+        for i in range(0, sig.shape[0], chunk_samples):
+            posts.add((
+                clip_id,
+                hashlib.md5(sig[i: i + chunk_samples].tobytes()).hexdigest()[:16],
+            ))
+    return sorted(posts)
+
+
 def _synth_video_source(n_families: int = 3, n_frames: int = 20,
                         size: int = 32, seed: int = 13):
     """Source frames for a video corpus WITH planted near-duplicates.
@@ -515,6 +618,25 @@ def video_truth_postings(n_families: int = 3, n_frames: int = 20,
         for idx in range(frames.shape[0]):
             posts.add((clip_id, format(_phash(frames[idx].astype(np.float64)), "x")))
     return sorted(posts)
+
+
+def media_truth_frame_samples(n: int = 20, seed: int = 7,
+                              every_n: int = 10) -> list[dict]:
+    """Expected sample_frames output for synth_media's video rows,
+    computed from the SOURCE frames at mint time (Y4M luma round-trips
+    bit-exactly, so decode is gated end-to-end)."""
+    out = []
+    for rec in _synth_media_source(n, seed):
+        if rec["kind"] != "video":
+            continue
+        frames = rec["frames"]
+        for idx in range(0, frames.shape[0], every_n):
+            out.append({
+                "media_id": rec["media_id"],
+                "frame_idx": idx,
+                "mean_intensity": float(frames[idx].mean()),
+            })
+    return out
 
 
 def media_truth_features(n: int = 20, seed: int = 7) -> tuple[list, list]:

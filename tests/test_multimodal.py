@@ -340,3 +340,17 @@ def test_fake_true_survives_corrupt_recognized_magic():
         MM.decode_audio(bad_wav, 8000, fake=False)
     with pytest.raises((ValueError, NotImplementedError)):
         MM.decode_video(bad_y4m, 8, 8, 2, fake=False)
+
+
+def test_audio_neardup_pairs_real_wav(spark):
+    """Audio near-dup via chunk-hash postings: a copy with its last
+    quarter replaced pairs with its base above 0.5; unrelated clips
+    pair with nobody; postings computed from SOURCE signals equal the
+    decoded ones (WAV round-trip is bit-exact)."""
+    media = MM.synth_audio_clips(spark, seed=29)
+    pairs = {(r.doc_a, r.doc_b): r.jaccard
+             for r in MM.audio_neardup_pairs(media, threshold=0.5).collect()}
+    assert set(pairs) == {("b0", "v0"), ("b1", "v1"), ("b2", "v2")}, pairs
+    assert all(abs(j - 0.6) < 1e-9 for j in pairs.values()), pairs
+    got = {(r.doc_id, r.shingle) for r in MM.audio_chunk_hashes(media).collect()}
+    assert got == set(MM.audio_truth_postings(seed=29))
