@@ -54,6 +54,13 @@ def get_parser() -> argparse.ArgumentParser:
                    help=">1: two-stage salted merge for hot tiles")
     p.add_argument("--batches", type=int, default=1,
                    help=">1 enables lineage-checkpointed batched execution")
+    p.add_argument("--relayout-table", default=None,
+                   help="bucketed work table (sources/relayout.py): built on "
+                        "first use (pays the wide shuffle once), then every "
+                        "run stitches off it with no Exchange — the "
+                        "repeated-run production pattern")
+    p.add_argument("--rebuild-relayout", action="store_true",
+                   help="force re-materializing --relayout-table")
     p.add_argument("--out-epsg", type=int, default=None,
                    help="warp inputs to this EPSG before mosaicking "
                         "(built-in: 4326 + WGS84 UTM zones; others need pyproj)")
@@ -148,6 +155,11 @@ def main(argv: list[str] | None = None) -> None:
         with_overviews=not args.no_overviews,
     )
 
+    if args.relayout_table and args.batches > 1:
+        get_parser().error("--relayout-table and --batches are exclusive "
+                           "(use incremental_mosaic_stream(relayout_table=) "
+                           "for batched runs over a relayout)")
+
     with mon.ctx("domosaic"):
         if args.batches > 1:
             from .streaming.lineage import resumable_mosaic
@@ -156,6 +168,17 @@ def main(argv: list[str] | None = None) -> None:
                 spark, fp, blocks, args.out, cfg, n_batches=args.batches
             )
             print(json.dumps({k: v for k, v in info.items() if k != "grid"}))
+        elif args.relayout_table:
+            from .sources.relayout import relayout_to_table, stitch_from_relayout
+
+            if args.rebuild_relayout or not spark.catalog.tableExists(
+                args.relayout_table
+            ):
+                with mon.ctx("relayout_build"):
+                    relayout_to_table(spark, fp, blocks, args.relayout_table, cfg)
+            with mon.ctx("relayout_stitch"):
+                res = stitch_from_relayout(spark, args.relayout_table, cfg)
+                write_mosaic(res, args.out)
         else:
             res = do_mosaic(spark, fp, blocks, cfg)
             write_mosaic(res, args.out)

@@ -84,3 +84,39 @@ def test_cli_rejects_bad_args(staged):
             "--footprints", str(staged / "fp"), "--blocks", str(staged / "blocks"),
             "-o", "/tmp/x", "--resample", "cubic",
         ])
+
+
+def test_cli_relayout_reuse(spark, staged):
+    """--relayout-table builds the bucketed work table on first use and
+    stitches off it on the second run (monitor shows no rebuild); both
+    outputs equal the plain run."""
+    out1 = str(staged / "out_rel1")
+    out2 = str(staged / "out_rel2")
+    base = [
+        "--footprints", str(staged / "fp"), "--blocks", str(staged / "blocks"),
+        "-b", "64", "--src-blocksize", "64", "--no-overviews",
+        "--relayout-table", "cli_relayout_t",
+    ]
+    main(base + ["-o", out1, "--monitorjson", str(staged / "m1.json")])
+    main(base + ["-o", out2, "--monitorjson", str(staged / "m2.json")])
+    m1 = json.loads((staged / "m1.json").read_text())
+    m2 = json.loads((staged / "m2.json").read_text())
+    assert "relayout_build" in m1["total_by_name"]
+    assert "relayout_build" not in m2["total_by_name"]  # reused
+    rasters = synth.grid3x3(150, 150)
+    want = synth.oracle(rasters, blocksize=64, min_overview_size=9999)
+    for out in (out1, out2):
+        for r in _canvas(spark, out):
+            arr = np.asarray(r.pixels, dtype=np.int32).reshape(r.ysize, r.xsize)
+            np.testing.assert_array_equal(
+                arr, want.tiles[(r.band, r.tile_row, r.tile_col)])
+    spark.sql("DROP TABLE IF EXISTS cli_relayout_t")
+    spark.sql("DROP TABLE IF EXISTS cli_relayout_t_meta")
+
+
+def test_cli_relayout_batches_exclusive(staged):
+    with pytest.raises(SystemExit):
+        main([
+            "--footprints", str(staged / "fp"), "--blocks", str(staged / "blocks"),
+            "-o", str(staged / "x"), "--relayout-table", "t", "--batches", "3",
+        ])
