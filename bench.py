@@ -324,6 +324,45 @@ def run_join_scaling(spark) -> dict:
     }
 
 
+def run_relayout_stitch_scaling(spark) -> dict:
+    """Scaling leg for the production repeated-run path: the
+    zero-Exchange stitch off the bucketed relayout, timed at this
+    child's core count (median-of-3; table build is untimed setup —
+    each child owns its in-memory catalog so it builds its own copy).
+    This is the pixel job whose wall-clock beats BASELINE.md, so its
+    4-vs-16-core pair is the north-rule evidence that matters most."""
+    from pyspark.sql import functions as F
+
+    from moamosaic_spark.mosaic import MosaicConfig
+    from moamosaic_spark.sources.relayout import relayout_to_table, stitch_from_relayout
+
+    ensure_corpus(spark)
+    fp = spark.read.parquet(f"{CORPUS_DIR}/footprints")
+    blocks = spark.read.parquet(f"{CORPUS_DIR}/blocks")
+    cfg = MosaicConfig(
+        blocksize=BLOCKSIZE, src_blocksize=SRC_BS, min_overview_size=1024,
+        strategy="cell", cell_size_px=4096,
+    )
+    table = "bench_relayout_scale"
+    relayout_to_table(spark, fp, blocks, table, cfg, n_buckets=128)
+    stitch_from_relayout(spark, table, cfg).tiles.agg(F.sum("px_count")).collect()  # warm
+    ts, tiles = [], 0
+    for _ in range(3):
+        t0 = time.time()
+        row = stitch_from_relayout(spark, table, cfg).tiles.agg(
+            F.count("*").alias("t"), F.sum("px_count").alias("px")
+        ).collect()[0]
+        ts.append(time.time() - t0)
+        tiles = int(row["t"])
+    ts.sort()
+    return {
+        "seconds": ts[1],
+        "tiles": tiles,
+        "tiles_per_sec": round(tiles / ts[1], 3),
+        "runs_seconds": [round(t, 3) for t in ts],
+    }
+
+
 def run_cc_scale(spark) -> dict:
     """Connected components at the 10^5-node shape the small fixtures
     don't reach: 64 chains of 1000 nodes (the O(log n)-round worst
@@ -522,6 +561,9 @@ def child_main(mode: str, cores: int) -> None:
             print("RESULT:" + json.dumps(run_dedup_scaling(spark, cores)))
         elif mode == "ccscale":
             print("RESULT:" + json.dumps(run_cc_scale(spark)))
+        elif mode == "relstitchscale":
+            warmup(spark)
+            print("RESULT:" + json.dumps(run_relayout_stitch_scaling(spark)))
         else:
             # corpus generation is one-time setup, not engine time —
             # materialize it OUTSIDE the timed region (the reference
@@ -588,6 +630,11 @@ def main() -> None:
     d_speedup = dlo["seconds"] / dhi["seconds"]
     d_eff = d_speedup / (hi_cores / lo_cores)
 
+    rslo = spawn("relstitchscale", lo_cores)
+    rshi = spawn("relstitchscale", hi_cores)
+    rs_speedup = rslo["seconds"] / rshi["seconds"]
+    rs_eff = rs_speedup / (hi_cores / lo_cores)
+
     out = {
         "metric": "headline operator suite elapsed (mosaic pipeline + dedup + "
         "similarity + text + relational) at sf, local[%d]" % CPUS,
@@ -628,6 +675,14 @@ def main() -> None:
                 "seconds_hi": round(dhi["seconds"], 3),
                 "speedup": round(d_speedup, 3),
                 "efficiency": round(d_eff, 3),
+            },
+            "relayout_stitch": {
+                "seconds_lo": round(rslo["seconds"], 3),
+                "seconds_hi": round(rshi["seconds"], 3),
+                "tiles_per_sec_lo": rslo["tiles_per_sec"],
+                "tiles_per_sec_hi": rshi["tiles_per_sec"],
+                "speedup": round(rs_speedup, 3),
+                "efficiency": round(rs_eff, 3),
             },
             "host_memcpy_control_gbps": {
                 str(lo_cores): memcpy_control(lo_cores),
