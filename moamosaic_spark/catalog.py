@@ -91,12 +91,18 @@ def merge_touched_tiles(
         updates.writeTo(table).using("iceberg").create()
         return True
     updates.createOrReplaceTempView("_moa_tile_updates")
-    on = " AND ".join(f"t.{c} = u.{c}" for c in key_cols)
-    spark.sql(
-        f"MERGE INTO {table} t USING _moa_tile_updates u ON {on} "
-        "WHEN MATCHED THEN UPDATE SET * "
-        "WHEN NOT MATCHED THEN INSERT *"
-    )
+    try:
+        on = " AND ".join(f"t.{c} = u.{c}" for c in key_cols)
+        spark.sql(
+            f"MERGE INTO {table} t USING _moa_tile_updates u ON {on} "
+            "WHEN MATCHED THEN UPDATE SET * "
+            "WHEN NOT MATCHED THEN INSERT *"
+        )
+    finally:
+        # never leak the view into the shared session catalog — a
+        # concurrent pipeline's later MERGE would silently read this
+        # batch's updates
+        spark.catalog.dropTempView("_moa_tile_updates")
     return True
 
 

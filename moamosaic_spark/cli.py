@@ -75,9 +75,14 @@ def get_parser() -> argparse.ArgumentParser:
 
 
 def main(argv: list[str] | None = None) -> None:
-    args = get_parser().parse_args(argv)
+    parser = get_parser()
+    args = parser.parse_args(argv)
     if not args.docs and not args.footprints:
-        get_parser().error("one of --docs / --footprints is required")
+        parser.error("one of --docs / --footprints is required")
+    if args.relayout_table and args.batches > 1:
+        parser.error("--relayout-table and --batches are exclusive "
+                     "(use incremental_mosaic_stream(relayout_table=) "
+                     "for batched runs over a relayout)")
     from .mosaic import MosaicConfig, do_mosaic, write_mosaic
     from .monitoring import Monitoring
     from .session import get_spark
@@ -154,11 +159,6 @@ def main(argv: list[str] | None = None) -> None:
         stitch_salt=args.stitch_salt,
         with_overviews=not args.no_overviews,
     )
-
-    if args.relayout_table and args.batches > 1:
-        get_parser().error("--relayout-table and --batches are exclusive "
-                           "(use incremental_mosaic_stream(relayout_table=) "
-                           "for batched runs over a relayout)")
 
     with mon.ctx("domosaic"):
         if args.batches > 1:

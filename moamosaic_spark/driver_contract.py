@@ -2137,10 +2137,11 @@ def q_audio_neardup_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-def _audio_neardup_sql() -> str:
-    from .operators import multimodal as MM
-
-    posts = MM.audio_truth_postings(seed=29)
+def _postings_jaccard_sql(posts: list[tuple[str, str]],
+                          threshold: float = 0.5) -> str:
+    """Shared oracle body for media near-dup queries: replay the
+    postings Jaccard over a truth (doc_id, shingle) sidecar embedded
+    as VALUES. Mirrors functions/dedup.py:postings_jaccard_pairs."""
     values = ",\n  ".join(f"('{d}', '{s}')" for d, s in posts)
     return f"""
 WITH post(doc_id, shingle) AS (VALUES
@@ -2156,8 +2157,14 @@ SELECT i.doc_a, i.doc_b,
 FROM inter i
 JOIN sizes sa ON sa.doc_id = i.doc_a
 JOIN sizes sb ON sb.doc_id = i.doc_b
-WHERE i.n_common * 1.0 / (sa.n_sh + sb.n_sh - i.n_common) >= 0.5
+WHERE i.n_common * 1.0 / (sa.n_sh + sb.n_sh - i.n_common) >= {threshold!r}
 """
+
+
+def _audio_neardup_sql() -> str:
+    from .operators import multimodal as MM
+
+    return _postings_jaccard_sql(MM.audio_truth_postings(seed=29))
 
 
 def q_video_neardup_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -2180,24 +2187,7 @@ def q_video_neardup_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
 def _video_neardup_sql() -> str:
     from .operators import multimodal as MM
 
-    posts = MM.video_truth_postings(seed=13)
-    values = ",\n  ".join(f"('{d}', '{s}')" for d, s in posts)
-    return f"""
-WITH post(doc_id, shingle) AS (VALUES
-  {values}),
-sizes AS (SELECT doc_id, count(*) AS n_sh FROM post GROUP BY doc_id),
-inter AS (
-  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS n_common
-  FROM post a JOIN post b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
-  GROUP BY 1, 2
-)
-SELECT i.doc_a, i.doc_b,
-       round(i.n_common * 1.0 / (sa.n_sh + sb.n_sh - i.n_common), 6) AS jaccard
-FROM inter i
-JOIN sizes sa ON sa.doc_id = i.doc_a
-JOIN sizes sb ON sb.doc_id = i.doc_b
-WHERE i.n_common * 1.0 / (sa.n_sh + sb.n_sh - i.n_common) >= 0.5
-"""
+    return _postings_jaccard_sql(MM.video_truth_postings(seed=13))
 
 
 def q_embedding_neardup_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:

@@ -111,7 +111,8 @@ def estimate_cell_size(
     pts = np.array(sample.limit(n_sample).collect(), dtype=np.float64)
     if len(pts) <= k:
         # degenerate: spread cells over the extent instead
-        span = max(pts[:, 0].ptp(), pts[:, 1].ptp()) if len(pts) > 1 else 1.0
+        # (np.ptp, not ndarray.ptp — the method is gone in NumPy 2)
+        span = max(np.ptp(pts[:, 0]), np.ptp(pts[:, 1])) if len(pts) > 1 else 1.0
         return float(span or 1.0)
     rng = np.random.default_rng(seed)
     probes = pts[rng.choice(len(pts), size=min(n_probes, len(pts)), replace=False)]
@@ -226,7 +227,10 @@ def knn_join(
     # probe_budget narrows a batch's shell when |remaining| x cells
     # would exceed it (at least one ring always proceeds).
     lo, hi = 0, 0
-    n_rem = remaining.count()
+    # n_rem is known only after a round's anti-join count; the budget
+    # never constrains batch 0 (one cell per left), so no extra
+    # pre-loop count job unless the caller asked for the schedule
+    n_rem = remaining.count() if debug_stats is not None else None
     while True:
         if debug_stats is not None:
             debug_stats.append({
