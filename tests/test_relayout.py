@@ -108,3 +108,33 @@ def test_relayout_tile_range_pruned_scan(spark):
     assert set(got) == set(full_tiles)
     for k in got:
         np.testing.assert_array_equal(got[k], full_tiles[k])
+
+
+def test_relayout_stitch_blend_policy(spark):
+    """A blend-policy stitch straight off the bucketed table (the
+    config override path) must equal the direct blend mosaic
+    bit-for-bit — and still run without an Exchange (same bucketed
+    scan; only the kernel differs)."""
+    rasters = synth.hot_cell(8, 128, 128)
+    fp = to_footprints(spark, synth.footprints_pdf(rasters))
+    blocks = to_blocks(spark, synth.blocks_pdf(rasters, 256))
+    cfg = MosaicConfig(blocksize=64, src_blocksize=256, with_overviews=False,
+                       merge_policy="blend", blend_feather=16)
+
+    relayout_to_table(spark, fp, blocks, "work_t_blend", cfg, n_buckets=8)
+    res = stitch_from_relayout(spark, "work_t_blend", cfg)
+    plan = res.stitched._jdf.queryExecution().explainString(
+        spark._jvm.org.apache.spark.sql.execution.ExplainMode.fromString("simple")
+    )
+    flatmap_region = plan.split("FlatMapGroupsInArrow")[1]
+    scan_pos = flatmap_region.find("FileScan")
+    assert "Exchange" not in flatmap_region[:scan_pos]
+
+    direct = do_mosaic(spark, fp, blocks, cfg)
+    a = {(r.band, r.tile_row, r.tile_col): list(r.pixels)
+         for r in res.tiles.collect()}
+    b = {(r.band, r.tile_row, r.tile_col): list(r.pixels)
+         for r in direct.tiles.collect()}
+    assert a == b and len(a) > 0
+    spark.sql("DROP TABLE IF EXISTS work_t_blend")
+    spark.sql("DROP TABLE IF EXISTS work_t_blend_meta")
