@@ -805,6 +805,103 @@ GROUP BY media_ref
 """
 
 
+RAST_SIZE = 128   # rasterize fixture: 128x128 px grid
+RAST_BS = 64      # -> 2x2 tiles
+
+
+def _rasterize_fixture() -> list:
+    """Three overlapping polygons (octagon / triangle / diamond) over
+    the 1280 m fixture square; vertices sit off every pixel-center
+    ordinate so the half-open boundary rule never fires."""
+
+    def P(dx, dy):
+        return {"x": X0 + dx, "y": Y0 - dy}
+
+    octagon = [P(300.7, 100.3), P(900.1, 100.3), P(1150.9, 400.7),
+               P(1150.9, 900.1), P(900.1, 1200.3), P(300.7, 1200.3),
+               P(80.3, 900.1), P(80.3, 400.7)]
+    tri = [P(200.1, 1100.7), P(1200.3, 1100.7), P(700.9, 300.1)]
+    diamond = [P(640.3, 100.1), P(1000.7, 640.3), P(640.3, 1180.9),
+               P(300.1, 640.3)]
+    return [(octagon, 1, 0), (tri, 2, 1), (diamond, 3, 2)]
+
+
+def q_polygon_raster_checksums(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Vector -> raster burn (geometry.rasterize_polygons), hash-gated
+    per tile: pixel centers inside a polygon take its value, overlaps
+    resolve by priority (higher wins), background 0. DuckDB replays the
+    identical even-odd crossing rule per (pixel, polygon) and arg_max
+    by priority, so the per-tile (count, sum, position-weighted
+    checksum) triple gates the burn bit-for-bit."""
+    from .functions.geometry import rasterize_polygons
+    from .plans.grid import OutputGrid
+
+    grid = OutputGrid(
+        x_min=X0, y_max=Y0, x_res=RES, y_res=RES,
+        ncols=RAST_SIZE, nrows=RAST_SIZE, n_bands=1, nullval=0,
+        dtype="uint16", projection="EPSG:32756",
+    )
+    polys = spark.createDataFrame(
+        _rasterize_fixture(),
+        "poly array<struct<x double, y double>>, value int, priority int",
+    )
+    out = rasterize_polygons(spark, polys, grid, RAST_BS)
+    px = out.select(
+        "tile_row", "tile_col", "xsize",
+        F.posexplode("pixels").alias("pos", "val"),
+    ).where(F.col("val") > 0)
+    gidx = (
+        (F.col("tile_row") * RAST_BS + F.floor(F.col("pos") / F.col("xsize")))
+        * RAST_SIZE
+        + F.col("tile_col") * RAST_BS + F.col("pos") % F.col("xsize")
+    )
+    return px.groupBy("tile_row", "tile_col").agg(
+        F.count("*").cast("long").alias("n_covered"),
+        F.sum("val").cast("long").alias("value_sum"),
+        F.sum(F.col("val") * gidx).cast("long").alias("checksum"),
+    )
+
+
+def _polygon_raster_sql() -> str:
+    rows = []
+    for verts, value, prio in _rasterize_fixture():
+        vlist = ", ".join(
+            f"struct_pack(x := {v['x']!r}, y := {v['y']!r})" for v in verts
+        )
+        rows.append(f"([{vlist}], {value}, {prio})")
+    polys = ",\n  ".join(rows)
+    a = "o.poly[i]"
+    b = "o.poly[1 + (i % len(o.poly))]"
+    crossing = (
+        f"(({a}.y > p.y) != ({b}.y > p.y)) AND "
+        f"p.x < {a}.x + (p.y - {a}.y) * ({b}.x - {a}.x) / ({b}.y - {a}.y)"
+    )
+    return f"""
+WITH polys(poly, value, priority) AS (VALUES
+  {polys}),
+p AS (
+  SELECT ci.i AS row, cj.i AS col,
+         {X0} + (cj.i + 0.5) * {RES!r} AS x,
+         {Y0} - (ci.i + 0.5) * {RES!r} AS y
+  FROM generate_series(0, {RAST_SIZE - 1}) ci(i),
+       generate_series(0, {RAST_SIZE - 1}) cj(i)
+),
+hits AS (
+  SELECT p.row, p.col, arg_max(o.value, o.priority) AS burn
+  FROM p p, polys o
+  WHERE (len(list_filter(generate_series(1, len(o.poly)), i -> {crossing})) % 2) = 1
+  GROUP BY p.row, p.col
+)
+SELECT CAST(row // {RAST_BS} AS INT) AS tile_row,
+       CAST(col // {RAST_BS} AS INT) AS tile_col,
+       CAST(count(*) AS BIGINT) AS n_covered,
+       CAST(sum(burn) AS BIGINT) AS value_sum,
+       CAST(sum(burn * (row * {RAST_SIZE} + col)) AS BIGINT) AS checksum
+FROM hits
+GROUP BY 1, 2
+"""
+
+
 KNN_K = 3
 KNN_R = 3 * R_STRIDE * RES  # candidate radius (m) — ≥ k sources inside
 
@@ -2244,6 +2341,7 @@ def queries() -> dict:
         "mosaic_warped_3857_checksums": q_mosaic_warped_3857_checksums,
         "cell_covers": q_cell_covers,
         "points_in_footprints": q_points_in_footprints,
+        "polygon_raster_checksums": q_polygon_raster_checksums,
         "tile_knn_sources": q_tile_knn_sources,
         "doc_token_stats": q_doc_token_stats,
         "doc_fingerprints": q_doc_fingerprints,
@@ -2296,6 +2394,7 @@ def oracle_sql() -> dict:
         "mosaic_warped_3857_checksums": _warped_checksums_sql(3857, WEBMERC_RES),
         "cell_covers": _cell_covers_sql(),
         "points_in_footprints": _points_in_footprints_sql(),
+        "polygon_raster_checksums": _polygon_raster_sql(),
         "tile_knn_sources": _tile_knn_sql(),
         "doc_token_stats": SQL_DOC_TOKEN_STATS,
         "doc_fingerprints": _doc_fingerprints_sql(),

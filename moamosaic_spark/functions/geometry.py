@@ -144,3 +144,108 @@ def points_in_polygons(
     return joined.where(
         point_in_polygon(px, py, F.col(poly_col))
     ).drop("_cx", "_cy", poly_col)
+
+
+RASTERIZE_SCHEMA = "tile_row int, tile_col int, ysize int, xsize int, pixels array<int>"
+
+
+def rasterize_polygons(
+    spark,
+    polys: DataFrame,
+    grid,
+    blocksize: int,
+    poly_col: str = "poly",
+    value_col: str = "value",
+    priority_col: str = "priority",
+) -> DataFrame:
+    """Vector -> raster burn (the gdal_rasterize analog over tables):
+    every output pixel whose CENTER lies inside a polygon (the same
+    even-odd half-open crossing rule as ``point_in_polygon``) takes
+    that polygon's ``value``; overlaps resolve by ``priority`` (higher
+    wins — the mosaic's ordered-overwrite semantics). Background = 0.
+    Emits only tiles intersecting >= 1 polygon: (tile_row, tile_col,
+    ysize, xsize, pixels array<int>).
+
+    Scale shape: polygons explode to the TILES their bounding box
+    covers (tile ids are the grid cells here — no separate cell size),
+    equi-join with the tile relation, exact ``rect_intersects_polygon``
+    residual, then one vectorized numpy burn per (tile, polygons)
+    group via applyInPandas — shuffle O(polygon-tile covers), never
+    O(tiles x polygons), and no per-pixel Python."""
+    import numpy as np
+    import pandas as pd
+
+    from ..plans.grid import make_tile_relation
+
+    tiles = make_tile_relation(spark, grid, blocksize)
+    poly = F.col(poly_col)
+    xs = F.transform(poly, lambda v: v["x"])
+    ys = F.transform(poly, lambda v: v["y"])
+    tile_w = float(grid.x_res) * blocksize
+    tile_h = float(grid.y_res) * blocksize
+    x_min, y_max = float(grid.x_min), float(grid.y_max)
+    covers = (
+        polys.select(
+            poly.alias("_poly"),
+            F.col(value_col).cast("int").alias("_value"),
+            F.col(priority_col).cast("int").alias("_prio"),
+            F.floor((F.array_min(xs) - x_min) / tile_w).cast("int").alias("_c0"),
+            F.floor((F.array_max(xs) - x_min) / tile_w).cast("int").alias("_c1"),
+            F.floor((y_max - F.array_max(ys)) / tile_h).cast("int").alias("_r0"),
+            F.floor((y_max - F.array_min(ys)) / tile_h).cast("int").alias("_r1"),
+        )
+        .select(
+            "_poly", "_value", "_prio",
+            F.explode(F.sequence(F.greatest(F.col("_r0"), F.lit(0)),
+                                 F.col("_r1"))).alias("tile_row"),
+            F.col("_c0"), F.col("_c1"),
+        )
+        .select(
+            "_poly", "_value", "_prio", "tile_row",
+            F.explode(F.sequence(F.greatest(F.col("_c0"), F.lit(0)),
+                                 F.col("_c1"))).alias("tile_col"),
+        )
+    )
+    cand = covers.join(tiles, on=["tile_row", "tile_col"], how="inner")
+    tx_lo = x_min + F.col("left") * grid.x_res
+    tx_hi = x_min + (F.col("left") + F.col("xsize")) * grid.x_res
+    ty_hi = y_max - F.col("top") * grid.y_res
+    ty_lo = y_max - (F.col("top") + F.col("ysize")) * grid.y_res
+    cand = cand.where(
+        rect_intersects_polygon(tx_lo, ty_lo, tx_hi, ty_hi, F.col("_poly"))
+    )
+
+    x_res, y_res = float(grid.x_res), float(grid.y_res)
+
+    def burn(pdf: pd.DataFrame) -> pd.DataFrame:
+        top, left = int(pdf["top"].iloc[0]), int(pdf["left"].iloc[0])
+        ysz, xsz = int(pdf["ysize"].iloc[0]), int(pdf["xsize"].iloc[0])
+        px = x_min + (left + np.arange(xsz) + 0.5) * x_res
+        py = y_max - (top + np.arange(ysz) + 0.5) * y_res
+        canvas = np.zeros((ysz, xsz), dtype=np.int32)
+        # iterrows, not itertuples: underscore-prefixed column names get
+        # positional aliases in namedtuples
+        for _, r in pdf.sort_values("_prio").iterrows():
+            vx = np.array([p["x"] for p in r["_poly"]], dtype=np.float64)
+            vy = np.array([p["y"] for p in r["_poly"]], dtype=np.float64)
+            if vx.size < 3:
+                continue
+            cnt = np.zeros((ysz, xsz), dtype=np.int32)
+            for i in range(vx.size):
+                ax, ay = vx[i], vy[i]
+                bx, by = vx[(i + 1) % vx.size], vy[(i + 1) % vy.size]
+                crosses = (ay > py) != (by > py)          # (ysz,)
+                if not crosses.any():
+                    continue
+                with np.errstate(all="ignore"):
+                    xi = ax + (py - ay) * (bx - ax) / (by - ay)
+                cnt += crosses[:, None] & (px[None, :] < xi[:, None])
+            canvas[cnt % 2 == 1] = int(r["_value"])
+        return pd.DataFrame([{
+            "tile_row": int(pdf["tile_row"].iloc[0]),
+            "tile_col": int(pdf["tile_col"].iloc[0]),
+            "ysize": ysz, "xsize": xsz,
+            "pixels": canvas.ravel(),
+        }])
+
+    return cand.groupBy("tile_row", "tile_col").applyInPandas(burn, RASTERIZE_SCHEMA)
