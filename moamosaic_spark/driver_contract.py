@@ -902,6 +902,74 @@ GROUP BY 1, 2
 """
 
 
+def q_zonal_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Zonal statistics — the raster <-> vector aggregate: rasterize
+    the fixture polygons as zone ids on the MOSAIC's own tiling
+    (geometry.rasterize_polygons), equi-join zone tiles with stitched
+    mosaic tiles, one vectorized per-tile partial (np.bincount shape)
+    and a tiny final merge (geometry.zonal_stats — the same
+    partial-algebra pattern as the mosaic's single-pass stats). DuckDB
+    replays it per pixel: the merged-mosaic CTE gives every non-null
+    pixel's value, the identical even-odd rule + arg_max(priority)
+    gives its zone."""
+    from .functions.geometry import rasterize_polygons, zonal_stats
+
+    res = _mosaic_result_cached(sf_dir, spark)
+    polys = spark.createDataFrame(
+        _rasterize_fixture(),
+        "poly array<struct<x double, y double>>, value int, priority int",
+    )
+    zone_tiles = rasterize_polygons(spark, polys, res.grid, BLOCKSIZE)
+    out = zonal_stats(res.tiles, zone_tiles, nullval=int(res.grid.nullval))
+    return out.select(
+        F.col("zone").cast("int").alias("zone"),
+        "n_px", "val_sum", "val_min", "val_max",
+    )
+
+
+def _zonal_stats_sql() -> str:
+    rows = []
+    for verts, value, prio in _rasterize_fixture():
+        vlist = ", ".join(
+            f"struct_pack(x := {v['x']!r}, y := {v['y']!r})" for v in verts
+        )
+        rows.append(f"([{vlist}], {value}, {prio})")
+    zones = ",\n  ".join(rows)
+    a = "o.poly[i]"
+    b = "o.poly[1 + (i % len(o.poly))]"
+    crossing = (
+        f"(({a}.y > p.y) != ({b}.y > p.y)) AND "
+        f"p.x < {a}.x + (p.y - {a}.y) * ({b}.x - {a}.x) / ({b}.y - {a}.y)"
+    )
+    return f"""{_sql_prologue()},
+zones(poly, value, priority) AS (VALUES
+  {zones}),
+px AS (
+  SELECT m.r, m.c, m.val,
+         g.x_min + (m.c + 0.5) * {RES!r} AS x,
+         g.y_max - (m.r + 0.5) * {RES!r} AS y
+  FROM merged m, grid g
+),
+zp AS (
+  SELECT p.r, p.c, p.val, arg_max(o.value, o.priority) AS zone
+  FROM px p, zones o
+  WHERE p.x >= list_min(list_transform(o.poly, v -> v.x))
+    AND p.x <= list_max(list_transform(o.poly, v -> v.x))
+    AND p.y >= list_min(list_transform(o.poly, v -> v.y))
+    AND p.y <= list_max(list_transform(o.poly, v -> v.y))
+    AND (len(list_filter(generate_series(1, len(o.poly)), i -> {crossing})) % 2) = 1
+  GROUP BY p.r, p.c, p.val
+)
+SELECT CAST(zone AS INT) AS zone,
+       CAST(count(*) AS BIGINT) AS n_px,
+       CAST(sum(val) AS BIGINT) AS val_sum,
+       CAST(min(val) AS INT) AS val_min,
+       CAST(max(val) AS INT) AS val_max
+FROM zp
+GROUP BY zone
+"""
+
+
 KNN_K = 3
 KNN_R = 3 * R_STRIDE * RES  # candidate radius (m) — ≥ k sources inside
 
@@ -2342,6 +2410,7 @@ def queries() -> dict:
         "cell_covers": q_cell_covers,
         "points_in_footprints": q_points_in_footprints,
         "polygon_raster_checksums": q_polygon_raster_checksums,
+        "zonal_stats": q_zonal_stats,
         "tile_knn_sources": q_tile_knn_sources,
         "doc_token_stats": q_doc_token_stats,
         "doc_fingerprints": q_doc_fingerprints,
@@ -2395,6 +2464,7 @@ def oracle_sql() -> dict:
         "cell_covers": _cell_covers_sql(),
         "points_in_footprints": _points_in_footprints_sql(),
         "polygon_raster_checksums": _polygon_raster_sql(),
+        "zonal_stats": _zonal_stats_sql(),
         "tile_knn_sources": _tile_knn_sql(),
         "doc_token_stats": SQL_DOC_TOKEN_STATS,
         "doc_fingerprints": _doc_fingerprints_sql(),

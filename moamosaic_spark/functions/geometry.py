@@ -249,3 +249,77 @@ def rasterize_polygons(
         }])
 
     return cand.groupBy("tile_row", "tile_col").applyInPandas(burn, RASTERIZE_SCHEMA)
+
+
+ZONAL_PARTIAL_SCHEMA = (
+    "zone int, n_px long, val_sum long, val_min int, val_max int"
+)
+
+
+def zonal_stats(
+    tiles: DataFrame,
+    zone_tiles: DataFrame,
+    nullval: int = 0,
+) -> DataFrame:
+    """Zonal statistics — per-zone count/sum/min/max of mosaic pixel
+    values, the classic raster <-> vector aggregate. ``tiles`` is a
+    stitched tile relation (level-0 rows: tile_row, tile_col, ysize,
+    xsize, pixels in either layout); ``zone_tiles`` is a zone-id
+    raster on the SAME tiling (rasterize_polygons output, zone ids as
+    burn values, 0 = no zone). Scale shape: equi-join on the tile key
+    (zones touch few tiles; mosaic tiles stream), one vectorized
+    numpy partial per joined tile via mapInPandas (np.bincount over
+    zone ids — no per-pixel Python), then a tiny final aggregation
+    over (zones x tiles) partial rows: the same partial-algebra
+    pattern as the mosaic's single-pass stats."""
+    import numpy as np
+    import pandas as pd
+
+    joined = tiles.select(
+        "tile_row", "tile_col", F.col("pixels").alias("px_payload")
+    ).join(
+        zone_tiles.select(
+            "tile_row", "tile_col", F.col("pixels").alias("zone_payload")
+        ),
+        on=["tile_row", "tile_col"],
+        how="inner",
+    )
+
+    def partials(batches):
+        for pdf in batches:
+            out = []
+            for r in pdf.itertuples(index=False):
+                px = (
+                    np.frombuffer(bytes(r.px_payload), "<u2").astype(np.int64)
+                    if isinstance(r.px_payload, (bytes, bytearray))
+                    else np.asarray(r.px_payload, dtype=np.int64)
+                )
+                zones = np.asarray(r.zone_payload, dtype=np.int64)
+                m = (zones > 0) & (px != nullval)
+                if not m.any():
+                    continue
+                z, v = zones[m], px[m]
+                order = np.argsort(z, kind="stable")
+                z, v = z[order], v[order]
+                starts = np.flatnonzero(np.r_[True, z[1:] != z[:-1]])
+                ends = np.r_[starts[1:], z.size]
+                cs = np.r_[0, np.cumsum(v)]
+                for s, e in zip(starts, ends):
+                    out.append({
+                        "zone": int(z[s]),
+                        "n_px": int(e - s),
+                        "val_sum": int(cs[e] - cs[s]),
+                        "val_min": int(v[s:e].min()),
+                        "val_max": int(v[s:e].max()),
+                    })
+            yield pd.DataFrame(
+                out, columns=["zone", "n_px", "val_sum", "val_min", "val_max"]
+            )
+
+    part = joined.mapInPandas(partials, ZONAL_PARTIAL_SCHEMA)
+    return part.groupBy("zone").agg(
+        F.sum("n_px").cast("long").alias("n_px"),
+        F.sum("val_sum").cast("long").alias("val_sum"),
+        F.min("val_min").cast("int").alias("val_min"),
+        F.max("val_max").cast("int").alias("val_max"),
+    )
