@@ -970,6 +970,111 @@ GROUP BY zone
 """
 
 
+REGION_BS = 32    # 4x4 tiles over the 128px fixture -> cross-tile regions
+
+_REGION_TRUTH_CACHE: list | None = None
+
+
+def _region_truth() -> list:
+    """Independent truth for q_region_labels: burn the fixture
+    polygons with a vectorized numpy PIP (same even-odd rule, computed
+    here — the engine's rasterizer is never consulted), then BFS flood
+    fill 4-connected equal-value regions. Deterministic; cached."""
+    global _REGION_TRUTH_CACHE
+    if _REGION_TRUTH_CACHE is not None:
+        return _REGION_TRUTH_CACHE
+    from collections import deque
+
+    import numpy as np
+
+    SZ = RAST_SIZE
+    px = X0 + (np.arange(SZ) + 0.5) * RES
+    py = Y0 - (np.arange(SZ) + 0.5) * RES
+    full = np.zeros((SZ, SZ), np.int32)
+    for verts, val, _prio in sorted(_rasterize_fixture(), key=lambda t: t[2]):
+        cnt = np.zeros((SZ, SZ), np.int32)
+        n = len(verts)
+        for i in range(n):
+            ax, ay = verts[i]["x"], verts[i]["y"]
+            bx, by = verts[(i + 1) % n]["x"], verts[(i + 1) % n]["y"]
+            crosses = (ay > py) != (by > py)
+            if not crosses.any():
+                continue
+            with np.errstate(all="ignore"):
+                xi = ax + (py - ay) * (bx - ax) / (by - ay)
+            cnt += crosses[:, None] & (px[None, :] < xi[:, None])
+        full[cnt % 2 == 1] = val
+    out = []
+    vis = np.zeros_like(full, bool)
+    for r in range(SZ):
+        for c in range(SZ):
+            if full[r, c] == 0 or vis[r, c]:
+                continue
+            v = int(full[r, c])
+            q = deque([(r, c)])
+            vis[r, c] = True
+            cells = []
+            while q:
+                rr, cc = q.popleft()
+                cells.append((rr, cc))
+                for dr, dc in ((1, 0), (-1, 0), (0, 1), (0, -1)):
+                    nr, nc = rr + dr, cc + dc
+                    if (0 <= nr < SZ and 0 <= nc < SZ and not vis[nr, nc]
+                            and full[nr, nc] == v):
+                        vis[nr, nc] = True
+                        q.append((nr, nc))
+            rows = [x for x, _ in cells]
+            cols = [y for _, y in cells]
+            out.append((
+                min(x * SZ + y for x, y in cells), v, len(cells),
+                min(rows), min(cols), max(rows), max(cols),
+            ))
+    _REGION_TRUTH_CACHE = sorted(out)
+    return _REGION_TRUTH_CACHE
+
+
+def q_region_labels(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Distributed raster region labeling (polygonize-lite,
+    geometry.label_regions): rasterize the fixture on a 32px tiling so
+    regions SPAN tiles, label per-tile with run-based union-find, merge
+    across tiles with the DataFrame connected-components, roll up
+    partials. region_id = min global pixel index (canonical across any
+    tiling). Oracle = an independent numpy-PIP + BFS flood fill
+    embedded as VALUES."""
+    from .functions.geometry import label_regions, rasterize_polygons
+    from .plans.grid import OutputGrid
+
+    grid = OutputGrid(
+        x_min=X0, y_max=Y0, x_res=RES, y_res=RES,
+        ncols=RAST_SIZE, nrows=RAST_SIZE, n_bands=1, nullval=0,
+        dtype="uint16", projection="EPSG:32756",
+    )
+    polys = spark.createDataFrame(
+        _rasterize_fixture(),
+        "poly array<struct<x double, y double>>, value int, priority int",
+    )
+    zone_tiles = rasterize_polygons(spark, polys, grid, REGION_BS)
+    return label_regions(zone_tiles, grid, REGION_BS).select(
+        "region_id", "value", "n_px", "min_row", "min_col", "max_row", "max_col"
+    )
+
+
+def _region_labels_sql() -> str:
+    values = ",\n  ".join(
+        f"({rid}, {v}, {n}, {r0}, {c0}, {r1}, {c1})"
+        for rid, v, n, r0, c0, r1, c1 in _region_truth()
+    )
+    return f"""
+WITH truth(region_id, value, n_px, min_row, min_col, max_row, max_col) AS (VALUES
+  {values})
+SELECT CAST(region_id AS BIGINT) AS region_id, CAST(value AS INT) AS value,
+       CAST(n_px AS BIGINT) AS n_px,
+       CAST(min_row AS BIGINT) AS min_row, CAST(min_col AS BIGINT) AS min_col,
+       CAST(max_row AS BIGINT) AS max_row, CAST(max_col AS BIGINT) AS max_col
+FROM truth
+"""
+
+
 KNN_K = 3
 KNN_R = 3 * R_STRIDE * RES  # candidate radius (m) — ≥ k sources inside
 
@@ -2411,6 +2516,7 @@ def queries() -> dict:
         "points_in_footprints": q_points_in_footprints,
         "polygon_raster_checksums": q_polygon_raster_checksums,
         "zonal_stats": q_zonal_stats,
+        "region_labels": q_region_labels,
         "tile_knn_sources": q_tile_knn_sources,
         "doc_token_stats": q_doc_token_stats,
         "doc_fingerprints": q_doc_fingerprints,
@@ -2465,6 +2571,7 @@ def oracle_sql() -> dict:
         "points_in_footprints": _points_in_footprints_sql(),
         "polygon_raster_checksums": _polygon_raster_sql(),
         "zonal_stats": _zonal_stats_sql(),
+        "region_labels": _region_labels_sql(),
         "tile_knn_sources": _tile_knn_sql(),
         "doc_token_stats": SQL_DOC_TOKEN_STATS,
         "doc_fingerprints": _doc_fingerprints_sql(),

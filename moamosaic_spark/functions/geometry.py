@@ -323,3 +323,213 @@ def zonal_stats(
         F.min("val_min").cast("int").alias("val_min"),
         F.max("val_max").cast("int").alias("val_max"),
     )
+
+
+LABEL_WORK_SCHEMA = (
+    "kind int, gid long, value int, n_px long, minr long, minc long, "
+    "maxr long, maxc long, min_gidx long, grow long, gcol long"
+)
+
+
+def _label_tile_runs(arr, nullval):
+    """Local 4-connected equal-value labeling of one tile via row runs
+    + union-find over runs (the standard two-pass CCL, vectorized run
+    extraction; the only Python loop is over RUNS, never pixels).
+    Returns (root run id per run, runs as (row, c0, c1, value))."""
+    import numpy as np
+
+    ys, xs = arr.shape
+    valid = arr != nullval
+    start = valid.copy()
+    start[:, 1:] &= (~valid[:, :-1]) | (arr[:, 1:] != arr[:, :-1])
+    flat_start = start.ravel()
+    run_of_px = np.cumsum(flat_start) - 1          # per-pixel run index
+    starts = np.flatnonzero(flat_start)
+    n_runs = starts.size
+    if n_runs == 0:
+        return np.empty(0, np.int64), np.empty((0, 4), np.int64), run_of_px
+    rows = starts // xs
+    c0 = starts % xs
+    # run end: next start/invalid within the row
+    flat_valid = valid.ravel()
+    run_len = np.empty(n_runs, np.int64)
+    bounds = np.r_[starts[1:], ys * xs]
+    for i in range(n_runs):                        # O(runs): trim at row end / invalid
+        lim = min(bounds[i], (rows[i] + 1) * xs)
+        seg = flat_valid[starts[i]: lim]
+        stop = np.flatnonzero(~seg)
+        run_len[i] = stop[0] if stop.size else lim - starts[i]
+    c1 = c0 + run_len                              # exclusive
+    vals = arr.ravel()[starts]
+
+    parent = np.arange(n_runs, dtype=np.int64)
+
+    def find(i):
+        while parent[i] != i:
+            parent[i] = parent[parent[i]]
+            i = parent[i]
+        return i
+
+    # union vertically-adjacent same-value overlapping runs
+    row_first = np.searchsorted(rows, np.arange(ys))
+    row_last = np.searchsorted(rows, np.arange(ys), side="right")
+    for r in range(ys - 1):
+        i, j = row_first[r], row_first[r + 1]
+        ei, ej = row_last[r], row_last[r + 1]
+        while i < ei and j < ej:
+            if c1[i] <= c0[j]:
+                i += 1
+            elif c1[j] <= c0[i]:
+                j += 1
+            else:
+                if vals[i] == vals[j]:
+                    ri, rj = find(i), find(j)
+                    if ri != rj:
+                        parent[max(ri, rj)] = min(ri, rj)
+                if c1[i] <= c1[j]:
+                    i += 1
+                else:
+                    j += 1
+    roots = np.array([find(i) for i in range(n_runs)], dtype=np.int64)
+    runs = np.stack([rows, c0, c1, vals.astype(np.int64)], axis=1)
+    return roots, runs, run_of_px
+
+
+def label_regions(
+    tiles: DataFrame,
+    grid,
+    blocksize: int,
+    nullval: int = 0,
+) -> DataFrame:
+    """Distributed 4-connected equal-value region labeling — the
+    polygonize-lite analog (gdal_polygonize's region discovery without
+    ring tracing): per-tile run-based union-find labeling, cross-tile
+    merges via the SAME alternating-star DataFrame connected-components
+    that resolves duplicate clusters, then a partial-algebra roll-up.
+
+    Scale shape: the pixel payload is touched ONCE (one mapInPandas
+    over tiles); everything after operates on per-root partial rows and
+    border-pixel rows (O(perimeter), not O(area)), so a region spanning
+    thousands of tiles merges through the O(|E|)-per-round CC, never by
+    moving pixels.
+
+    Returns (region_id, value, n_px, min_row, min_col, max_row,
+    max_col) with ``region_id`` = the region's minimum global pixel
+    index (row * grid_ncols + col) — canonical across any tiling.
+    """
+    import numpy as np
+    import pandas as pd
+
+    from .dedup import connected_components
+
+    W = int(grid.ncols)
+    bs = int(blocksize)
+    n_tc = (W + bs - 1) // bs
+
+    def work(batches):
+        for pdf in batches:
+            out = []
+            for t in pdf.itertuples(index=False):
+                px = (
+                    np.frombuffer(bytes(t.pixels), "<u2").astype(np.int32)
+                    if isinstance(t.pixels, (bytes, bytearray))
+                    else np.asarray(t.pixels, dtype=np.int32)
+                )
+                ysz, xsz = int(t.ysize), int(t.xsize)
+                arr = px.reshape(ysz, xsz)
+                roots, runs, run_of_px = _label_tile_runs(arr, nullval)
+                if roots.size == 0:
+                    continue
+                g0r, g0c = int(t.tile_row) * bs, int(t.tile_col) * bs
+                base = (int(t.tile_row) * n_tc + int(t.tile_col)) * (bs * bs)
+                # per-root partials (aggregate runs by root)
+                for root in np.unique(roots):
+                    m = roots == root
+                    rr, rc0, rc1, rv = runs[m, 0], runs[m, 1], runs[m, 2], runs[m, 3]
+                    out.append({
+                        "kind": 0, "gid": base + int(root), "value": int(rv[0]),
+                        "n_px": int((rc1 - rc0).sum()),
+                        "minr": g0r + int(rr.min()), "minc": g0c + int(rc0.min()),
+                        "maxr": g0r + int(rr.max()), "maxc": g0c + int(rc1.max()) - 1,
+                        "min_gidx": int(
+                            ((g0r + rr) * W + g0c + rc0).min()
+                        ),
+                        "grow": 0, "gcol": 0,
+                    })
+                # border pixels (4 edges), labeled with their root gid
+                edges_px = []
+                for rr_, cc_ in (
+                    (np.zeros(xsz, np.int64), np.arange(xsz)),
+                    (np.full(xsz, ysz - 1, np.int64), np.arange(xsz)),
+                    (np.arange(ysz), np.zeros(ysz, np.int64)),
+                    (np.arange(ysz), np.full(ysz, xsz - 1, np.int64)),
+                ):
+                    v = arr[rr_, cc_]
+                    keep = v != nullval
+                    if keep.any():
+                        edges_px.append((rr_[keep], cc_[keep], v[keep]))
+                seen = set()
+                for rr_, cc_, v in edges_px:
+                    flat = rr_ * xsz + cc_
+                    rt = roots[run_of_px[flat]]
+                    for r_, c_, v_, rt_ in zip(rr_, cc_, v, rt):
+                        key = (int(r_), int(c_))
+                        if key in seen:
+                            continue
+                        seen.add(key)
+                        out.append({
+                            "kind": 1, "gid": base + int(rt_), "value": int(v_),
+                            "n_px": 0, "minr": 0, "minc": 0, "maxr": 0, "maxc": 0,
+                            "min_gidx": 0,
+                            "grow": g0r + int(r_), "gcol": g0c + int(c_),
+                        })
+            yield pd.DataFrame(out, columns=[
+                "kind", "gid", "value", "n_px", "minr", "minc", "maxr", "maxc",
+                "min_gidx", "grow", "gcol",
+            ])
+
+    w = tiles.select(
+        "tile_row", "tile_col", "ysize", "xsize", "pixels"
+    ).mapInPandas(work, LABEL_WORK_SCHEMA).localCheckpoint(eager=True)
+
+    partials = w.where(F.col("kind") == 0)
+    borders = w.where(F.col("kind") == 1).select("gid", "value", "grow", "gcol")
+    b2 = borders.select(
+        F.col("gid").alias("gid_b"), F.col("value").alias("value_b"),
+        F.col("grow").alias("grow_b"), F.col("gcol").alias("gcol_b"),
+    )
+    down = borders.join(
+        b2,
+        (F.col("grow_b") == F.col("grow") + 1)
+        & (F.col("gcol_b") == F.col("gcol"))
+        & (F.col("value_b") == F.col("value")),
+    )
+    right = borders.join(
+        b2,
+        (F.col("gcol_b") == F.col("gcol") + 1)
+        & (F.col("grow_b") == F.col("grow"))
+        & (F.col("value_b") == F.col("value")),
+    )
+    edges = (
+        down.unionByName(right)
+        .where(F.col("gid") != F.col("gid_b"))
+        .select("gid", "gid_b")
+        .distinct()
+    )
+    cc = connected_components(edges, "gid", "gid_b")
+    merged = partials.join(
+        cc.withColumnRenamed("doc_id", "gid"), on="gid", how="left"
+    ).withColumn("_region", F.coalesce(F.col("cluster_id"), F.col("gid")))
+    return (
+        merged.groupBy("_region")
+        .agg(
+            F.min("min_gidx").cast("long").alias("region_id"),
+            F.first("value").cast("int").alias("value"),
+            F.sum("n_px").cast("long").alias("n_px"),
+            F.min("minr").cast("long").alias("min_row"),
+            F.min("minc").cast("long").alias("min_col"),
+            F.max("maxr").cast("long").alias("max_row"),
+            F.max("maxc").cast("long").alias("max_col"),
+        )
+        .drop("_region")
+    )

@@ -253,3 +253,38 @@ def test_rasterize_polygons_vs_bruteforce(spark):
     assert (want > 0).sum() == 816
     # the geometry sits entirely in tile (0,0): others must not emit
     assert {(r.tile_row, r.tile_col) for r in out} == {(0, 0)}
+
+
+def test_label_regions_cross_tile_merge(spark):
+    """Regions spanning tile boundaries must merge through the
+    DataFrame connected-components: a plus-shape crossing all four
+    quadrant tiles is ONE region; same-value but disconnected blobs
+    stay separate."""
+    import numpy as np
+
+    from moamosaic_spark.functions.geometry import label_regions
+    from moamosaic_spark.plans.grid import OutputGrid
+
+    grid = OutputGrid(x_min=0.0, y_max=40.0, x_res=1.0, y_res=1.0,
+                      ncols=40, nrows=40, n_bands=1, nullval=0,
+                      dtype="uint16", projection="EPSG:32756")
+    full = np.zeros((40, 40), np.int32)
+    full[18:22, 5:35] = 7      # horizontal bar crossing the col-20 seam
+    full[5:35, 18:22] = 7      # vertical bar crossing the row-20 seam
+    full[2:4, 2:4] = 7         # disconnected same-value blob
+    full[30:33, 2:5] = 9       # different value
+    rows = []
+    for tr in range(2):
+        for tc in range(2):
+            sub = full[tr * 20:(tr + 1) * 20, tc * 20:(tc + 1) * 20]
+            rows.append((tr, tc, 20, 20, [int(x) for x in sub.ravel()]))
+    tiles = spark.createDataFrame(
+        rows, "tile_row int, tile_col int, ysize int, xsize int, pixels array<int>")
+    got = {r.region_id: (r.value, r.n_px, r.min_row, r.min_col, r.max_row, r.max_col)
+           for r in label_regions(tiles, grid, 20).collect()}
+    plus_px = int((full == 7).sum()) - 4           # minus the blob
+    assert got == {
+        2 * 40 + 2: (7, 4, 2, 2, 3, 3),            # blob
+        5 * 40 + 18: (7, plus_px, 5, 5, 34, 34),   # the merged plus
+        30 * 40 + 2: (9, 9, 30, 2, 32, 4),
+    }, got
