@@ -288,3 +288,45 @@ def test_label_regions_cross_tile_merge(spark):
         5 * 40 + 18: (7, plus_px, 5, 5, 34, 34),   # the merged plus
         30 * 40 + 2: (9, 9, 30, 2, 32, 4),
     }, got
+
+
+def test_zonal_stats_both_layouts(spark):
+    """zonal_stats over hand-built tiles: per-zone count/sum/min/max
+    with the null mask applied, identical for array<int> and packed-u2
+    mosaic payloads."""
+    import numpy as np
+
+    from moamosaic_spark.functions.geometry import zonal_stats
+
+    mosaic = np.array([[5, 0, 7, 7],
+                       [5, 5, 0, 9],
+                       [1, 2, 3, 4],
+                       [0, 2, 3, 0]], np.int32)
+    zones = np.array([[1, 1, 2, 2],
+                      [1, 1, 2, 2],
+                      [0, 3, 3, 0],
+                      [0, 3, 3, 0]], np.int32)
+    want = {
+        1: (3, 15, 5, 5),           # three 5s; the 0 is null-masked
+        2: (3, 23, 7, 9),
+        3: (4, 10, 2, 3),           # 2,2,3,3
+    }
+    zrows = []
+    mrows_i4, mrows_u2 = [], []
+    for tr in range(2):
+        for tc in range(2):
+            msub = mosaic[tr * 2:(tr + 1) * 2, tc * 2:(tc + 1) * 2].ravel()
+            zsub = zones[tr * 2:(tr + 1) * 2, tc * 2:(tc + 1) * 2].ravel()
+            zrows.append((tr, tc, 2, 2, [int(x) for x in zsub]))
+            mrows_i4.append((tr, tc, 2, 2, [int(x) for x in msub]))
+            mrows_u2.append((tr, tc, 2, 2,
+                             bytearray(msub.astype("<u2").tobytes())))
+    ztiles = spark.createDataFrame(
+        zrows, "tile_row int, tile_col int, ysize int, xsize int, pixels array<int>")
+    for rows, schema in ((mrows_i4, "pixels array<int>"),
+                         (mrows_u2, "pixels binary")):
+        tiles = spark.createDataFrame(
+            rows, f"tile_row int, tile_col int, ysize int, xsize int, {schema}")
+        got = {r.zone: (r.n_px, r.val_sum, r.val_min, r.val_max)
+               for r in zonal_stats(tiles, ztiles, nullval=0).collect()}
+        assert got == want, (schema, got)
