@@ -841,10 +841,7 @@ def q_polygon_raster_checksums(spark: SparkSession, sf_dir: str) -> DataFrame:
         ncols=RAST_SIZE, nrows=RAST_SIZE, n_bands=1, nullval=0,
         dtype="uint16", projection="EPSG:32756",
     )
-    polys = spark.createDataFrame(
-        _rasterize_fixture(),
-        "poly array<struct<x double, y double>>, value int, priority int",
-    )
+    polys = _fixture_polys_df(spark)
     out = rasterize_polygons(spark, polys, grid, RAST_BS)
     px = out.select(
         "tile_row", "tile_col", "xsize",
@@ -862,23 +859,48 @@ def q_polygon_raster_checksums(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-def _polygon_raster_sql() -> str:
+def _fixture_polys_values() -> str:
+    """The rasterize fixture rendered as DuckDB VALUES rows — the ONE
+    rendering every polygon oracle shares."""
     rows = []
     for verts, value, prio in _rasterize_fixture():
         vlist = ", ".join(
             f"struct_pack(x := {v['x']!r}, y := {v['y']!r})" for v in verts
         )
         rows.append(f"([{vlist}], {value}, {prio})")
-    polys = ",\n  ".join(rows)
-    a = "o.poly[i]"
-    b = "o.poly[1 + (i % len(o.poly))]"
-    crossing = (
-        f"(({a}.y > p.y) != ({b}.y > p.y)) AND "
-        f"p.x < {a}.x + (p.y - {a}.y) * ({b}.x - {a}.x) / ({b}.y - {a}.y)"
+    return ",\n  ".join(rows)
+
+
+def _crossing_sql(poly: str = "o.poly", p: str = "p") -> str:
+    """The half-open even-odd crossing conjunct — character-identical
+    across every polygon oracle (the rule the engine's
+    point_in_polygon / rasterize kernels implement)."""
+    a = f"{poly}[i]"
+    b = f"{poly}[1 + (i % len({poly}))]"
+    return (
+        f"(({a}.y > {p}.y) != ({b}.y > {p}.y)) AND "
+        f"{p}.x < {a}.x + ({p}.y - {a}.y) * ({b}.x - {a}.x) / ({b}.y - {a}.y)"
     )
+
+
+# burn winner: max (priority, value) lexicographic — mirrors the
+# kernel's stable sort by (_prio, _value); both ints < 2^31 so the
+# composite BIGINT key is exact
+_BURN_KEY = "o.priority * 4294967296 + o.value"
+
+
+def _fixture_polys_df(spark: SparkSession) -> DataFrame:
+    return spark.createDataFrame(
+        _rasterize_fixture(),
+        "poly array<struct<x double, y double>>, value int, priority int",
+    )
+
+
+def _polygon_raster_sql() -> str:
+    crossing = _crossing_sql()
     return f"""
 WITH polys(poly, value, priority) AS (VALUES
-  {polys}),
+  {_fixture_polys_values()}),
 p AS (
   SELECT ci.i AS row, cj.i AS col,
          {X0} + (cj.i + 0.5) * {RES!r} AS x,
@@ -887,7 +909,7 @@ p AS (
        generate_series(0, {RAST_SIZE - 1}) cj(i)
 ),
 hits AS (
-  SELECT p.row, p.col, arg_max(o.value, o.priority) AS burn
+  SELECT p.row, p.col, arg_max(o.value, {_BURN_KEY}) AS burn
   FROM p p, polys o
   WHERE (len(list_filter(generate_series(1, len(o.poly)), i -> {crossing})) % 2) = 1
   GROUP BY p.row, p.col
@@ -915,35 +937,22 @@ def q_zonal_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     from .functions.geometry import rasterize_polygons, zonal_stats
 
     res = _mosaic_result_cached(sf_dir, spark)
-    polys = spark.createDataFrame(
-        _rasterize_fixture(),
-        "poly array<struct<x double, y double>>, value int, priority int",
-    )
+    polys = _fixture_polys_df(spark)
     zone_tiles = rasterize_polygons(spark, polys, res.grid, BLOCKSIZE)
     out = zonal_stats(res.tiles, zone_tiles, nullval=int(res.grid.nullval))
-    return out.select(
+    # single-band fixture: band rides the operator's group key (bands
+    # never mix) but carries no information here
+    return out.drop("band").select(
         F.col("zone").cast("int").alias("zone"),
         "n_px", "val_sum", "val_min", "val_max",
     )
 
 
 def _zonal_stats_sql() -> str:
-    rows = []
-    for verts, value, prio in _rasterize_fixture():
-        vlist = ", ".join(
-            f"struct_pack(x := {v['x']!r}, y := {v['y']!r})" for v in verts
-        )
-        rows.append(f"([{vlist}], {value}, {prio})")
-    zones = ",\n  ".join(rows)
-    a = "o.poly[i]"
-    b = "o.poly[1 + (i % len(o.poly))]"
-    crossing = (
-        f"(({a}.y > p.y) != ({b}.y > p.y)) AND "
-        f"p.x < {a}.x + (p.y - {a}.y) * ({b}.x - {a}.x) / ({b}.y - {a}.y)"
-    )
+    crossing = _crossing_sql()
     return f"""{_sql_prologue()},
 zones(poly, value, priority) AS (VALUES
-  {zones}),
+  {_fixture_polys_values()}),
 px AS (
   SELECT m.r, m.c, m.val,
          g.x_min + (m.c + 0.5) * {RES!r} AS x,
@@ -951,7 +960,7 @@ px AS (
   FROM merged m, grid g
 ),
 zp AS (
-  SELECT p.r, p.c, p.val, arg_max(o.value, o.priority) AS zone
+  SELECT p.r, p.c, p.val, arg_max(o.value, {_BURN_KEY}) AS zone
   FROM px p, zones o
   WHERE p.x >= list_min(list_transform(o.poly, v -> v.x))
     AND p.x <= list_max(list_transform(o.poly, v -> v.x))
@@ -991,7 +1000,8 @@ def _region_truth() -> list:
     px = X0 + (np.arange(SZ) + 0.5) * RES
     py = Y0 - (np.arange(SZ) + 0.5) * RES
     full = np.zeros((SZ, SZ), np.int32)
-    for verts, val, _prio in sorted(_rasterize_fixture(), key=lambda t: t[2]):
+    # (priority, value) burn order — the engine's documented tie-break
+    for verts, val, _prio in sorted(_rasterize_fixture(), key=lambda t: (t[2], t[1])):
         cnt = np.zeros((SZ, SZ), np.int32)
         n = len(verts)
         for i in range(n):
@@ -1049,10 +1059,7 @@ def q_region_labels(spark: SparkSession, sf_dir: str) -> DataFrame:
         ncols=RAST_SIZE, nrows=RAST_SIZE, n_bands=1, nullval=0,
         dtype="uint16", projection="EPSG:32756",
     )
-    polys = spark.createDataFrame(
-        _rasterize_fixture(),
-        "poly array<struct<x double, y double>>, value int, priority int",
-    )
+    polys = _fixture_polys_df(spark)
     zone_tiles = rasterize_polygons(spark, polys, grid, REGION_BS)
     return label_regions(zone_tiles, grid, REGION_BS).select(
         "region_id", "value", "n_px", "min_row", "min_col", "max_row", "max_col"

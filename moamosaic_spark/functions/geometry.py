@@ -177,6 +177,8 @@ def rasterize_polygons(
 
     from ..plans.grid import make_tile_relation
 
+    from ..plans.grid import n_blocks
+
     tiles = make_tile_relation(spark, grid, blocksize)
     poly = F.col(poly_col)
     xs = F.transform(poly, lambda v: v["x"])
@@ -184,26 +186,41 @@ def rasterize_polygons(
     tile_w = float(grid.x_res) * blocksize
     tile_h = float(grid.y_res) * blocksize
     x_min, y_max = float(grid.x_min), float(grid.y_max)
+    # clamp BOTH ends of the cover ranges into the real tile-id space:
+    # the last tile absorbs sub-blocksize remainders (n_blocks), so a
+    # raw floor(extent / blocksize) can name a nonexistent tile id and
+    # silently drop a polygon lying in the absorbed strip; and an
+    # out-of-grid polygon would otherwise make sequence() DESCEND and
+    # explode junk covers (worst case millions of rows for a
+    # mis-projected input). Clamped, an out-of-grid polygon costs one
+    # edge-tile cover row that the exact residual below rejects.
+    max_r, max_c = n_blocks(grid.nrows, blocksize) - 1, n_blocks(grid.ncols, blocksize) - 1
+
+    def _clamp(c, hi):
+        return F.least(F.greatest(c, F.lit(0)), F.lit(hi))
+
     covers = (
         polys.select(
             poly.alias("_poly"),
             F.col(value_col).cast("int").alias("_value"),
             F.col(priority_col).cast("int").alias("_prio"),
-            F.floor((F.array_min(xs) - x_min) / tile_w).cast("int").alias("_c0"),
-            F.floor((F.array_max(xs) - x_min) / tile_w).cast("int").alias("_c1"),
-            F.floor((y_max - F.array_max(ys)) / tile_h).cast("int").alias("_r0"),
-            F.floor((y_max - F.array_min(ys)) / tile_h).cast("int").alias("_r1"),
+            _clamp(F.floor((F.array_min(xs) - x_min) / tile_w).cast("int"),
+                   max_c).alias("_c0"),
+            _clamp(F.floor((F.array_max(xs) - x_min) / tile_w).cast("int"),
+                   max_c).alias("_c1"),
+            _clamp(F.floor((y_max - F.array_max(ys)) / tile_h).cast("int"),
+                   max_r).alias("_r0"),
+            _clamp(F.floor((y_max - F.array_min(ys)) / tile_h).cast("int"),
+                   max_r).alias("_r1"),
         )
         .select(
             "_poly", "_value", "_prio",
-            F.explode(F.sequence(F.greatest(F.col("_r0"), F.lit(0)),
-                                 F.col("_r1"))).alias("tile_row"),
+            F.explode(F.sequence(F.col("_r0"), F.col("_r1"))).alias("tile_row"),
             F.col("_c0"), F.col("_c1"),
         )
         .select(
             "_poly", "_value", "_prio", "tile_row",
-            F.explode(F.sequence(F.greatest(F.col("_c0"), F.lit(0)),
-                                 F.col("_c1"))).alias("tile_col"),
+            F.explode(F.sequence(F.col("_c0"), F.col("_c1"))).alias("tile_col"),
         )
     )
     cand = covers.join(tiles, on=["tile_row", "tile_col"], how="inner")
@@ -224,8 +241,12 @@ def rasterize_polygons(
         py = y_max - (top + np.arange(ysz) + 0.5) * y_res
         canvas = np.zeros((ysz, xsz), dtype=np.int32)
         # iterrows, not itertuples: underscore-prefixed column names get
-        # positional aliases in namedtuples
-        for _, r in pdf.sort_values("_prio").iterrows():
+        # positional aliases in namedtuples. Stable sort with value as
+        # the tie-break: equal-priority overlaps resolve to the HIGHER
+        # value deterministically (input row order varies with the
+        # shuffle; the DuckDB oracle mirrors this with a composite
+        # arg_max key)
+        for _, r in pdf.sort_values(["_prio", "_value"], kind="stable").iterrows():
             vx = np.array([p["x"] for p in r["_poly"]], dtype=np.float64)
             vy = np.array([p["y"] for p in r["_poly"]], dtype=np.float64)
             if vx.size < 3:
@@ -252,7 +273,7 @@ def rasterize_polygons(
 
 
 ZONAL_PARTIAL_SCHEMA = (
-    "zone int, n_px long, val_sum long, val_min int, val_max int"
+    "band int, zone int, n_px long, val_sum long, val_min int, val_max int"
 )
 
 
@@ -275,8 +296,13 @@ def zonal_stats(
     import numpy as np
     import pandas as pd
 
+    # a multi-band tile relation (MosaicResult.tiles) carries one row
+    # per (band, tile): keep band in the group key so bands never mix
+    # silently; single-band inputs without the column get band = 1
+    band_col = F.col("band") if "band" in tiles.columns else F.lit(1)
     joined = tiles.select(
-        "tile_row", "tile_col", F.col("pixels").alias("px_payload")
+        band_col.cast("int").alias("band"),
+        "tile_row", "tile_col", F.col("pixels").alias("px_payload"),
     ).join(
         zone_tiles.select(
             "tile_row", "tile_col", F.col("pixels").alias("zone_payload")
@@ -306,6 +332,7 @@ def zonal_stats(
                 cs = np.r_[0, np.cumsum(v)]
                 for s, e in zip(starts, ends):
                     out.append({
+                        "band": int(r.band),
                         "zone": int(z[s]),
                         "n_px": int(e - s),
                         "val_sum": int(cs[e] - cs[s]),
@@ -313,11 +340,12 @@ def zonal_stats(
                         "val_max": int(v[s:e].max()),
                     })
             yield pd.DataFrame(
-                out, columns=["zone", "n_px", "val_sum", "val_min", "val_max"]
+                out,
+                columns=["band", "zone", "n_px", "val_sum", "val_min", "val_max"],
             )
 
     part = joined.mapInPandas(partials, ZONAL_PARTIAL_SCHEMA)
-    return part.groupBy("zone").agg(
+    return part.groupBy("band", "zone").agg(
         F.sum("n_px").cast("long").alias("n_px"),
         F.sum("val_sum").cast("long").alias("val_sum"),
         F.min("val_min").cast("int").alias("val_min"),
@@ -350,15 +378,16 @@ def _label_tile_runs(arr, nullval):
         return np.empty(0, np.int64), np.empty((0, 4), np.int64), run_of_px
     rows = starts // xs
     c0 = starts % xs
-    # run end: next start/invalid within the row
+    # run length, fully vectorized: valid pixels are contiguous from a
+    # start until the next start / first invalid / row end, so the
+    # count of valid pixels in [start, min(next_start, row_end)) IS
+    # the run length (any invalid gap before the window's end would
+    # have spawned a new start)
     flat_valid = valid.ravel()
-    run_len = np.empty(n_runs, np.int64)
     bounds = np.r_[starts[1:], ys * xs]
-    for i in range(n_runs):                        # O(runs): trim at row end / invalid
-        lim = min(bounds[i], (rows[i] + 1) * xs)
-        seg = flat_valid[starts[i]: lim]
-        stop = np.flatnonzero(~seg)
-        run_len[i] = stop[0] if stop.size else lim - starts[i]
+    lim = np.minimum(bounds, (rows + 1) * xs)
+    cv = np.r_[0, np.cumsum(flat_valid)]
+    run_len = cv[lim] - cv[starts]
     c1 = c0 + run_len                              # exclusive
     vals = arr.ravel()[starts]
 
@@ -424,7 +453,6 @@ def label_regions(
 
     W = int(grid.ncols)
     bs = int(blocksize)
-    n_tc = (W + bs - 1) // bs
 
     def work(batches):
         for pdf in batches:
@@ -441,19 +469,24 @@ def label_regions(
                 if roots.size == 0:
                     continue
                 g0r, g0c = int(t.tile_row) * bs, int(t.tile_col) * bs
-                base = (int(t.tile_row) * n_tc + int(t.tile_col)) * (bs * bs)
-                # per-root partials (aggregate runs by root)
+                # per-root partials (aggregate runs by root); the gid
+                # IS the root's min global pixel index — globally
+                # unique (pixel sets are disjoint) with no per-tile id
+                # arithmetic to overflow on remainder-absorbing edge
+                # tiles, and already the canonical region id, so the
+                # CC's min-cluster-id is directly the final region_id
+                gid_of_root: dict = {}
                 for root in np.unique(roots):
                     m = roots == root
                     rr, rc0, rc1, rv = runs[m, 0], runs[m, 1], runs[m, 2], runs[m, 3]
+                    min_gidx = int(((g0r + rr) * W + g0c + rc0).min())
+                    gid_of_root[int(root)] = min_gidx
                     out.append({
-                        "kind": 0, "gid": base + int(root), "value": int(rv[0]),
+                        "kind": 0, "gid": min_gidx, "value": int(rv[0]),
                         "n_px": int((rc1 - rc0).sum()),
                         "minr": g0r + int(rr.min()), "minc": g0c + int(rc0.min()),
                         "maxr": g0r + int(rr.max()), "maxc": g0c + int(rc1.max()) - 1,
-                        "min_gidx": int(
-                            ((g0r + rr) * W + g0c + rc0).min()
-                        ),
+                        "min_gidx": min_gidx,
                         "grow": 0, "gcol": 0,
                     })
                 # border pixels (4 edges), labeled with their root gid
@@ -478,7 +511,7 @@ def label_regions(
                             continue
                         seen.add(key)
                         out.append({
-                            "kind": 1, "gid": base + int(rt_), "value": int(v_),
+                            "kind": 1, "gid": gid_of_root[int(rt_)], "value": int(v_),
                             "n_px": 0, "minr": 0, "minc": 0, "maxr": 0, "maxc": 0,
                             "min_gidx": 0,
                             "grow": g0r + int(r_), "gcol": g0c + int(c_),

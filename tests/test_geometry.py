@@ -330,3 +330,98 @@ def test_zonal_stats_both_layouts(spark):
         got = {r.zone: (r.n_px, r.val_sum, r.val_min, r.val_max)
                for r in zonal_stats(tiles, ztiles, nullval=0).collect()}
         assert got == want, (schema, got)
+
+
+def test_rasterize_remainder_strip_and_out_of_grid(spark):
+    """The last tile absorbs sub-blocksize remainders: a polygon lying
+    wholly in the absorbed strip must still burn (the raw floor tile id
+    names a nonexistent tile); an out-of-grid polygon must neither
+    crash (descending sequence) nor burn anything."""
+    import numpy as np
+
+    from moamosaic_spark.functions.geometry import rasterize_polygons
+    from moamosaic_spark.plans.grid import OutputGrid, n_blocks
+
+    # 76 cols, bs 64 -> remainder 12 < 16 is absorbed: ONE 76-wide tile
+    grid = OutputGrid(x_min=0.0, y_max=76.0, x_res=1.0, y_res=1.0,
+                      ncols=76, nrows=76, n_bands=1, nullval=0,
+                      dtype="uint16", projection="EPSG:32756")
+    assert n_blocks(76, 64) == 1
+    strip = [{"x": 66.2, "y": 9.8}, {"x": 74.6, "y": 9.8},
+             {"x": 74.6, "y": 2.2}, {"x": 66.2, "y": 2.2}]
+    far = [{"x": -900.0, "y": 40.0}, {"x": -800.0, "y": 40.0},
+           {"x": -850.0, "y": 20.0}]
+    polys = spark.createDataFrame(
+        [(strip, 5, 0), (far, 9, 1)],
+        "poly array<struct<x double, y double>>, value int, priority int")
+    out = rasterize_polygons(spark, polys, grid, 64).collect()
+    assert len(out) == 1 and (out[0].tile_row, out[0].tile_col) == (0, 0)
+    arr = np.array(out[0].pixels).reshape(out[0].ysize, out[0].xsize)
+    assert arr.shape == (76, 76)
+    assert (arr == 5).sum() == 9 * 8      # center cols 66.5..74.5 x rows 2.5..9.5
+    assert (arr == 9).sum() == 0          # out-of-grid polygon burned nothing
+
+
+def test_rasterize_equal_priority_tie_breaks_by_value(spark):
+    """Two overlapping polygons with the SAME priority: the higher
+    value wins deterministically (documented tie-break, mirrored by
+    the oracle's composite arg_max key)."""
+    import numpy as np
+
+    from moamosaic_spark.functions.geometry import rasterize_polygons
+    from moamosaic_spark.plans.grid import OutputGrid
+
+    grid = OutputGrid(x_min=0.0, y_max=20.0, x_res=1.0, y_res=1.0,
+                      ncols=20, nrows=20, n_bands=1, nullval=0,
+                      dtype="uint16", projection="EPSG:32756")
+    sq = [{"x": 2.2, "y": 17.8}, {"x": 12.2, "y": 17.8},
+          {"x": 12.2, "y": 7.8}, {"x": 2.2, "y": 7.8}]
+    sq2 = [{"x": 7.2, "y": 17.8}, {"x": 17.2, "y": 17.8},
+           {"x": 17.2, "y": 7.8}, {"x": 7.2, "y": 7.8}]
+    for order in ([(sq, 4, 1), (sq2, 8, 1)], [(sq2, 8, 1), (sq, 4, 1)]):
+        polys = spark.createDataFrame(
+            order, "poly array<struct<x double, y double>>, value int, priority int")
+        out = rasterize_polygons(spark, polys, grid, 20).collect()[0]
+        arr = np.array(out.pixels).reshape(20, 20)
+        # overlap cols 7.5..11.5 -> value 8 (higher) regardless of order
+        assert set(arr[5, 8:12]) == {8}, arr[5]
+        assert set(arr[5, 3:7]) == {4}
+
+
+def test_label_regions_remainder_tile(spark):
+    """Edge tiles bigger than blocksize (remainder absorption) must not
+    collide region ids: gid is the min global pixel index, so a busy
+    oversized tile labels correctly."""
+    import numpy as np
+
+    from moamosaic_spark.functions.geometry import label_regions
+    from moamosaic_spark.plans.grid import OutputGrid
+
+    W = 76
+    grid = OutputGrid(x_min=0.0, y_max=float(W), x_res=1.0, y_res=1.0,
+                      ncols=W, nrows=W, n_bands=1, nullval=0,
+                      dtype="uint16", projection="EPSG:32756")
+    full = np.zeros((W, W), np.int32)
+    full[::2, :] = 7          # 38 separate single-row stripes
+    rows = [(0, 0, W, W, [int(x) for x in full.ravel()])]
+    tiles = spark.createDataFrame(
+        rows, "tile_row int, tile_col int, ysize int, xsize int, pixels array<int>")
+    got = sorted(r.region_id for r in label_regions(tiles, grid, 64).collect())
+    assert got == [r * W for r in range(0, W, 2)]  # one region per stripe
+
+
+def test_zonal_stats_multiband_no_mixing(spark):
+    """A banded tile relation produces per-(band, zone) rows — bands
+    never silently mix."""
+    from moamosaic_spark.functions.geometry import zonal_stats
+
+    zt = spark.createDataFrame(
+        [(0, 0, 2, 2, [1, 1, 2, 2])],
+        "tile_row int, tile_col int, ysize int, xsize int, pixels array<int>")
+    tiles = spark.createDataFrame(
+        [(1, 0, 0, 2, 2, [10, 20, 30, 40]), (2, 0, 0, 2, 2, [1, 2, 3, 4])],
+        "band int, tile_row int, tile_col int, ysize int, xsize int, pixels array<int>")
+    got = {(r.band, r.zone): (r.n_px, r.val_sum) for r in
+           zonal_stats(tiles, zt, nullval=0).collect()}
+    assert got == {(1, 1): (2, 30), (1, 2): (2, 70),
+                   (2, 1): (2, 3), (2, 2): (2, 7)}
