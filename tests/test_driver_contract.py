@@ -78,3 +78,12 @@ def test_query_matches_oracle(spark, duck, name):
         (a, b) for a, b in zip(s_sorted, d_sorted) if a != b
     ]
     assert not mismatches, f"{name}: first value mismatches: {mismatches[:3]}"
+
+
+def test_every_query_has_an_oracle():
+    """As of round 5 the contract is FULLY gated: every queries() entry
+    has an oracle_sql() twin and vice versa — a new query landing
+    without its oracle (or a stale oracle key) fails here instead of
+    silently downgrading to the driver's rows-only check."""
+    q, o = set(DC.queries()), set(DC.oracle_sql())
+    assert q == o, (sorted(q - o), sorted(o - q))
