@@ -151,6 +151,68 @@ def run_mosaic(spark) -> dict:
     }
 
 
+def run_mosaic_default(spark) -> dict:
+    """The engine's PRIMARY mosaic number: do_mosaic with
+    config.relayout_table set — the production default for any corpus
+    mosaicked more than once. The first call pays the wide shuffle
+    into the bucketed table (reported as build_seconds, amortized);
+    every later call is the zero-Exchange stitch, timed median-of-3.
+    Per-tile md5 equality vs the direct (shuffle-every-run) path is
+    asserted in-leg before any number is reported."""
+    from pyspark.sql import functions as F
+
+    from moamosaic_spark.mosaic import MosaicConfig, do_mosaic
+
+    ensure_corpus(spark)
+    fp = spark.read.parquet(f"{CORPUS_DIR}/footprints")
+    blocks = spark.read.parquet(f"{CORPUS_DIR}/blocks")
+    cfg = MosaicConfig(
+        blocksize=BLOCKSIZE, src_blocksize=SRC_BS, min_overview_size=1024,
+        strategy="cell", cell_size_px=4096,
+        relayout_table="bench_default_relayout", relayout_buckets=128,
+    )
+    t0 = time.time()
+    do_mosaic(spark, fp, blocks, cfg).tiles.count()  # builds the layout
+    build_s = time.time() - t0
+
+    runs, tiles, px = [], 0, 0
+    for _ in range(3):
+        t0 = time.time()
+        row = do_mosaic(spark, fp, blocks, cfg).tiles.agg(
+            F.count("*").alias("tiles"), F.sum("px_count").alias("px")
+        ).collect()[0]
+        runs.append(time.time() - t0)
+        tiles, px = int(row["tiles"]), int(row["px"])
+    runs.sort()
+    sec = runs[1]
+
+    key = ["band", "tile_row", "tile_col"]
+    direct_cfg = MosaicConfig(
+        blocksize=BLOCKSIZE, src_blocksize=SRC_BS, min_overview_size=1024,
+        strategy="cell", cell_size_px=4096,
+    )
+    d = do_mosaic(spark, fp, blocks, direct_cfg).tiles.select(
+        *key, F.md5(F.col("pixels")).alias("h")
+    )
+    r = do_mosaic(spark, fp, blocks, cfg).tiles.select(
+        *key, F.md5(F.col("pixels")).alias("h")
+    )
+    bad = d.unionAll(r).groupBy(*key, "h").count().where(F.col("count") != 2).count()
+    if bad:
+        raise AssertionError(f"relayout-backed != direct on {bad} tile payloads")
+    return {
+        "mode": "relayout-auto (do_mosaic default with relayout_table)",
+        "seconds": sec,
+        "runs_seconds": [round(t, 3) for t in runs],
+        "build_seconds": round(build_s, 3),
+        "tiles": tiles,
+        "valid_px": px,
+        "tiles_per_sec": round(tiles / sec, 3),
+        "px_per_sec": round(px / sec, 1),
+        "equal_to_direct": True,
+    }
+
+
 def run_mosaic_relayout(spark) -> dict:
     """The zero-Exchange storage path, build + stitch split out.
 
@@ -552,6 +614,9 @@ def child_main(mode: str, cores: int) -> None:
         if mode == "mosaic":
             warmup(spark)
             print("RESULT:" + json.dumps(run_mosaic_median(spark)))
+        elif mode == "mosaicdefault":
+            warmup(spark)
+            print("RESULT:" + json.dumps(run_mosaic_default(spark)))
         elif mode == "relayout":
             warmup(spark)
             print("RESULT:" + json.dumps(run_mosaic_relayout(spark)))
@@ -607,6 +672,7 @@ def main() -> None:
     sf = SF_DIR.rstrip("/").split("sf")[-1]
     head = spawn("headline", CPUS)
     rel = spawn("relayout", CPUS)
+    primary = spawn("mosaicdefault", CPUS)
 
     # 4 vs 16 cores: a true 4x while keeping JVM task threads + Python
     # kernel workers within the machine's 32 hardware threads at the
@@ -649,7 +715,12 @@ def main() -> None:
             "mosaic_pipeline_relayout_stitch": rel["stitch_seconds"],
         },
         "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
-        "mosaic": head["mosaic"],
+        # PRIMARY mosaic number: the relayout-backed default path (the
+        # repeated-run cost a production user pays; build amortized and
+        # reported inside). The shuffle-every-run wall-clock is kept as
+        # mosaic_direct for the host-state retime record.
+        "mosaic": primary,
+        "mosaic_direct": head["mosaic"],
         "mosaic_relayout": rel,
         "dedup_clusters_scale": spawn("ccscale", CPUS),
         "scaling": {

@@ -232,7 +232,16 @@ def rasterize_polygons(
         rect_intersects_polygon(tx_lo, ty_lo, tx_hi, ty_hi, F.col("_poly"))
     )
 
-    x_res, y_res = float(grid.x_res), float(grid.y_res)
+    burn = make_burn_fn(x_min, y_max, float(grid.x_res), float(grid.y_res))
+    return cand.groupBy("tile_row", "tile_col").applyInPandas(burn, RASTERIZE_SCHEMA)
+
+
+def make_burn_fn(x_min: float, y_max: float, x_res: float, y_res: float):
+    """The per-(tile, polygons) burn kernel of ``rasterize_polygons``,
+    exposed at module level so the span-scaling microbench can drive it
+    on in-memory groups without a Spark plan around it."""
+    import numpy as np
+    import pandas as pd
 
     def burn(pdf: pd.DataFrame) -> pd.DataFrame:
         top, left = int(pdf["top"].iloc[0]), int(pdf["left"].iloc[0])
@@ -256,11 +265,16 @@ def rasterize_polygons(
                 ax, ay = vx[i], vy[i]
                 bx, by = vx[(i + 1) % vx.size], vy[(i + 1) % vy.size]
                 crosses = (ay > py) != (by > py)          # (ysz,)
-                if not crosses.any():
+                # touch only the rows this edge's y-span crosses: the
+                # update is O(span x xsz), not O(tile area) — a
+                # 10k-vertex polygon costs sum-of-spans, not 10k full
+                # tile passes (py descends, so the span is contiguous,
+                # but nonzero() needs no such assumption)
+                rows_hit = np.nonzero(crosses)[0]
+                if rows_hit.size == 0:
                     continue
-                with np.errstate(all="ignore"):
-                    xi = ax + (py - ay) * (bx - ax) / (by - ay)
-                cnt += crosses[:, None] & (px[None, :] < xi[:, None])
+                xi = ax + (py[rows_hit] - ay) * (bx - ax) / (by - ay)
+                cnt[rows_hit] += px[None, :] < xi[:, None]
             canvas[cnt % 2 == 1] = int(r["_value"])
         return pd.DataFrame([{
             "tile_row": int(pdf["tile_row"].iloc[0]),
@@ -269,7 +283,7 @@ def rasterize_polygons(
             "pixels": canvas.ravel(),
         }])
 
-    return cand.groupBy("tile_row", "tile_col").applyInPandas(burn, RASTERIZE_SCHEMA)
+    return burn
 
 
 ZONAL_PARTIAL_SCHEMA = (
@@ -424,6 +438,87 @@ def _label_tile_runs(arr, nullval):
     return roots, runs, run_of_px
 
 
+def make_label_work_fn(W: int, bs: int, nullval: int):
+    """The per-tile labeling kernel of ``label_regions`` (run-based
+    union-find partials + O(perimeter) border rows), exposed at module
+    level so the perimeter-scaling microbench can drive it on in-memory
+    batches without a Spark plan around it."""
+    import numpy as np
+    import pandas as pd
+
+    def work(batches):
+        for pdf in batches:
+            out = []
+            border_frames = []
+            for t in pdf.itertuples(index=False):
+                px = (
+                    np.frombuffer(bytes(t.pixels), "<u2").astype(np.int32)
+                    if isinstance(t.pixels, (bytes, bytearray))
+                    else np.asarray(t.pixels, dtype=np.int32)
+                )
+                ysz, xsz = int(t.ysize), int(t.xsize)
+                arr = px.reshape(ysz, xsz)
+                roots, runs, run_of_px = _label_tile_runs(arr, nullval)
+                if roots.size == 0:
+                    continue
+                g0r, g0c = int(t.tile_row) * bs, int(t.tile_col) * bs
+                # per-root partials (aggregate runs by root); the gid
+                # IS the root's min global pixel index — globally
+                # unique (pixel sets are disjoint) with no per-tile id
+                # arithmetic to overflow on remainder-absorbing edge
+                # tiles, and already the canonical region id, so the
+                # CC's min-cluster-id is directly the final region_id
+                gid_of_root = np.zeros(roots.size, dtype=np.int64)
+                for root in np.unique(roots):
+                    m = roots == root
+                    rr, rc0, rc1, rv = runs[m, 0], runs[m, 1], runs[m, 2], runs[m, 3]
+                    min_gidx = int(((g0r + rr) * W + g0c + rc0).min())
+                    gid_of_root[int(root)] = min_gidx
+                    out.append({
+                        "kind": 0, "gid": min_gidx, "value": int(rv[0]),
+                        "n_px": int((rc1 - rc0).sum()),
+                        "minr": g0r + int(rr.min()), "minc": g0c + int(rc0.min()),
+                        "maxr": g0r + int(rr.max()), "maxc": g0c + int(rc1.max()) - 1,
+                        "min_gidx": min_gidx,
+                        "grow": 0, "gcol": 0,
+                    })
+                # border pixels (4 edges), labeled with their root gid —
+                # fully array-shaped: np.unique on flat indices dedups
+                # corners, the gid lookup is one fancy index, and the
+                # rows land as ONE DataFrame, so the kernel does no
+                # per-pixel Python work anywhere (O(perimeter) arrays)
+                bflat = np.unique(np.concatenate([
+                    np.arange(xsz, dtype=np.int64),                    # top row
+                    (ysz - 1) * xsz + np.arange(xsz, dtype=np.int64),  # bottom
+                    np.arange(ysz, dtype=np.int64) * xsz,              # left col
+                    np.arange(ysz, dtype=np.int64) * xsz + xsz - 1,    # right
+                ]))
+                bval = arr.ravel()[bflat]
+                keep = bval != nullval
+                bflat, bval = bflat[keep], bval[keep]
+                if bflat.size:
+                    bgid = gid_of_root[roots[run_of_px[bflat]]]
+                    z = np.zeros(bflat.size, dtype=np.int64)
+                    border_frames.append(pd.DataFrame({
+                        "kind": np.ones(bflat.size, dtype=np.int64),
+                        "gid": bgid,
+                        "value": bval.astype(np.int64),
+                        "n_px": z, "minr": z, "minc": z, "maxr": z,
+                        "maxc": z, "min_gidx": z,
+                        "grow": g0r + bflat // xsz,
+                        "gcol": g0c + bflat % xsz,
+                    }))
+            cols = [
+                "kind", "gid", "value", "n_px", "minr", "minc", "maxr", "maxc",
+                "min_gidx", "grow", "gcol",
+            ]
+            frames = [pd.DataFrame(out, columns=cols)] + border_frames
+            yield pd.concat(frames, ignore_index=True) if border_frames else frames[0]
+
+
+    return work
+
+
 def label_regions(
     tiles: DataFrame,
     grid,
@@ -446,80 +541,9 @@ def label_regions(
     max_col) with ``region_id`` = the region's minimum global pixel
     index (row * grid_ncols + col) — canonical across any tiling.
     """
-    import numpy as np
-    import pandas as pd
-
     from .dedup import connected_components
 
-    W = int(grid.ncols)
-    bs = int(blocksize)
-
-    def work(batches):
-        for pdf in batches:
-            out = []
-            for t in pdf.itertuples(index=False):
-                px = (
-                    np.frombuffer(bytes(t.pixels), "<u2").astype(np.int32)
-                    if isinstance(t.pixels, (bytes, bytearray))
-                    else np.asarray(t.pixels, dtype=np.int32)
-                )
-                ysz, xsz = int(t.ysize), int(t.xsize)
-                arr = px.reshape(ysz, xsz)
-                roots, runs, run_of_px = _label_tile_runs(arr, nullval)
-                if roots.size == 0:
-                    continue
-                g0r, g0c = int(t.tile_row) * bs, int(t.tile_col) * bs
-                # per-root partials (aggregate runs by root); the gid
-                # IS the root's min global pixel index — globally
-                # unique (pixel sets are disjoint) with no per-tile id
-                # arithmetic to overflow on remainder-absorbing edge
-                # tiles, and already the canonical region id, so the
-                # CC's min-cluster-id is directly the final region_id
-                gid_of_root: dict = {}
-                for root in np.unique(roots):
-                    m = roots == root
-                    rr, rc0, rc1, rv = runs[m, 0], runs[m, 1], runs[m, 2], runs[m, 3]
-                    min_gidx = int(((g0r + rr) * W + g0c + rc0).min())
-                    gid_of_root[int(root)] = min_gidx
-                    out.append({
-                        "kind": 0, "gid": min_gidx, "value": int(rv[0]),
-                        "n_px": int((rc1 - rc0).sum()),
-                        "minr": g0r + int(rr.min()), "minc": g0c + int(rc0.min()),
-                        "maxr": g0r + int(rr.max()), "maxc": g0c + int(rc1.max()) - 1,
-                        "min_gidx": min_gidx,
-                        "grow": 0, "gcol": 0,
-                    })
-                # border pixels (4 edges), labeled with their root gid
-                edges_px = []
-                for rr_, cc_ in (
-                    (np.zeros(xsz, np.int64), np.arange(xsz)),
-                    (np.full(xsz, ysz - 1, np.int64), np.arange(xsz)),
-                    (np.arange(ysz), np.zeros(ysz, np.int64)),
-                    (np.arange(ysz), np.full(ysz, xsz - 1, np.int64)),
-                ):
-                    v = arr[rr_, cc_]
-                    keep = v != nullval
-                    if keep.any():
-                        edges_px.append((rr_[keep], cc_[keep], v[keep]))
-                seen = set()
-                for rr_, cc_, v in edges_px:
-                    flat = rr_ * xsz + cc_
-                    rt = roots[run_of_px[flat]]
-                    for r_, c_, v_, rt_ in zip(rr_, cc_, v, rt):
-                        key = (int(r_), int(c_))
-                        if key in seen:
-                            continue
-                        seen.add(key)
-                        out.append({
-                            "kind": 1, "gid": gid_of_root[int(rt_)], "value": int(v_),
-                            "n_px": 0, "minr": 0, "minc": 0, "maxr": 0, "maxc": 0,
-                            "min_gidx": 0,
-                            "grow": g0r + int(r_), "gcol": g0c + int(c_),
-                        })
-            yield pd.DataFrame(out, columns=[
-                "kind", "gid", "value", "n_px", "minr", "minc", "maxr", "maxc",
-                "min_gidx", "grow", "gcol",
-            ])
+    work = make_label_work_fn(int(grid.ncols), int(blocksize), nullval)
 
     w = tiles.select(
         "tile_row", "tile_col", "ysize", "xsize", "pixels"

@@ -66,6 +66,16 @@ class MosaicConfig:
     # the mosaic. Size it so one partition is a bounded rewrite at the
     # target tile count (an Iceberg MERGE sink removes the trade-off).
     sink_parts: int = 16
+    # storage-side relayout routing (sources/relayout.py): when set,
+    # do_mosaic stitches off this bucketed work table whenever it holds
+    # EXACTLY this corpus (footprint fingerprint + geometry match, see
+    # mosaic_via_relayout) — the repeated-run path with zero stitch
+    # Exchange. Absent/stale table: it is (re)built first, which makes
+    # that do_mosaic call eager (one write action). stitch_salt > 1 or
+    # an explicit grid that mismatches the table fall back to the
+    # direct path silently — results are identical either way.
+    relayout_table: str | None = None
+    relayout_buckets: int = 128
 
 
 @dataclass
@@ -320,6 +330,20 @@ def do_mosaic(
         validate_projections(footprints)
     if config.check_blocks:
         validate_blocks(footprints, blocks)
+
+    if config.relayout_table is not None and config.stitch_salt == 1:
+        # storage-side fast path: stitch off the bucketed relayout when
+        # the table carries exactly this corpus; (re)build it when not.
+        # Returns None only when routing cannot apply (explicit grid
+        # mismatch) — then the direct dataflow below runs as usual.
+        from .sources.relayout import mosaic_via_relayout
+
+        res = mosaic_via_relayout(
+            spark, footprints, blocks, config,
+            grid=grid, tile_row_range=tile_row_range, tile_keys=tile_keys,
+        )
+        if res is not None:
+            return res
 
     if grid is None:
         grid = make_output_grid(footprints, config.nullval)

@@ -29,6 +29,24 @@ from ..plans.spatial_join import assign_inputs
 from ..schema import STITCH_SCHEMA
 
 
+def footprints_fingerprint(footprints: DataFrame) -> str:
+    """Order-independent fingerprint of a footprint catalog: row count
+    plus the sum of a per-row md5 prefix over every geometry- and
+    priority-bearing column. One tiny aggregate over the dim table;
+    lets do_mosaic prove a relayout table holds EXACTLY the corpus it
+    was asked to mosaic before trusting the stored layout."""
+    cols = [
+        "media_ref", "priority", "x0", "y0", "x_res", "y_res",
+        "ncols", "nrows", "n_bands", "dtype", "nullval", "projection",
+    ]
+    h = F.md5(F.concat_ws("|", *[F.col(c).cast("string") for c in cols]))
+    row = footprints.agg(
+        F.count("*").alias("n"),
+        F.sum(F.conv(F.substring(h, 1, 14), 16, 10).cast("decimal(38,0)")).alias("s"),
+    ).collect()[0]
+    return f"{row['n']}:{row['s']}"
+
+
 def relayout_to_table(
     spark: SparkSession,
     footprints: DataFrame,
@@ -41,6 +59,7 @@ def relayout_to_table(
     (pays the wide shuffle once). Also stores the output grid + config
     in ``<table>_meta`` so later stitches reconstruct the exact plan."""
     config = config or MosaicConfig()
+    fingerprint = footprints_fingerprint(footprints)
     from ..session import ensure_workers_can_import
 
     ensure_workers_can_import(spark)
@@ -63,13 +82,13 @@ def relayout_to_table(
         .sortBy("band", "tile_row", "tile_col")
         .saveAsTable(table)
     )
-    _write_meta(spark, table, grid, config, n_buckets)
+    _write_meta(spark, table, grid, config, n_buckets, fingerprint)
     return grid
 
 
 def _write_meta(
     spark: SparkSession, table: str, grid: OutputGrid, config: MosaicConfig,
-    n_buckets: int,
+    n_buckets: int, fingerprint: str | None = None,
 ) -> None:
     meta = dict(
         x_min=grid.x_min, y_max=grid.y_max, x_res=grid.x_res, y_res=grid.y_res,
@@ -77,6 +96,7 @@ def _write_meta(
         nullval=grid.nullval, dtype=grid.dtype, projection=grid.projection,
         blocksize=config.blocksize, min_overview_size=config.min_overview_size,
         n_buckets=n_buckets, src_blocksize=config.src_blocksize,
+        fingerprint=fingerprint,
     )
     spark.createDataFrame([(json.dumps(meta),)], "meta string").write.mode(
         "overwrite"
@@ -238,6 +258,74 @@ def _drop_stale_location(spark: SparkSession, table: str) -> None:
 
 def _load_meta(spark: SparkSession, table: str) -> dict:
     return json.loads(spark.table(f"{table}_meta").collect()[0].meta)
+
+
+def _table_accessible(spark: SparkSession, table: str) -> bool:
+    """True when ``table`` (and its meta) can be read — either already
+    registered, or re-registered here over files that survived a
+    session restart (same recovery path as ensure_relayout_table)."""
+    import os
+
+    if spark.catalog.tableExists(table) and spark.catalog.tableExists(f"{table}_meta"):
+        return True
+    loc = _table_location(spark, table)
+    if loc is not None and os.path.isdir(loc) and os.listdir(loc):
+        try:
+            _reregister_relayout(spark, table, loc)
+            return True
+        except Exception:
+            return False
+    return False
+
+
+def _grid_from_meta(m: dict) -> OutputGrid:
+    return OutputGrid(
+        x_min=m["x_min"], y_max=m["y_max"], x_res=m["x_res"], y_res=m["y_res"],
+        ncols=m["ncols"], nrows=m["nrows"], n_bands=m["n_bands"],
+        nullval=m["nullval"], dtype=m["dtype"], projection=m["projection"],
+    )
+
+
+def mosaic_via_relayout(
+    spark: SparkSession,
+    footprints: DataFrame,
+    blocks: DataFrame,
+    config: MosaicConfig,
+    grid: OutputGrid | None = None,
+    tile_row_range: tuple[int, int] | None = None,
+    tile_keys: DataFrame | None = None,
+) -> MosaicResult | None:
+    """do_mosaic's storage-side routing (config.relayout_table).
+
+    Stitches off the bucketed table when it provably holds this exact
+    corpus (footprint fingerprint + tiling geometry match); (re)builds
+    the table first when it is absent or stale — that one call is
+    eager, every later call is the zero-Exchange repeated-run path.
+    Returns None when routing cannot apply (caller pinned an explicit
+    grid the table was not built for — the direct dataflow handles it;
+    an auto-build would derive its own grid and silently diverge)."""
+    table = config.relayout_table
+    fp = footprints_fingerprint(footprints)
+    usable = False
+    if _table_accessible(spark, table):
+        m = _load_meta(spark, table)
+        usable = (
+            m.get("fingerprint") == fp
+            and int(m["blocksize"]) == config.blocksize
+            and int(m.get("src_blocksize", 256)) == config.src_blocksize
+            and int(m["min_overview_size"]) == config.min_overview_size
+            and (grid is None or _grid_from_meta(m) == grid)
+        )
+    if not usable:
+        if grid is not None:
+            return None
+        relayout_to_table(
+            spark, footprints, blocks, table, config,
+            n_buckets=config.relayout_buckets,
+        )
+    return stitch_from_relayout(
+        spark, table, config, tile_row_range=tile_row_range, tile_keys=tile_keys
+    )
 
 
 def stitch_from_relayout(

@@ -425,3 +425,90 @@ def test_zonal_stats_multiband_no_mixing(spark):
            zonal_stats(tiles, zt, nullval=0).collect()}
     assert got == {(1, 1): (2, 30), (1, 2): (2, 70),
                    (2, 1): (2, 3), (2, 2): (2, 7)}
+
+
+def _median_time(fn, n=5):
+    import time as _t
+
+    ts = []
+    for _ in range(n):
+        t0 = _t.time()
+        fn()
+        ts.append(_t.time() - t0)
+    ts.sort()
+    return ts[n // 2]
+
+
+def test_burn_kernel_scales_with_edge_span_not_tile_area():
+    """The rasterize burn touches only the rows each edge's y-span
+    crosses: two polygons with IDENTICAL vertex counts on the same
+    1024^2 tile, one spanning ~8 rows and one ~1000, must cost
+    proportionally — a full-tile-pass-per-edge kernel times equal."""
+    import numpy as np
+    import pandas as pd
+
+    from moamosaic_spark.functions.geometry import make_burn_fn
+
+    burn = make_burn_fn(0.0, 1024.0, 1.0, 1.0)
+
+    def zigzag_poly(y_lo, y_hi, n=120):
+        xs = np.linspace(5.0, 1019.0, n)
+        pts = [
+            {"x": float(x), "y": float(y_lo if i % 2 else y_hi)}
+            for i, x in enumerate(xs)
+        ]
+        pts += [{"x": 1019.0, "y": float(y_hi) + 2.0},
+                {"x": 5.0, "y": float(y_hi) + 2.0}]
+        return pts
+
+    def group(poly):
+        return pd.DataFrame([{
+            "tile_row": 0, "tile_col": 0, "top": 0, "left": 0,
+            "ysize": 1024, "xsize": 1024,
+            "_prio": 0, "_value": 7, "_poly": poly,
+        }])
+
+    thin = group(zigzag_poly(1012.0, 1020.0))   # ~8-row spans
+    tall = group(zigzag_poly(20.0, 1020.0))     # ~1000-row spans
+    burn(thin), burn(tall)  # warm
+    t_thin = _median_time(lambda: burn(thin))
+    t_tall = _median_time(lambda: burn(tall))
+    # work ratio is ~125x; 3x is a throttle-proof margin
+    assert t_thin < t_tall / 3, (t_thin, t_tall)
+    # and the thin burn still burns the right pixels
+    out = burn(thin)
+    canvas = np.asarray(out["pixels"].iloc[0]).reshape(1024, 1024)
+    assert (canvas == 7).sum() > 0 and canvas[0, 0] == 0
+
+
+def test_label_border_emission_scales_with_perimeter():
+    """Border-row emission is array-shaped: two single-region tiles of
+    EQUAL area, one 512x512 (perimeter ~2k) and one 8x32768
+    (perimeter ~65k), must run within a small factor of each other —
+    a per-border-pixel Python loop makes the thin tile ~30x slower."""
+    import numpy as np
+    import pandas as pd
+
+    from moamosaic_spark.functions.geometry import make_label_work_fn
+
+    work = make_label_work_fn(100000, 512, 0)
+
+    def tile(ysz, xsz):
+        return pd.DataFrame([{
+            "tile_row": 0, "tile_col": 0, "ysize": ysz, "xsize": xsz,
+            "pixels": np.ones(ysz * xsz, dtype=np.int32),
+        }])
+
+    square, thin = tile(512, 512), tile(8, 32768)
+
+    def run(pdf):
+        return list(work(iter([pdf])))[0]
+
+    run(square), run(thin)  # warm
+    t_sq = _median_time(lambda: run(square))
+    t_thin = _median_time(lambda: run(thin))
+    assert t_thin < 6 * max(t_sq, 1e-4), (t_thin, t_sq)
+    # row counts: 1 partial + perimeter border rows, corners deduped
+    out = run(thin)
+    assert (out["kind"] == 0).sum() == 1
+    assert (out["kind"] == 1).sum() == 2 * 32768 + 2 * 8 - 4
