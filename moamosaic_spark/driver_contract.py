@@ -1088,15 +1088,16 @@ KNN_R = 3 * R_STRIDE * RES  # candidate radius (m) — ≥ k sources inside
 
 def q_tile_knn_sources(spark: SparkSession, sf_dir: str) -> DataFrame:
     """North-star kNN: for every output tile, the KNN_K nearest source
-    rasters by footprint-center distance. This query uses the
-    bounded-radius BROADCAST candidate join (|dx|,|dy| <= KNN_R) —
-    right for a dim-table footprint side. The at-scale form is
-    functions/knn.knn_join: cell-keyed equi-join with ring widening,
-    exact top-k with no broadcast and no silent under-fill; its
-    equality with this query is asserted in tests/test_knn.py. Ties
-    (the derived corpus is a symmetric grid, so distances DO tie)
-    break deterministically by priority."""
-    from pyspark.sql import Window
+    rasters by footprint-center distance — routed through the AT-SCALE
+    form, functions/knn.knn_join (cell-keyed equi-join with ring
+    widening, auto cell size, exact top-k, no broadcast of the full
+    candidate cross-range), so the plan the oracle gates every round is
+    the plan a 100 TB run uses. The hash-join shape is asserted inside
+    the query path: any BroadcastNestedLoopJoin / CartesianProduct in
+    the final plan raises before a row is returned. Ties (the derived
+    corpus is a symmetric grid, so distances DO tie) break
+    deterministically by priority."""
+    from .functions.knn import knn_join
 
     res = _mosaic_result_cached(sf_dir, spark)
     from .plans.grid import make_tile_relation
@@ -1112,22 +1113,20 @@ def q_tile_knn_sources(spark: SparkSession, sf_dir: str) -> DataFrame:
         (F.col("x0") + R_SIZE * RES / 2.0).alias("cx"),
         (F.col("y0") - R_SIZE * RES / 2.0).alias("cy"),
     )
-    cand = tiles.join(
-        F.broadcast(fp),
-        (F.abs(F.col("tx") - F.col("cx")) <= KNN_R)
-        & (F.abs(F.col("ty") - F.col("cy")) <= KNN_R),
+    out = knn_join(
+        tiles, fp, KNN_K,
+        left_keys=["tile_row", "tile_col"],
+        lx="tx", ly="ty", rx="cx", ry="cy",
+        right_cols=["media_ref"],
+        tiebreak=["priority"],
     )
-    d2 = (F.col("tx") - F.col("cx")) ** 2 + (F.col("ty") - F.col("cy")) ** 2
-    w = Window.partitionBy("tile_row", "tile_col").orderBy(
-        d2.asc(), F.col("priority").asc()
-    )
-    return (
-        cand.withColumn("k", F.row_number().over(w))
-        .where(F.col("k") <= KNN_K)
-        .select(
-            "tile_row", "tile_col", F.col("k").cast("int").alias("k"),
-            "media_ref", F.round(d2, 4).alias("d2"),
-        )
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    for bad in ("BroadcastNestedLoopJoin", "CartesianProduct"):
+        if bad in plan:
+            raise AssertionError(f"tile-kNN plan degraded to {bad}")
+    return out.select(
+        "tile_row", "tile_col", F.col("knn_rank").cast("int").alias("k"),
+        "media_ref", F.round("d2", 4).alias("d2"),
     )
 
 
