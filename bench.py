@@ -470,6 +470,65 @@ def run_cc_scale(spark) -> dict:
     max_comp = max(CHL, SS)
     if stats["iterations"] > math.ceil(math.log2(max_comp)) ** 2:
         raise AssertionError(f"cc rounds {stats['iterations']} above O(log^2 n) bound")
+
+    # skewed-star variant: ONE 10^5-degree hub — the shape that breaks
+    # CC implementations which materialize a component's membership on
+    # one row or reduce a hub's neighborhood in one task. Star
+    # contraction's groupBy-min over the hub is a map-side-combinable
+    # aggregate, so this must finish in O(1) rounds with all labels
+    # exact.
+    HUB_N = 100_000
+    hub_base = 50_000_000
+    skew_edges = spark.range(1, HUB_N + 1).select(
+        F.lit(hub_base).alias("doc_a"), (hub_base + F.col("id")).alias("doc_b")
+    ).repartition(max(CPUS, 8)).localCheckpoint(eager=True)
+    skew_stats: dict = {}
+    t0 = time.time()
+    skew_cc = connected_components(skew_edges, stats=skew_stats)
+    srow = skew_cc.agg(
+        F.count("*").alias("n"),
+        F.sum((F.col("cluster_id") != hub_base).cast("long")).alias("bad"),
+    ).collect()[0]
+    skew_dt = time.time() - t0
+    if srow["bad"] or srow["n"] != HUB_N + 1:
+        raise AssertionError(f"cc skew: {srow['bad']} wrong labels, n={srow['n']}")
+
+    # wide variant: same worst-case chain diameter, ~9x the nodes —
+    # round count is set by log(max component), so per-round driver
+    # latency (the 104k leg's bound) amortizes and nodes/s reflects
+    # per-round O(|E|) throughput, the quantity that matters at 10^9
+    # nodes. Ground truth stays id-derivable; every label asserted.
+    BN, BS_ = 8, 100_000
+    bbase = 100_000_000
+    big_stars = spark.range(BN * BS_).where((F.col("id") % BS_) != 0).select(
+        (bbase + F.floor(F.col("id") / BS_) * BS_).alias("doc_a"),
+        (bbase + F.col("id")).alias("doc_b"),
+    )
+    wide_edges = (
+        chains.unionByName(stars).unionByName(big_stars)
+        .repartition(max(CPUS, 8)).localCheckpoint(eager=True)
+    )
+    wide_stats: dict = {}
+    t0 = time.time()
+    wcc = connected_components(wide_edges, stats=wide_stats)
+    wexpected = (
+        F.when(F.col("doc_id") >= bbase,
+               bbase + F.floor((F.col("doc_id") - bbase) / BS_) * BS_)
+        .when(F.col("doc_id") >= base,
+              base + F.floor((F.col("doc_id") - base) / SS) * SS)
+        .otherwise(F.floor(F.col("doc_id") / CHL) * CHL)
+    )
+    wrow = wcc.agg(
+        F.count("*").alias("n"),
+        F.sum((F.col("cluster_id") != wexpected).cast("long")).alias("bad"),
+    ).collect()[0]
+    wide_dt = time.time() - t0
+    wide_nodes = n_nodes + BN * BS_
+    if wrow["bad"] or wrow["n"] != wide_nodes:
+        raise AssertionError(f"cc wide: {wrow['bad']} wrong labels, n={wrow['n']}")
+    if wide_stats["iterations"] > math.ceil(math.log2(BS_)) ** 2:
+        raise AssertionError(f"cc wide rounds {wide_stats['iterations']} above bound")
+
     return {
         "seconds": round(dt, 3),
         "nodes": n_nodes,
@@ -478,6 +537,22 @@ def run_cc_scale(spark) -> dict:
         "log2_bound": math.ceil(math.log2(max_comp)) ** 2,
         "nodes_per_sec": round(n_nodes / dt, 1),
         "all_labels_correct": True,
+        "skew_hub": {
+            "seconds": round(skew_dt, 3),
+            "nodes": HUB_N + 1,
+            "hub_degree": HUB_N,
+            "iterations": skew_stats["iterations"],
+            "nodes_per_sec": round((HUB_N + 1) / skew_dt, 1),
+            "all_labels_correct": True,
+        },
+        "wide": {
+            "seconds": round(wide_dt, 3),
+            "nodes": wide_nodes,
+            "edges": CH * (CHL - 1) + NS * (SS - 1) + BN * (BS_ - 1),
+            "iterations": wide_stats["iterations"],
+            "nodes_per_sec": round(wide_nodes / wide_dt, 1),
+            "all_labels_correct": True,
+        },
     }
 
 

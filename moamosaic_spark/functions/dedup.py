@@ -242,12 +242,15 @@ def _cc_large_star(e: DataFrame) -> DataFrame:
     sym = e.unionByName(e.select(F.col("v").alias("u"), F.col("u").alias("v")))
     mins = sym.groupBy("u").agg(F.min("v").alias("m"))
     mins = mins.select("u", F.least("u", "m").alias("m"))
+    # no distinct here: duplicate (v, m) rows (bounded by deg(v)) are
+    # collapsed by the downstream small-star's map-side-combining
+    # groupBy-min and its final distinct — dropping the exchange saves
+    # one shuffle per alternation in the round-latency-bound regime
     return (
         sym.join(mins, on="u")
         .where(F.col("v") > F.col("u"))
         .select(F.col("v").alias("u"), F.col("m").alias("v"))
         .where(F.col("u") != F.col("v"))
-        .distinct()
     )
 
 
@@ -302,24 +305,56 @@ def connected_components(
         .distinct()
         .localCheckpoint(eager=True)
     )
-    n_iter = 0
-    for _ in range(max_iterations):
-        e2 = _cc_small_star(_cc_large_star(e)).localCheckpoint(eager=True)
-        n_iter += 1
-        # single symmetric-difference action (both sides are distinct,
-        # so a (u, v) appearing once is in exactly one side) — one
-        # driver job per round instead of two anti-join probes
-        unchanged = (
-            e2.unionByName(e)
+
+    def _sig(df: DataFrame):
+        # order-independent set signature over a checkpointed edge set:
+        # one narrow scan + partial agg, no shuffle of the edges — the
+        # per-round convergence PROBE. A matching signature is only a
+        # candidate: the exact symmetric-difference check below confirms
+        # before the loop exits, so a (astronomically unlikely) hash
+        # collision costs one extra round, never a wrong answer.
+        r = df.agg(
+            F.count("*").alias("n"),
+            # decimal accumulator: a long sum of 64-bit hashes overflows
+            # under ANSI mode
+            F.sum(F.xxhash64("u", "v").cast("decimal(38,0)")).alias("h"),
+        ).collect()[0]
+        return (r["n"], r["h"])
+
+    def _set_equal(a: DataFrame, b: DataFrame) -> bool:
+        # exact: both sides distinct, so symmetric difference is empty
+        # iff every (u, v) appears exactly twice in the union
+        return (
+            a.unionByName(b)
             .groupBy("u", "v")
             .agg(F.count("*").alias("_n"))
             .where(F.col("_n") != 2)
             .isEmpty()
         )
-        e = e2
-        if unchanged:
+
+    # TWO star alternations fused into each checkpointed round: the
+    # star operators are idempotent at the fixpoint, so overshooting
+    # by one alternation is harmless, and halving the checkpoint +
+    # convergence-probe count halves the driver-round latency that
+    # dominates when components are small relative to the cluster
+    # (the dedup_clusters_scale leg is round-latency-bound).
+    sig = _sig(e)
+    n_iter = 0
+    converged = False
+    while n_iter < max_iterations:
+        e2 = _cc_small_star(_cc_large_star(e))
+        n_iter += 1
+        if n_iter < max_iterations:
+            e2 = _cc_small_star(_cc_large_star(e2))
+            n_iter += 1
+        e2 = e2.localCheckpoint(eager=True)
+        sig2 = _sig(e2)
+        if sig2 == sig and _set_equal(e, e2):
+            e = e2
+            converged = True
             break
-    else:
+        e, sig = e2, sig2
+    if not converged:
         raise RuntimeError(
             f"connected_components did not converge in {max_iterations} rounds"
         )

@@ -205,7 +205,10 @@ def test_connected_components_path_graph_log_rounds(spark):
     cc = {r.doc_id: r.cluster_id
           for r in D.connected_components(edges, stats=stats).collect()}
     assert cc == {i: 0 for i in range(64)}
-    assert stats["iterations"] <= 7, stats  # ~log2(64) + slack, never ~64
+    # ~log2(64), plus batched-alternation granularity (rounds run in
+    # fused pairs, so detection can overshoot the fixpoint by up to 3
+    # alternations) — still never ~64
+    assert stats["iterations"] <= 10, stats
 
 
 def test_connected_components_multi_component_and_types(spark):
