@@ -859,18 +859,6 @@ def q_polygon_raster_checksums(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-def _fixture_polys_values() -> str:
-    """The rasterize fixture rendered as DuckDB VALUES rows — the ONE
-    rendering every polygon oracle shares."""
-    rows = []
-    for verts, value, prio in _rasterize_fixture():
-        vlist = ", ".join(
-            f"struct_pack(x := {v['x']!r}, y := {v['y']!r})" for v in verts
-        )
-        rows.append(f"([{vlist}], {value}, {prio})")
-    return ",\n  ".join(rows)
-
-
 def _crossing_sql(poly: str = "o.poly", p: str = "p") -> str:
     """The half-open even-odd crossing conjunct — character-identical
     across every polygon oracle (the rule the engine's
@@ -890,17 +878,28 @@ _BURN_KEY = "o.priority * 4294967296 + o.value"
 
 
 def _fixture_polys_df(spark: SparkSession) -> DataFrame:
-    return spark.createDataFrame(
-        _rasterize_fixture(),
-        "poly array<struct<x double, y double>>, value int, priority int",
-    )
+    """The rasterize fixture polygons, read from the committed parquet
+    input table (fixtures/input/polys.parquet — minted once by
+    tools/mint_fixtures.py from _rasterize_fixture; the DuckDB oracles
+    read the same file)."""
+    from . import fixtures as FX
+
+    return spark.read.parquet(FX.polys_input_path())
+
+
+def _polys_sql() -> str:
+    """The shared polygon-input CTE body every polygon oracle uses —
+    the same parquet file the Spark side reads."""
+    from . import fixtures as FX
+
+    return (f"SELECT poly, value, priority "
+            f"FROM read_parquet('{FX.polys_input_path()}')")
 
 
 def _polygon_raster_sql() -> str:
     crossing = _crossing_sql()
     return f"""
-WITH polys(poly, value, priority) AS (VALUES
-  {_fixture_polys_values()}),
+WITH polys AS ({_polys_sql()}),
 p AS (
   SELECT ci.i AS row, cj.i AS col,
          {X0} + (cj.i + 0.5) * {RES!r} AS x,
@@ -951,8 +950,7 @@ def q_zonal_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
 def _zonal_stats_sql() -> str:
     crossing = _crossing_sql()
     return f"""{_sql_prologue()},
-zones(poly, value, priority) AS (VALUES
-  {_fixture_polys_values()}),
+zones AS ({_polys_sql()}),
 px AS (
   SELECT m.r, m.c, m.val,
          g.x_min + (m.c + 0.5) * {RES!r} AS x,
@@ -1049,8 +1047,9 @@ def q_region_labels(spark: SparkSession, sf_dir: str) -> DataFrame:
     regions SPAN tiles, label per-tile with run-based union-find, merge
     across tiles with the DataFrame connected-components, roll up
     partials. region_id = min global pixel index (canonical across any
-    tiling). Oracle = an independent numpy-PIP + BFS flood fill
-    embedded as VALUES."""
+    tiling). Oracle = an independent numpy-PIP + BFS flood fill truth
+    sidecar (fixtures/truth/region_labels.parquet, minted once by
+    tools/mint_fixtures.py)."""
     from .functions.geometry import label_regions, rasterize_polygons
     from .plans.grid import OutputGrid
 
@@ -1067,18 +1066,14 @@ def q_region_labels(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def _region_labels_sql() -> str:
-    values = ",\n  ".join(
-        f"({rid}, {v}, {n}, {r0}, {c0}, {r1}, {c1})"
-        for rid, v, n, r0, c0, r1, c1 in _region_truth()
-    )
+    from . import fixtures as FX
+
     return f"""
-WITH truth(region_id, value, n_px, min_row, min_col, max_row, max_col) AS (VALUES
-  {values})
 SELECT CAST(region_id AS BIGINT) AS region_id, CAST(value AS INT) AS value,
        CAST(n_px AS BIGINT) AS n_px,
        CAST(min_row AS BIGINT) AS min_row, CAST(min_col AS BIGINT) AS min_col,
        CAST(max_row AS BIGINT) AS max_row, CAST(max_col AS BIGINT) AS max_col
-FROM truth
+FROM read_parquet('{FX.truth_path("region_labels")}')
 """
 
 
@@ -2277,16 +2272,18 @@ LEFT JOIN lab l ON l.vec_id = em.vec_id
 
 
 def q_media_image_features(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Multimodal pipeline end-to-end with REAL decode: deterministic
-    BMP/PPM payloads (operators/codecs.py — pure numpy, no codec libs)
-    through the mapInPandas feature extractor. The oracle is a
-    decoded-truth sidecar computed from the SOURCE arrays at corpus
-    mint time (multimodal.media_truth_features — the decode path never
-    touched), embedded as a DuckDB VALUES relation: a hash match gates
-    the whole encode -> decode -> feature chain bit-for-bit."""
+    """Multimodal pipeline end-to-end with REAL decode: the sf-scaled
+    BMP/PPM corpus parquet (fixtures/corpus — genuine payloads, pure
+    numpy codecs) through the mapInPandas feature extractor. The
+    oracle is a decoded-truth sidecar computed from the SOURCE arrays
+    at fixture-mint time (the decode path never touched), stored as
+    committed parquet (fixtures/truth/media_image.parquet) whose sf
+    slice DuckDB selects by its own orders rowcount: a hash match
+    gates the whole encode -> decode -> feature chain bit-for-bit."""
+    from . import fixtures as FX
     from .operators import multimodal as MM
 
-    media = MM.synth_media(spark, n=40, seed=11, real_payloads=True)
+    media = FX.load_media(spark, sf_dir)
     feats = MM.image_features(media, fake_decode=False)
     return feats.select(
         "media_id",
@@ -2299,11 +2296,12 @@ def q_media_image_features(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 def q_media_audio_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     """PCM-WAV audio rows through decode + duration/RMS/zero-crossing
-    extraction, gated by the source-array truth sidecar (see
+    extraction, gated by the source-array truth parquet sidecar (see
     q_media_image_features)."""
+    from . import fixtures as FX
     from .operators import multimodal as MM
 
-    media = MM.synth_media(spark, n=40, seed=11, real_payloads=True)
+    media = FX.load_media(spark, sf_dir)
     feats = MM.audio_features(media)
     return feats.select(
         "media_id",
@@ -2314,30 +2312,20 @@ def q_media_audio_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-def _round_half_up(x: float, nd: int) -> float:
-    """Spark's ROUND(double, n): HALF_UP on the value's shortest
-    decimal representation (Java BigDecimal.valueOf semantics — which
-    is Double.toString, i.e. shortest round-trip, matching Python's
-    repr)."""
-    from decimal import ROUND_HALF_UP, Decimal
+def _truth_slice_sql(name: str) -> str:
+    """Shared oracle body for sf-keyed truth sidecars: read the
+    committed parquet and select this sf's slice by the one scale key
+    DuckDB can derive from its own registered views (orders rowcount —
+    distinct across every shipped sf, unlike documents)."""
+    from . import fixtures as FX
 
-    return float(Decimal(repr(float(x))).quantize(
-        Decimal(1).scaleb(-nd), rounding=ROUND_HALF_UP
-    ))
+    return (f"SELECT * FROM read_parquet('{FX.truth_path(name)}') "
+            f"WHERE n_orders = (SELECT count(*) FROM orders)")
 
 
 def _media_image_features_sql() -> str:
-    from .operators import multimodal as MM
-
-    imgs, _ = MM.media_truth_features(n=40, seed=11)
-    values = ",\n  ".join(
-        f"('{r['media_id']}', {r['width']}, {r['height']}, "
-        f"{_round_half_up(r['mean_intensity'], 4)!r}, {r['phash']})"
-        for r in imgs
-    )
     return f"""
-WITH truth(media_id, width, height, mean_intensity, phash) AS (VALUES
-  {values})
+WITH truth AS ({_truth_slice_sql("media_image")})
 SELECT media_id, CAST(width AS INT) AS width, CAST(height AS INT) AS height,
        CAST(mean_intensity AS DOUBLE) AS mean_intensity,
        CAST(phash AS BIGINT) AS phash
@@ -2346,17 +2334,8 @@ FROM truth
 
 
 def _media_audio_features_sql() -> str:
-    from .operators import multimodal as MM
-
-    _, auds = MM.media_truth_features(n=40, seed=11)
-    values = ",\n  ".join(
-        f"('{r['media_id']}', {r['sample_rate']}, {r['n_samples']}, "
-        f"{_round_half_up(r['rms'], 4)!r}, {r['zero_crossings']})"
-        for r in auds
-    )
     return f"""
-WITH truth(media_id, sample_rate, n_samples, rms, zero_crossings) AS (VALUES
-  {values})
+WITH truth AS ({_truth_slice_sql("media_audio")})
 SELECT media_id, CAST(sample_rate AS INT) AS sample_rate,
        CAST(n_samples AS INT) AS n_samples, CAST(rms AS DOUBLE) AS rms,
        CAST(zero_crossings AS INT) AS zero_crossings
@@ -2366,12 +2345,14 @@ FROM truth
 
 def q_media_frame_samples(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Video frame sampling (1->N row expansion over real Y4M decode):
-    every 10th frame's mean luma intensity, gated by the source-frame
-    truth sidecar (multimodal.media_truth_frame_samples)."""
+    every 10th frame's mean luma intensity over the sf-scaled corpus
+    parquet, gated by the source-frame truth parquet sidecar."""
+    from . import fixtures as FX
     from .operators import multimodal as MM
 
-    media = MM.synth_media(spark, n=40, seed=11, real_payloads=True)
-    frames = MM.sample_frames(media, every_n=10, fake_decode=False)
+    media = FX.load_media(spark, sf_dir)
+    frames = MM.sample_frames(media, every_n=FX.FRAME_EVERY_N,
+                              fake_decode=False)
     return frames.select(
         "media_id",
         F.col("frame_idx").cast("int").alias("frame_idx"),
@@ -2380,17 +2361,8 @@ def q_media_frame_samples(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def _media_frame_samples_sql() -> str:
-    from .operators import multimodal as MM
-
-    rows = MM.media_truth_frame_samples(n=40, seed=11, every_n=10)
-    values = ",\n  ".join(
-        f"('{r['media_id']}', {r['frame_idx']}, "
-        f"{_round_half_up(r['mean_intensity'], 4)!r})"
-        for r in rows
-    )
     return f"""
-WITH truth(media_id, frame_idx, mean_intensity) AS (VALUES
-  {values})
+WITH truth AS ({_truth_slice_sql("frame_samples")})
 SELECT media_id, CAST(frame_idx AS INT) AS frame_idx,
        CAST(mean_intensity AS DOUBLE) AS mean_intensity
 FROM truth
@@ -2398,13 +2370,15 @@ FROM truth
 
 
 def q_audio_neardup_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Near-duplicate AUDIO pairs over the planted-duplicate PCM-WAV
-    corpus: sample-chunk hashes (real decode) through the shared
-    postings-Jaccard inverted index; DuckDB replays the Jaccard over a
-    chunk-hash sidecar computed from the SOURCE signals."""
+    """Near-duplicate AUDIO pairs over the sf-scaled planted-duplicate
+    PCM-WAV corpus parquet: sample-chunk hashes (real decode) through
+    the shared postings-Jaccard inverted index; DuckDB replays the
+    Jaccard over a chunk-hash parquet sidecar computed from the SOURCE
+    signals at fixture-mint time."""
+    from . import fixtures as FX
     from .operators import multimodal as MM
 
-    media = MM.synth_audio_clips(spark, seed=29)
+    media = FX.load_audio_clips(spark, sf_dir)
     pairs = MM.audio_neardup_pairs(media, threshold=0.5)
     return pairs.select(
         "doc_a",
@@ -2413,15 +2387,14 @@ def q_audio_neardup_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-def _postings_jaccard_sql(posts: list[tuple[str, str]],
+def _postings_jaccard_sql(truth_name: str,
                           threshold: float = 0.5) -> str:
     """Shared oracle body for media near-dup queries: replay the
-    postings Jaccard over a truth (doc_id, shingle) sidecar embedded
-    as VALUES. Mirrors functions/dedup.py:postings_jaccard_pairs."""
-    values = ",\n  ".join(f"('{d}', '{s}')" for d, s in posts)
+    postings Jaccard over a truth (doc_id, shingle) parquet sidecar
+    (sf slice selected by orders rowcount). Mirrors
+    functions/dedup.py:postings_jaccard_pairs."""
     return f"""
-WITH post(doc_id, shingle) AS (VALUES
-  {values}),
+WITH post AS ({_truth_slice_sql(truth_name)}),
 sizes AS (SELECT doc_id, count(*) AS n_sh FROM post GROUP BY doc_id),
 inter AS (
   SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS n_common
@@ -2438,20 +2411,19 @@ WHERE i.n_common * 1.0 / (sa.n_sh + sb.n_sh - i.n_common) >= {threshold!r}
 
 
 def _audio_neardup_sql() -> str:
-    from .operators import multimodal as MM
-
-    return _postings_jaccard_sql(MM.audio_truth_postings(seed=29))
+    return _postings_jaccard_sql("audio_postings")
 
 
 def q_video_neardup_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Near-duplicate VIDEO pairs over the planted-duplicate Y4M clip
-    corpus: per-frame perceptual hashes (real Y4M luma decode) through
-    the shared postings-Jaccard inverted index. The oracle replays the
-    Jaccard in DuckDB over a frame-hash sidecar computed from the
-    SOURCE frames at mint time (multimodal.video_truth_postings)."""
+    """Near-duplicate VIDEO pairs over the sf-scaled planted-duplicate
+    Y4M clip corpus parquet: per-frame perceptual hashes (real Y4M
+    luma decode) through the shared postings-Jaccard inverted index.
+    The oracle replays the Jaccard in DuckDB over a frame-hash parquet
+    sidecar computed from the SOURCE frames at fixture-mint time."""
+    from . import fixtures as FX
     from .operators import multimodal as MM
 
-    media = MM.synth_video_clips(spark, seed=13)
+    media = FX.load_video_clips(spark, sf_dir)
     pairs = MM.video_neardup_pairs(media, threshold=0.5)
     return pairs.select(
         "doc_a",
@@ -2461,9 +2433,7 @@ def q_video_neardup_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def _video_neardup_sql() -> str:
-    from .operators import multimodal as MM
-
-    return _postings_jaccard_sql(MM.video_truth_postings(seed=13))
+    return _postings_jaccard_sql("video_postings")
 
 
 def q_embedding_neardup_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -2550,9 +2520,10 @@ def queries() -> dict:
         "corpus_clean": q_corpus_clean,
         "embedding_neardup_pairs": q_embedding_neardup_pairs,
         "embedding_clusters": q_embedding_clusters,
-        # media queries: real decode, gated by source-array truth
-        # sidecars embedded as DuckDB VALUES (decode never consulted
-        # when computing the truth)
+        # media queries: real decode over the sf-scaled corpus parquet
+        # (fixtures/corpus), gated by source-array truth parquet
+        # sidecars (fixtures/truth — decode never consulted when
+        # computing the truth; minted by tools/mint_fixtures.py)
         "media_image_features": q_media_image_features,
         "media_audio_features": q_media_audio_features,
         "media_frame_samples": q_media_frame_samples,

@@ -421,14 +421,11 @@ def _synth_media_source(n: int = 20, seed: int = 7):
         yield rec
 
 
-def synth_media(spark, n: int = 20, seed: int = 7,
-                real_payloads: bool = True) -> DataFrame:
-    """Deterministic media table. With ``real_payloads`` (default)
-    image rows carry genuine BMP/PPM bytes (alternating), audio rows
-    genuine PCM WAV bytes, and video rows genuine YUV4MPEG2 bytes —
-    the real-decode path end-to-end for every modality.
-    ``real_payloads=False`` reverts every kind to opaque bytes (the
-    ``fake=`` stub path)."""
+def media_rows(n: int = 20, seed: int = 7,
+               real_payloads: bool = True) -> list[dict]:
+    """Plain-dict rows behind synth_media — shared with the parquet
+    fixture minter (fixtures.py) so the on-disk corpus and the
+    in-memory table can never drift."""
     rows = []
     if real_payloads:
         recs = list(_synth_media_source(n, seed))
@@ -467,7 +464,19 @@ def synth_media(spark, n: int = 20, seed: int = 7,
                 },
             }
         )
-    return spark.createDataFrame(rows, schema=MEDIA_SCHEMA)
+    return rows
+
+
+def synth_media(spark, n: int = 20, seed: int = 7,
+                real_payloads: bool = True) -> DataFrame:
+    """Deterministic media table. With ``real_payloads`` (default)
+    image rows carry genuine BMP/PPM bytes (alternating), audio rows
+    genuine PCM WAV bytes, and video rows genuine YUV4MPEG2 bytes —
+    the real-decode path end-to-end for every modality.
+    ``real_payloads=False`` reverts every kind to opaque bytes (the
+    ``fake=`` stub path)."""
+    return spark.createDataFrame(media_rows(n, seed, real_payloads),
+                                 schema=MEDIA_SCHEMA)
 
 
 AUDIO_CHUNK_HASH_SCHEMA = T.StructType(
@@ -540,10 +549,10 @@ def _synth_audio_source(n_families: int = 3, n_samples: int = 16384,
         yield f"u{j}", unrelated
 
 
-def synth_audio_clips(spark, n_families: int = 3, n_samples: int = 16384,
-                      rate: int = 16000, seed: int = 29) -> DataFrame:
-    """Deterministic PCM-WAV clip table with planted near-duplicates —
-    the audio_neardup_pairs fixture."""
+def audio_clip_rows(n_families: int = 3, n_samples: int = 16384,
+                    rate: int = 16000, seed: int = 29) -> list[dict]:
+    """Plain-dict rows behind synth_audio_clips (shared with the
+    parquet fixture minter)."""
     rows = []
     for clip_id, sig in _synth_audio_source(n_families, n_samples, rate, seed):
         rows.append({
@@ -553,7 +562,16 @@ def synth_audio_clips(spark, n_families: int = 3, n_samples: int = 16384,
             "meta": {"width": 0, "height": 0, "channels": 1,
                      "sample_rate": rate, "n_frames": 0},
         })
-    return spark.createDataFrame(rows, schema=MEDIA_SCHEMA)
+    return rows
+
+
+def synth_audio_clips(spark, n_families: int = 3, n_samples: int = 16384,
+                      rate: int = 16000, seed: int = 29) -> DataFrame:
+    """Deterministic PCM-WAV clip table with planted near-duplicates —
+    the audio_neardup_pairs fixture."""
+    return spark.createDataFrame(
+        audio_clip_rows(n_families, n_samples, rate, seed),
+        schema=MEDIA_SCHEMA)
 
 
 def audio_truth_postings(n_families: int = 3, n_samples: int = 16384,
@@ -591,10 +609,10 @@ def _synth_video_source(n_families: int = 3, n_frames: int = 20,
         yield f"u{j}", unrelated
 
 
-def synth_video_clips(spark, n_families: int = 3, n_frames: int = 20,
-                      size: int = 32, seed: int = 13) -> DataFrame:
-    """Deterministic Y4M clip table (media rows, kind='video') with
-    planted near-duplicates — the video_neardup_pairs fixture."""
+def video_clip_rows(n_families: int = 3, n_frames: int = 20,
+                    size: int = 32, seed: int = 13) -> list[dict]:
+    """Plain-dict rows behind synth_video_clips (shared with the
+    parquet fixture minter)."""
     rows = []
     for clip_id, frames in _synth_video_source(n_families, n_frames, size, seed):
         rows.append({
@@ -604,7 +622,16 @@ def synth_video_clips(spark, n_families: int = 3, n_frames: int = 20,
             "meta": {"width": size, "height": size, "channels": 1,
                      "sample_rate": 0, "n_frames": frames.shape[0]},
         })
-    return spark.createDataFrame(rows, schema=MEDIA_SCHEMA)
+    return rows
+
+
+def synth_video_clips(spark, n_families: int = 3, n_frames: int = 20,
+                      size: int = 32, seed: int = 13) -> DataFrame:
+    """Deterministic Y4M clip table (media rows, kind='video') with
+    planted near-duplicates — the video_neardup_pairs fixture."""
+    return spark.createDataFrame(
+        video_clip_rows(n_families, n_frames, size, seed),
+        schema=MEDIA_SCHEMA)
 
 
 def video_truth_postings(n_families: int = 3, n_frames: int = 20,

@@ -80,6 +80,23 @@ def test_query_matches_oracle(spark, duck, name):
     assert not mismatches, f"{name}: first value mismatches: {mismatches[:3]}"
 
 
+def test_no_embedded_truth_values():
+    """Round-6: every truth sidecar lives as committed parquet under
+    fixtures/ (minted by tools/mint_fixtures.py) and the oracle SQL
+    reads it with read_parquet — no oracle may embed a truth relation
+    as a VALUES literal again (round-5 verdict, "what's wrong" #1)."""
+    import os
+
+    from moamosaic_spark import fixtures as FX
+
+    for name, sql in DC.oracle_sql().items():
+        assert "AS (VALUES" not in sql, f"{name}: embedded VALUES relation"
+    for t in ("media_image", "media_audio", "frame_samples",
+              "video_postings", "audio_postings", "region_labels"):
+        assert os.path.exists(FX.truth_path(t)), t
+    assert os.path.exists(FX.polys_input_path())
+
+
 def test_every_query_has_an_oracle():
     """As of round 5 the contract is FULLY gated: every queries() entry
     has an oracle_sql() twin and vice versa — a new query landing
