@@ -810,9 +810,12 @@ RAST_BS = 64      # -> 2x2 tiles
 
 
 def _rasterize_fixture() -> list:
-    """Three overlapping polygons (octagon / triangle / diamond) over
-    the 1280 m fixture square; vertices sit off every pixel-center
-    ordinate so the half-open boundary rule never fires."""
+    """Four overlapping polygons (octagon / triangle / diamond, plus a
+    top-priority square strictly inside the diamond — which turns the
+    diamond region into a donut so the outline oracle exercises HOLE
+    rings) over the 1280 m fixture square; vertices sit off every
+    pixel-center ordinate so the half-open boundary rule never
+    fires."""
 
     def P(dx, dy):
         return {"x": X0 + dx, "y": Y0 - dy}
@@ -823,7 +826,9 @@ def _rasterize_fixture() -> list:
     tri = [P(200.1, 1100.7), P(1200.3, 1100.7), P(700.9, 300.1)]
     diamond = [P(640.3, 100.1), P(1000.7, 640.3), P(640.3, 1180.9),
                P(300.1, 640.3)]
-    return [(octagon, 1, 0), (tri, 2, 1), (diamond, 3, 2)]
+    square = [P(560.3, 560.1), P(720.7, 560.1), P(720.7, 720.3),
+              P(560.3, 720.3)]
+    return [(octagon, 1, 0), (tri, 2, 1), (diamond, 3, 2), (square, 4, 3)]
 
 
 def q_polygon_raster_checksums(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -982,14 +987,14 @@ REGION_BS = 32    # 4x4 tiles over the 128px fixture -> cross-tile regions
 _REGION_TRUTH_CACHE: list | None = None
 
 
-def _region_truth() -> list:
-    """Independent truth for q_region_labels: burn the fixture
-    polygons with a vectorized numpy PIP (same even-odd rule, computed
-    here — the engine's rasterizer is never consulted), then BFS flood
-    fill 4-connected equal-value regions. Deterministic; cached."""
-    global _REGION_TRUTH_CACHE
-    if _REGION_TRUTH_CACHE is not None:
-        return _REGION_TRUTH_CACHE
+def _region_truth_grid():
+    """The independent truth raster + its 4-connected regions: burn
+    the fixture polygons with a vectorized numpy PIP (same even-odd
+    rule, computed here — the engine's rasterizer is never consulted),
+    then BFS flood fill equal-value regions. Returns (values array,
+    list of (region_id, value, cells)) with region_id = min global
+    pixel index. Shared by _region_truth (label summaries) and the
+    outline-truth minter (tools/mint_outline_truth.py)."""
     from collections import deque
 
     import numpy as np
@@ -1012,7 +1017,7 @@ def _region_truth() -> list:
                 xi = ax + (py - ay) * (bx - ax) / (by - ay)
             cnt += crosses[:, None] & (px[None, :] < xi[:, None])
         full[cnt % 2 == 1] = val
-    out = []
+    regions = []
     vis = np.zeros_like(full, bool)
     for r in range(SZ):
         for c in range(SZ):
@@ -1031,12 +1036,26 @@ def _region_truth() -> list:
                             and full[nr, nc] == v):
                         vis[nr, nc] = True
                         q.append((nr, nc))
-            rows = [x for x, _ in cells]
-            cols = [y for _, y in cells]
-            out.append((
-                min(x * SZ + y for x, y in cells), v, len(cells),
-                min(rows), min(cols), max(rows), max(cols),
-            ))
+            regions.append(
+                (min(x * SZ + y for x, y in cells), v, cells))
+    return full, regions
+
+
+def _region_truth() -> list:
+    """Label summaries of _region_truth_grid (q_region_labels truth,
+    minted to fixtures/truth/region_labels.parquet). Cached."""
+    global _REGION_TRUTH_CACHE
+    if _REGION_TRUTH_CACHE is not None:
+        return _REGION_TRUTH_CACHE
+    _, regions = _region_truth_grid()
+    out = []
+    for rid, v, cells in regions:
+        rows = [x for x, _ in cells]
+        cols = [y for _, y in cells]
+        out.append((
+            rid, v, len(cells),
+            min(rows), min(cols), max(rows), max(cols),
+        ))
     _REGION_TRUTH_CACHE = sorted(out)
     return _REGION_TRUTH_CACHE
 
@@ -1074,6 +1093,49 @@ SELECT CAST(region_id AS BIGINT) AS region_id, CAST(value AS INT) AS value,
        CAST(min_row AS BIGINT) AS min_row, CAST(min_col AS BIGINT) AS min_col,
        CAST(max_row AS BIGINT) AS max_row, CAST(max_col AS BIGINT) AS max_col
 FROM read_parquet('{FX.truth_path("region_labels")}')
+"""
+
+
+def q_region_outlines(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Distributed boundary-ring tracing (functions/outlines.py — the
+    ring half of the gdal_polygonize analog): rasterize the fixture on
+    the 32px tiling so rings CROSS tile seams, trace per-tile crack
+    segments over a 1-pixel halo exchange, stitch cross-tile cycles
+    with the connected-components, and assemble canonical rings. The
+    fixture's top-priority inner square makes the diamond region a
+    donut, so the oracle gates outer rings AND holes. Oracle = an
+    independent Python mask-based crack-follower
+    (tools/mint_outline_truth.py), minted to parquet."""
+    from .functions.geometry import rasterize_polygons
+    from .functions.outlines import region_outlines
+    from .plans.grid import OutputGrid
+
+    grid = OutputGrid(
+        x_min=X0, y_max=Y0, x_res=RES, y_res=RES,
+        ncols=RAST_SIZE, nrows=RAST_SIZE, n_bands=1, nullval=0,
+        dtype="uint16", projection="EPSG:32756",
+    )
+    polys = _fixture_polys_df(spark)
+    zone_tiles = rasterize_polygons(spark, polys, grid, REGION_BS)
+    return region_outlines(zone_tiles, grid, REGION_BS).select(
+        "region_id",
+        F.col("ring_idx").cast("int").alias("ring_idx"),
+        F.col("is_hole").cast("int").alias("is_hole"),
+        F.col("n_vertices").cast("int").alias("n_vertices"),
+        F.col("perim").cast("long").alias("perim"),
+        "ring_hash",
+    )
+
+
+def _region_outlines_sql() -> str:
+    from . import fixtures as FX
+
+    return f"""
+SELECT CAST(region_id AS BIGINT) AS region_id,
+       CAST(ring_idx AS INT) AS ring_idx, CAST(is_hole AS INT) AS is_hole,
+       CAST(n_vertices AS INT) AS n_vertices, CAST(perim AS BIGINT) AS perim,
+       ring_hash
+FROM read_parquet('{FX.truth_path("region_outlines")}')
 """
 
 
@@ -2493,6 +2555,7 @@ def queries() -> dict:
         "polygon_raster_checksums": q_polygon_raster_checksums,
         "zonal_stats": q_zonal_stats,
         "region_labels": q_region_labels,
+        "region_outlines": q_region_outlines,
         "tile_knn_sources": q_tile_knn_sources,
         "doc_token_stats": q_doc_token_stats,
         "doc_fingerprints": q_doc_fingerprints,
@@ -2549,6 +2612,7 @@ def oracle_sql() -> dict:
         "polygon_raster_checksums": _polygon_raster_sql(),
         "zonal_stats": _zonal_stats_sql(),
         "region_labels": _region_labels_sql(),
+        "region_outlines": _region_outlines_sql(),
         "tile_knn_sources": _tile_knn_sql(),
         "doc_token_stats": SQL_DOC_TOKEN_STATS,
         "doc_fingerprints": _doc_fingerprints_sql(),

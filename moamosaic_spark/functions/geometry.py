@@ -519,38 +519,16 @@ def make_label_work_fn(W: int, bs: int, nullval: int):
     return work
 
 
-def label_regions(
-    tiles: DataFrame,
-    grid,
-    blocksize: int,
-    nullval: int = 0,
-) -> DataFrame:
-    """Distributed 4-connected equal-value region labeling — the
-    polygonize-lite analog (gdal_polygonize's region discovery without
-    ring tracing): per-tile run-based union-find labeling, cross-tile
-    merges via the SAME alternating-star DataFrame connected-components
-    that resolves duplicate clusters, then a partial-algebra roll-up.
-
-    Scale shape: the pixel payload is touched ONCE (one mapInPandas
-    over tiles); everything after operates on per-root partial rows and
-    border-pixel rows (O(perimeter), not O(area)), so a region spanning
-    thousands of tiles merges through the O(|E|)-per-round CC, never by
-    moving pixels.
-
-    Returns (region_id, value, n_px, min_row, min_col, max_row,
-    max_col) with ``region_id`` = the region's minimum global pixel
-    index (row * grid_ncols + col) — canonical across any tiling.
-    """
+def _merge_border_gids(borders: DataFrame) -> DataFrame:
+    """Cross-tile gid merge shared by label_regions / region_outlines:
+    join border-pixel rows (gid, value, grow, gcol) against themselves
+    on down/right adjacency with equal value, then run the alternating
+    star connected-components over the resulting gid pairs. Returns
+    (doc_id=gid, cluster_id) — cluster_id is the min gid of the merged
+    region, which (gids being min global pixel indices) IS the
+    canonical region_id."""
     from .dedup import connected_components
 
-    work = make_label_work_fn(int(grid.ncols), int(blocksize), nullval)
-
-    w = tiles.select(
-        "tile_row", "tile_col", "ysize", "xsize", "pixels"
-    ).mapInPandas(work, LABEL_WORK_SCHEMA).localCheckpoint(eager=True)
-
-    partials = w.where(F.col("kind") == 0)
-    borders = w.where(F.col("kind") == 1).select("gid", "value", "grow", "gcol")
     b2 = borders.select(
         F.col("gid").alias("gid_b"), F.col("value").alias("value_b"),
         F.col("grow").alias("grow_b"), F.col("gcol").alias("gcol_b"),
@@ -573,7 +551,40 @@ def label_regions(
         .select("gid", "gid_b")
         .distinct()
     )
-    cc = connected_components(edges, "gid", "gid_b")
+    return connected_components(edges, "gid", "gid_b")
+
+
+def label_regions(
+    tiles: DataFrame,
+    grid,
+    blocksize: int,
+    nullval: int = 0,
+) -> DataFrame:
+    """Distributed 4-connected equal-value region labeling — the
+    polygonize-lite analog (gdal_polygonize's region discovery without
+    ring tracing): per-tile run-based union-find labeling, cross-tile
+    merges via the SAME alternating-star DataFrame connected-components
+    that resolves duplicate clusters, then a partial-algebra roll-up.
+
+    Scale shape: the pixel payload is touched ONCE (one mapInPandas
+    over tiles); everything after operates on per-root partial rows and
+    border-pixel rows (O(perimeter), not O(area)), so a region spanning
+    thousands of tiles merges through the O(|E|)-per-round CC, never by
+    moving pixels.
+
+    Returns (region_id, value, n_px, min_row, min_col, max_row,
+    max_col) with ``region_id`` = the region's minimum global pixel
+    index (row * grid_ncols + col) — canonical across any tiling.
+    """
+    work = make_label_work_fn(int(grid.ncols), int(blocksize), nullval)
+
+    w = tiles.select(
+        "tile_row", "tile_col", "ysize", "xsize", "pixels"
+    ).mapInPandas(work, LABEL_WORK_SCHEMA).localCheckpoint(eager=True)
+
+    partials = w.where(F.col("kind") == 0)
+    borders = w.where(F.col("kind") == 1).select("gid", "value", "grow", "gcol")
+    cc = _merge_border_gids(borders)
     merged = partials.join(
         cc.withColumnRenamed("doc_id", "gid"), on="gid", how="left"
     ).withColumn("_region", F.coalesce(F.col("cluster_id"), F.col("gid")))

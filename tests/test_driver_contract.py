@@ -92,7 +92,8 @@ def test_no_embedded_truth_values():
     for name, sql in DC.oracle_sql().items():
         assert "AS (VALUES" not in sql, f"{name}: embedded VALUES relation"
     for t in ("media_image", "media_audio", "frame_samples",
-              "video_postings", "audio_postings", "region_labels"):
+              "video_postings", "audio_postings", "region_labels",
+              "region_outlines"):
         assert os.path.exists(FX.truth_path(t)), t
     assert os.path.exists(FX.polys_input_path())
 
