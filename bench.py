@@ -425,6 +425,61 @@ def run_relayout_stitch_scaling(spark) -> dict:
     }
 
 
+def run_focal(spark) -> dict:
+    """Focal-family bench: Horn hillshade over the stitched bench
+    mosaic (~104 Mpx in 1024^2 tiles) through the ONE-shuffle halo
+    exchange (functions/focal.py: each tile ships its payload plus
+    eight O(perimeter) border fragments; one groupBy assembles the
+    padded array; the kernel is nine shifted-view numpy ops). Input
+    tiles are materialized untimed; the timed region is the exchange +
+    kernel — the number a 100 TB DEM pipeline would scale by."""
+    from pyspark.sql import functions as F
+
+    from moamosaic_spark.functions.focal import hillshade
+    from moamosaic_spark.mosaic import MosaicConfig, do_mosaic
+
+    ensure_corpus(spark)
+    fp = spark.read.parquet(f"{CORPUS_DIR}/footprints")
+    blocks = spark.read.parquet(f"{CORPUS_DIR}/blocks")
+    cfg = MosaicConfig(
+        blocksize=BLOCKSIZE, src_blocksize=SRC_BS, min_overview_size=1024,
+        strategy="cell", cell_size_px=4096,
+    )
+    tiles = do_mosaic(spark, fp, blocks, cfg).tiles.select(
+        "band", "tile_row", "tile_col", "ysize", "xsize", "pixels"
+    ).persist()
+    tiles.count()  # materialize the input outside the timed region
+
+    def run():
+        # a FRESH plan per run: re-collecting one DataFrame object lets
+        # the DAG scheduler reuse the halo exchange's map output and
+        # would time only the reduce side
+        return hillshade(tiles, xres=10.0, yres=10.0, nullval=0).agg(
+            F.count("*").alias("tiles"),
+            F.sum(F.col("ysize").cast("long") * F.col("xsize")).alias("px"),
+            F.sum(F.size(F.filter(F.col("pixels"), lambda x: x != -1))).alias(
+                "defined_px"),
+        ).collect()[0]
+
+    run()  # warm
+    ts, nt, px, dpx = [], 0, 0, 0
+    for _ in range(3):
+        t0 = time.time()
+        row = run()
+        ts.append(time.time() - t0)
+        nt, px, dpx = int(row["tiles"]), int(row["px"]), int(row["defined_px"])
+    ts.sort()
+    tiles.unpersist()
+    return {
+        "seconds": ts[1],
+        "runs_seconds": [round(t, 3) for t in ts],
+        "tiles": nt,
+        "px": px,
+        "defined_px": dpx,
+        "mpx_per_sec": round(px / ts[1] / 1e6, 2),
+    }
+
+
 def run_cc_scale(spark) -> dict:
     """Connected components at the 10^5-node shape the small fixtures
     don't reach: 64 chains of 1000 nodes (the O(log n)-round worst
@@ -701,6 +756,9 @@ def child_main(mode: str, cores: int) -> None:
             print("RESULT:" + json.dumps(run_dedup_scaling(spark, cores)))
         elif mode == "ccscale":
             print("RESULT:" + json.dumps(run_cc_scale(spark)))
+        elif mode == "focal":
+            warmup(spark)
+            print("RESULT:" + json.dumps(run_focal(spark)))
         elif mode == "relstitchscale":
             warmup(spark)
             print("RESULT:" + json.dumps(run_relayout_stitch_scaling(spark)))
@@ -748,6 +806,7 @@ def main() -> None:
     head = spawn("headline", CPUS)
     rel = spawn("relayout", CPUS)
     primary = spawn("mosaicdefault", CPUS)
+    focal = spawn("focal", CPUS)
 
     # 4 vs 16 cores: a true 4x while keeping JVM task threads + Python
     # kernel workers within the machine's 32 hardware threads at the
@@ -788,6 +847,8 @@ def main() -> None:
             # repeated-run cost (bucketed scan, no Exchange)
             "mosaic_pipeline_relayout_build": rel["build_seconds"],
             "mosaic_pipeline_relayout_stitch": rel["stitch_seconds"],
+            # halo-exchange hillshade over the same stitched corpus
+            "focal_hillshade": focal["seconds"],
         },
         "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
         # PRIMARY mosaic number: the relayout-backed default path (the
@@ -797,6 +858,7 @@ def main() -> None:
         "mosaic": primary,
         "mosaic_direct": head["mosaic"],
         "mosaic_relayout": rel,
+        "focal": focal,
         "dedup_clusters_scale": spawn("ccscale", CPUS),
         "scaling": {
             "cores_lo": lo_cores,

@@ -1139,6 +1139,177 @@ FROM read_parquet('{FX.truth_path("region_outlines")}')
 """
 
 
+# ---------------------------------------------------------------------------
+# Focal (neighborhood) queries — halo exchange + Horn hillshade
+# ---------------------------------------------------------------------------
+
+def _level0_tiles(res):
+    t = res.tiles
+    return t.where(F.col("level") == 0) if "level" in t.columns else t
+
+
+def _focal_reduce(out: DataFrame, col: str, g_ncols: int, names: tuple) -> DataFrame:
+    """Reduce a per-pixel array column (-1 = undefined) to per-tile
+    (count, sum, position-weighted sum, min, max) — all JVM-side
+    higher-order functions, no Python per pixel. The weight is the
+    GLOBAL pixel index (r * g_ncols + c): remainder-absorbing tiling
+    keeps t_top = tile_row * BLOCKSIZE for every tile, so position
+    reconstructs from the tile key + xsize alone, and any spatial
+    permutation breaks the hash."""
+    a = F.col(col)
+    valid = F.filter(a, lambda x: x != -1)
+
+    def gidx(i):
+        gr = F.col("tile_row").cast("long") * BLOCKSIZE + F.floor(i / F.col("xsize")).cast("long")
+        gc = F.col("tile_col").cast("long") * BLOCKSIZE + (i % F.col("xsize")).cast("long")
+        return gr * g_ncols + gc
+
+    wsum = F.aggregate(
+        F.transform(a, lambda x, i: F.when(x != -1, x * gidx(i)).otherwise(F.lit(0).cast("long"))),
+        F.lit(0).cast("long"), lambda acc, x: acc + x,
+    )
+    n_def, s, w, mn, mx = names
+    return out.select(
+        "band", "tile_row", "tile_col",
+        F.size(valid).cast("long").alias(n_def),
+        F.aggregate(valid, F.lit(0).cast("long"), lambda acc, x: acc + x).alias(s),
+        wsum.alias(w),
+        F.array_min(valid).cast("long").alias(mn),
+        F.array_max(valid).cast("long").alias(mx),
+    ).where(F.col(n_def) > 0)
+
+
+def q_focal_checksums(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """3x3 focal stats (count/sum/min/max over valid window pixels)
+    over the REAL stitched mosaic tiles via the distributed halo
+    exchange (functions/focal.focal_stats: 9 addressed O(perimeter)
+    fragments per tile, ONE groupBy assembles a padded array, a
+    vectorized nine-shifted-view kernel produces the tile). Checksums
+    carry a global-pixel-index weight so any spatial permutation
+    breaks the hash. The oracle replays the identical semantics
+    set-based: shifted copies of `merged` re-grouped per center — the
+    SQL mirror of the halo exchange itself."""
+    from .functions.focal import focal_stats
+
+    res = _mosaic_result_cached(sf_dir, spark)
+    out = focal_stats(_level0_tiles(res), nullval=int(res.grid.nullval))
+    gnc = int(res.grid.ncols)
+    f = _focal_reduce(out, "f_sum", gnc, ("n_def", "sum_sum", "wsum_sum", "min_sum", "max_sum"))
+    cnt = _focal_reduce(out, "f_count", gnc, ("n_def_c", "sum_cnt", "wsum_cnt", "min_cnt", "max_cnt"))
+    return f.join(
+        cnt.select("band", "tile_row", "tile_col", "sum_cnt", "wsum_cnt"),
+        ["band", "tile_row", "tile_col"],
+    ).select(
+        "band", "tile_row", "tile_col", "n_def",
+        "sum_cnt", "wsum_cnt", "sum_sum", "wsum_sum", "min_sum", "max_sum",
+    )
+
+
+def _focal_checksums_sql() -> str:
+    return f"""{_sql_prologue()},
+n9 AS (
+  SELECT m.r - dr.i AS r, m.c - dc.i AS c, m.val
+  FROM merged m,
+       generate_series(-1, 1) dr(i),
+       generate_series(-1, 1) dc(i)
+),
+fs AS (
+  SELECT n.r, n.c,
+         count(*) AS f_cnt, sum(n.val) AS f_sum,
+         min(n.val) AS f_min, max(n.val) AS f_max
+  FROM n9 n JOIN merged ctr ON ctr.r = n.r AND ctr.c = n.c
+  GROUP BY n.r, n.c
+)
+SELECT 1 AS band,
+       CAST(least(floor(f.r * 1.0 / {BLOCKSIZE}), nb.nb_r - 1) AS INT) AS tile_row,
+       CAST(least(floor(f.c * 1.0 / {BLOCKSIZE}), nb.nb_c - 1) AS INT) AS tile_col,
+       CAST(count(*) AS BIGINT) AS n_def,
+       CAST(sum(f.f_cnt) AS BIGINT) AS sum_cnt,
+       CAST(sum(f.f_cnt * (f.r * g.g_ncols + f.c)) AS BIGINT) AS wsum_cnt,
+       CAST(sum(f.f_sum) AS BIGINT) AS sum_sum,
+       CAST(sum(f.f_sum * (f.r * g.g_ncols + f.c)) AS BIGINT) AS wsum_sum,
+       CAST(min(f.f_sum) AS BIGINT) AS min_sum,
+       CAST(max(f.f_sum) AS BIGINT) AS max_sum
+FROM fs f, nb, grid g
+GROUP BY 1, 2, 3
+"""
+
+
+def q_hillshade_checksums(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Horn-method hillshade (the ``gdaldem hillshade`` analog,
+    functions/focal.hillshade) over the stitched mosaic through the
+    same halo exchange; shade = floor(255 * max(0, (LZ - LX*gx -
+    LY*gy) / sqrt(1 + gx^2 + gy^2)) + 0.5) with Horn gradients from
+    exact integer sums. Every float op after the integer gradient is
+    IEEE correctly-rounded and ordered identically in the oracle, so
+    the per-pixel match is exact — the weighted checksum gates every
+    pixel position, including all cross-tile windows."""
+    from .functions.focal import hillshade
+
+    res = _mosaic_result_cached(sf_dir, spark)
+    out = hillshade(
+        _level0_tiles(res),
+        xres=float(res.grid.x_res), yres=float(res.grid.y_res),
+        nullval=int(res.grid.nullval),
+    )
+    return _focal_reduce(
+        out, "pixels", int(res.grid.ncols),
+        ("n_def", "sum_shade", "wsum_shade", "min_shade", "max_shade"),
+    )
+
+
+def _hillshade_checksums_sql() -> str:
+    from .functions.focal import HS_LX, HS_LY, HS_LZ
+
+    fx = 8.0 * RES
+    fy = 8.0 * RES
+    return f"""{_sql_prologue()},
+n9 AS (
+  SELECT m.r - dr.i AS r, m.c - dc.i AS c, dr.i AS wy, dc.i AS wx, m.val
+  FROM merged m,
+       generate_series(-1, 1) dr(i),
+       generate_series(-1, 1) dc(i)
+),
+w AS (
+  SELECT r, c,
+         sum(CASE WHEN wy = -1 AND wx = -1 THEN val END) AS tl,
+         sum(CASE WHEN wy = -1 AND wx =  0 THEN val END) AS tm,
+         sum(CASE WHEN wy = -1 AND wx =  1 THEN val END) AS tr,
+         sum(CASE WHEN wy =  0 AND wx = -1 THEN val END) AS ml,
+         sum(CASE WHEN wy =  0 AND wx =  1 THEN val END) AS mr,
+         sum(CASE WHEN wy =  1 AND wx = -1 THEN val END) AS bl,
+         sum(CASE WHEN wy =  1 AND wx =  0 THEN val END) AS bm,
+         sum(CASE WHEN wy =  1 AND wx =  1 THEN val END) AS br
+  FROM n9
+  GROUP BY r, c
+  HAVING count(*) = 9
+),
+gxy AS (
+  SELECT r, c,
+         CAST((tr + 2 * mr + br) - (tl + 2 * ml + bl) AS DOUBLE) / {fx!r} AS gx,
+         CAST((bl + 2 * bm + br) - (tl + 2 * tm + tr) AS DOUBLE) / {fy!r} AS gy
+  FROM w
+),
+hs AS (
+  SELECT r, c,
+         CAST(floor(255.0 * greatest(
+             ({HS_LZ!r} - {HS_LX!r} * gx - {HS_LY!r} * gy)
+             / sqrt(1.0 + gx * gx + gy * gy), 0.0) + 0.5) AS BIGINT) AS shade
+  FROM gxy
+)
+SELECT 1 AS band,
+       CAST(least(floor(h.r * 1.0 / {BLOCKSIZE}), nb.nb_r - 1) AS INT) AS tile_row,
+       CAST(least(floor(h.c * 1.0 / {BLOCKSIZE}), nb.nb_c - 1) AS INT) AS tile_col,
+       CAST(count(*) AS BIGINT) AS n_def,
+       CAST(sum(h.shade) AS BIGINT) AS sum_shade,
+       CAST(sum(h.shade * (h.r * g.g_ncols + h.c)) AS BIGINT) AS wsum_shade,
+       CAST(min(h.shade) AS BIGINT) AS min_shade,
+       CAST(max(h.shade) AS BIGINT) AS max_shade
+FROM hs h, nb, grid g
+GROUP BY 1, 2, 3
+"""
+
+
 KNN_K = 3
 KNN_R = 3 * R_STRIDE * RES  # candidate radius (m) — ≥ k sources inside
 
@@ -2556,6 +2727,8 @@ def queries() -> dict:
         "zonal_stats": q_zonal_stats,
         "region_labels": q_region_labels,
         "region_outlines": q_region_outlines,
+        "focal_checksums": q_focal_checksums,
+        "hillshade_checksums": q_hillshade_checksums,
         "tile_knn_sources": q_tile_knn_sources,
         "doc_token_stats": q_doc_token_stats,
         "doc_fingerprints": q_doc_fingerprints,
@@ -2613,6 +2786,8 @@ def oracle_sql() -> dict:
         "zonal_stats": _zonal_stats_sql(),
         "region_labels": _region_labels_sql(),
         "region_outlines": _region_outlines_sql(),
+        "focal_checksums": _focal_checksums_sql(),
+        "hillshade_checksums": _hillshade_checksums_sql(),
         "tile_knn_sources": _tile_knn_sql(),
         "doc_token_stats": SQL_DOC_TOKEN_STATS,
         "doc_fingerprints": _doc_fingerprints_sql(),

@@ -1,0 +1,242 @@
+"""Focal (neighborhood) raster operators with distributed halo exchange.
+
+Reference-side scope: the reference computes whole-image aggregates
+over the stitched mosaic (mosaic.py:746-794) but has no neighborhood
+ops; focal window operators (focal count/sum/min/max, Horn slope /
+hillshade — the ``gdaldem`` analog) are the natural next raster family
+over the same tile relation, and the classic distributed-raster
+problem: every output pixel needs its 8 neighbors, which for border
+pixels live in ANOTHER tile.
+
+Scale shape (the halo-exchange pattern): each tile emits its full
+payload addressed to itself plus eight O(perimeter) border fragments
+(1-px strips and 1x1 corners, packed u2) addressed to its neighbors;
+ONE groupBy on the tile key assembles a (ys+2, xs+2) padded array per
+tile and a vectorized numpy kernel produces the whole output tile.
+Pixels cross the wire once (area + ~4*perimeter bytes), no tile ever
+needs another tile's interior, and the shuffle parallelism is the
+tile count — the same unit the rest of the engine scales by. At
+100 TB the strips are ~1.6% of payload at 256px tiles (and shrink
+linearly with blocksize), so halo cost is noise against the scan.
+
+Pixel layouts: accepts both engine layouts (array<int> and packed
+u2 binary, pixels.py); fragments always travel packed u2 (2 B/px).
+
+Output convention: one row per input tile, ``pixels`` as array<long>
+in row-major order with -1 at pixels where the op is undefined
+(null center for focal stats; any-null 3x3 window for hillshade) —
+callers that need only aggregates reduce the array JVM-side with
+higher-order functions (filter/aggregate), never per-row Python.
+"""
+
+from __future__ import annotations
+
+from typing import Callable
+
+import numpy as np
+import pandas as pd
+from pyspark.sql import DataFrame, functions as F
+
+FRAG_SCHEMA = (
+    "band int, tile_row int, tile_col int, dy int, dx int, "
+    "fysize int, fxsize int, frag binary"
+)
+
+FOCAL_STATS_SCHEMA = (
+    "band int, tile_row int, tile_col int, ysize int, xsize int, "
+    "f_count array<long>, f_sum array<long>, f_min array<long>, "
+    "f_max array<long>"
+)
+
+FOCAL_APPLY_SCHEMA = (
+    "band int, tile_row int, tile_col int, ysize int, xsize int, "
+    "pixels array<long>"
+)
+
+
+def _tile_array(row) -> np.ndarray:
+    """Decode either pixel layout to (ysize, xsize) int64."""
+    px = row.pixels
+    if isinstance(px, (bytes, bytearray)):
+        a = np.frombuffer(bytes(px), "<u2").astype(np.int64)
+    else:
+        a = np.asarray(px, dtype=np.int64)
+    return a.reshape(int(row.ysize), int(row.xsize))
+
+
+def _emit_fragments(tiles: DataFrame) -> DataFrame:
+    """Map side of the halo exchange: 9 addressed fragments per tile.
+
+    A fragment row (band, tr, tc, dy, dx, ...) is addressed TO tile
+    (tr, tc) and was emitted BY tile (tr - dy, tc - dx); the assembler
+    places it purely from (dy, dx). Fragments addressed off the grid
+    edge form centerless groups the reduce side drops — no grid-extent
+    lookup is needed on the map side.
+    """
+    cols = [c for c in ("band", "tile_row", "tile_col", "ysize", "xsize", "pixels")
+            if c in tiles.columns]
+    src = tiles.select(*cols) if "band" in tiles.columns else tiles.select(
+        F.lit(1).alias("band"), "tile_row", "tile_col", "ysize", "xsize", "pixels"
+    )
+
+    def emit(batches):
+        for pdf in batches:
+            out = []
+            for r in pdf.itertuples(index=False):
+                arr = _tile_array(r)
+                ys, xs = arr.shape
+                tr, tc, band = int(r.tile_row), int(r.tile_col), int(r.band)
+                # slices of THIS tile that the neighbor at (+dy,+dx) pads with
+                views = {
+                    (0, 0): arr,
+                    (1, 0): arr[-1:, :], (-1, 0): arr[:1, :],
+                    (0, 1): arr[:, -1:], (0, -1): arr[:, :1],
+                    (1, 1): arr[-1:, -1:], (1, -1): arr[-1:, :1],
+                    (-1, 1): arr[:1, -1:], (-1, -1): arr[:1, :1],
+                }
+                for (dy, dx), v in views.items():
+                    out.append({
+                        "band": band,
+                        "tile_row": tr + dy, "tile_col": tc + dx,
+                        "dy": dy, "dx": dx,
+                        "fysize": v.shape[0], "fxsize": v.shape[1],
+                        "frag": np.ascontiguousarray(v).astype("<u2").tobytes(),
+                    })
+            if out:
+                yield pd.DataFrame(out)
+
+    return src.mapInPandas(emit, FRAG_SCHEMA)
+
+
+def _assemble(pdf: pd.DataFrame, nullval: int) -> tuple | None:
+    """Reduce side: padded (ys+2, xs+2) array for one target tile, or
+    None for centerless (off-grid) groups."""
+    center = pdf[(pdf["dy"] == 0) & (pdf["dx"] == 0)]
+    if center.empty:
+        return None
+    c = center.iloc[0]
+    ys, xs = int(c["fysize"]), int(c["fxsize"])
+    padded = np.full((ys + 2, xs + 2), nullval, dtype=np.int64)
+    for r in pdf.itertuples(index=False):
+        v = np.frombuffer(bytes(r.frag), "<u2").astype(np.int64).reshape(
+            int(r.fysize), int(r.fxsize)
+        )
+        # fragment emitted with offset (dy,dx) relative to its SOURCE:
+        # source sits at (-dy,-dx) from this tile, so dy=+1 fragments
+        # (from the tile above) fill the top pad row, dy=-1 the bottom
+        rs = slice(1, 1 + ys) if r.dy == 0 else (
+            slice(0, 1) if r.dy == 1 else slice(ys + 1, ys + 2))
+        cs = slice(1, 1 + xs) if r.dx == 0 else (
+            slice(0, 1) if r.dx == 1 else slice(xs + 1, xs + 2))
+        padded[rs, cs] = v
+    return int(c["band"]), int(c["tile_row"]), int(c["tile_col"]), ys, xs, padded
+
+
+def _window_views(padded: np.ndarray):
+    """The nine shifted (ys, xs) views of a padded array."""
+    ys, xs = padded.shape[0] - 2, padded.shape[1] - 2
+    return [padded[i:i + ys, j:j + xs] for i in range(3) for j in range(3)]
+
+
+def focal_stats(tiles: DataFrame, nullval: int = 0) -> DataFrame:
+    """Per-pixel 3x3 focal count/sum/min/max over VALID (non-null)
+    window pixels, defined at valid centers (the window includes the
+    center). -1 where the center is null. One shuffle (the halo
+    exchange); the kernel is nine shifted-view reductions, no Python
+    per pixel."""
+    frags = _emit_fragments(tiles)
+
+    def work(pdf: pd.DataFrame) -> pd.DataFrame:
+        got = _assemble(pdf, nullval)
+        if got is None:
+            return pd.DataFrame(
+                columns=["band", "tile_row", "tile_col", "ysize", "xsize",
+                         "f_count", "f_sum", "f_min", "f_max"])
+        band, tr, tc, ys, xs, padded = got
+        vpad = padded != nullval
+        cnt = np.zeros((ys, xs), np.int64)
+        tot = np.zeros((ys, xs), np.int64)
+        mn = np.full((ys, xs), np.iinfo(np.int64).max)
+        mx = np.full((ys, xs), np.iinfo(np.int64).min)
+        pv = _window_views(padded)
+        vv = _window_views(vpad)
+        for p, v in zip(pv, vv):
+            cnt += v
+            tot += np.where(v, p, 0)
+            mn = np.minimum(mn, np.where(v, p, np.iinfo(np.int64).max))
+            mx = np.maximum(mx, np.where(v, p, np.iinfo(np.int64).min))
+        cvalid = vv[4]  # center view of the validity pad
+        out = [np.where(cvalid, a, -1).ravel() for a in (cnt, tot, mn, mx)]
+        return pd.DataFrame([{
+            "band": band, "tile_row": tr, "tile_col": tc,
+            "ysize": ys, "xsize": xs,
+            "f_count": out[0], "f_sum": out[1],
+            "f_min": out[2], "f_max": out[3],
+        }])
+
+    return frags.groupBy("band", "tile_row", "tile_col").applyInPandas(
+        work, FOCAL_STATS_SCHEMA
+    )
+
+
+# light vector for hillshade: azimuth 315deg / altitude 45deg resolved
+# to exact double literals so the SQL oracle can use the SAME constants
+# (all remaining ops are IEEE correctly-rounded: * / + - sqrt floor)
+HS_LX = 0.5
+HS_LY = 0.5
+HS_LZ = 0.7071067811865476
+
+
+def hillshade(
+    tiles: DataFrame,
+    xres: float,
+    yres: float,
+    nullval: int = 0,
+    zfactor: float = 1.0,
+) -> DataFrame:
+    """Horn-method hillshade (the ``gdaldem hillshade`` analog) as an
+    integer 0..255 raster; -1 where any of the 9 window pixels is null
+    or off-raster. Gradients use Horn's weighted differences over the
+    halo-padded tile:
+
+        gx = ((tr + 2*mr + br) - (tl + 2*ml + bl)) / (8 * xres)
+        gy = ((bl + 2*bm + br) - (tl + 2*tm + tr)) / (8 * yres)
+
+    (rows increase downward). Shade = floor(255 * max(0, (LZ - LX*gx -
+    LY*gy) / sqrt(1 + gx^2 + gy^2)) + 0.5). Every floating op after the
+    exact integer gradient sums is IEEE correctly-rounded and ordered
+    identically in the DuckDB oracle, so the match is exact, not
+    approximate."""
+    frags = _emit_fragments(tiles)
+    fx = 8.0 * float(xres) / float(zfactor)
+    fy = 8.0 * float(yres) / float(zfactor)
+
+    def work(pdf: pd.DataFrame) -> pd.DataFrame:
+        got = _assemble(pdf, nullval)
+        if got is None:
+            return pd.DataFrame(
+                columns=["band", "tile_row", "tile_col",
+                         "ysize", "xsize", "pixels"])
+        band, tr, tc, ys, xs, padded = got
+        v = _window_views(padded)
+        vv = _window_views(padded != nullval)
+        allv = np.ones_like(vv[4])
+        for m in vv:
+            allv &= m
+        tl, tm, tr_, ml, _, mr, bl, bm, br = v
+        gxn = (tr_ + 2 * mr + br) - (tl + 2 * ml + bl)
+        gyn = (bl + 2 * bm + br) - (tl + 2 * tm + tr_)
+        gx = gxn / fx
+        gy = gyn / fy
+        num = HS_LZ - HS_LX * gx - HS_LY * gy
+        den = np.sqrt(1.0 + gx * gx + gy * gy)
+        shade = np.floor(255.0 * np.maximum(num / den, 0.0) + 0.5)
+        out = np.where(allv, shade.astype(np.int64), -1)
+        return pd.DataFrame([{
+            "band": band, "tile_row": tr, "tile_col": tc,
+            "ysize": ys, "xsize": xs, "pixels": out.ravel(),
+        }])
+
+    return frags.groupBy("band", "tile_row", "tile_col").applyInPandas(
+        work, FOCAL_APPLY_SCHEMA
+    )

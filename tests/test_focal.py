@@ -1,0 +1,169 @@
+"""Focal (neighborhood) operators: halo exchange + Horn hillshade.
+
+Truth model: assemble the full raster in numpy, compute every output
+pixel from the whole raster directly (no tiling), and compare against
+the distributed tiled computation pixel-for-pixel — so the cross-tile
+halo exchange is what the test exercises. Both pixel layouts
+(array<int> and packed u2 binary) must agree bit-for-bit.
+"""
+
+import numpy as np
+import pytest
+from pyspark.sql import functions as F
+from pyspark.sql.types import (
+    ArrayType, BinaryType, IntegerType, StructField, StructType,
+)
+
+from moamosaic_spark.functions.focal import (
+    HS_LX, HS_LY, HS_LZ, focal_stats, hillshade,
+)
+
+# 3x3 tile grid, ragged last row/col: full raster 8+8+5 = 21 rows,
+# 8+8+6 = 22 cols — every interior tile border and both ragged edges
+# get exercised.
+TILE_ROWS = [8, 8, 5]
+TILE_COLS = [8, 8, 6]
+NULL = 0
+
+
+def _make_raster(rng):
+    total = (sum(TILE_ROWS), sum(TILE_COLS))
+    g = rng.integers(1, 500, size=total).astype(np.int64)
+    # scatter nulls, including along tile borders
+    mask = rng.random(total) < 0.18
+    g[mask] = NULL
+    g[7:10, :] = np.where(rng.random((3, total[1])) < 0.5, NULL, g[7:10, :])
+    return g
+
+
+def _tiles_df(spark, grid, packed: bool):
+    rows = []
+    y = 0
+    for tr, ys in enumerate(TILE_ROWS):
+        x = 0
+        for tc, xs in enumerate(TILE_COLS):
+            arr = grid[y:y + ys, x:x + xs]
+            px = (arr.astype("<u2").tobytes() if packed
+                  else [int(v) for v in arr.ravel()])
+            rows.append((1, tr, tc, ys, xs, px))
+            x += xs
+        y += ys
+    schema = StructType([
+        StructField("band", IntegerType()),
+        StructField("tile_row", IntegerType()),
+        StructField("tile_col", IntegerType()),
+        StructField("ysize", IntegerType()),
+        StructField("xsize", IntegerType()),
+        StructField("pixels",
+                    BinaryType() if packed else ArrayType(IntegerType())),
+    ])
+    return spark.createDataFrame(rows, schema)
+
+
+def _collect_grids(df, cols):
+    """Reassemble per-tile output arrays into full-raster numpy grids."""
+    total = (sum(TILE_ROWS), sum(TILE_COLS))
+    grids = {c: np.full(total, -999, dtype=np.int64) for c in cols}
+    for r in df.collect():
+        y0 = sum(TILE_ROWS[: r.tile_row])
+        x0 = sum(TILE_COLS[: r.tile_col])
+        for c in cols:
+            a = np.asarray(r[c], dtype=np.int64).reshape(r.ysize, r.xsize)
+            grids[c][y0:y0 + r.ysize, x0:x0 + r.xsize] = a
+    assert all((g != -999).all() for g in grids.values())
+    return grids
+
+
+def _brute_focal(grid):
+    ys, xs = grid.shape
+    cnt = np.full(grid.shape, -1, np.int64)
+    tot = np.full(grid.shape, -1, np.int64)
+    mn = np.full(grid.shape, -1, np.int64)
+    mx = np.full(grid.shape, -1, np.int64)
+    for r in range(ys):
+        for c in range(xs):
+            if grid[r, c] == NULL:
+                continue
+            w = grid[max(0, r - 1):r + 2, max(0, c - 1):c + 2]
+            v = w[w != NULL]
+            cnt[r, c] = v.size
+            tot[r, c] = v.sum()
+            mn[r, c] = v.min()
+            mx[r, c] = v.max()
+    return cnt, tot, mn, mx
+
+
+def _brute_hillshade(grid, fx, fy):
+    ys, xs = grid.shape
+    out = np.full(grid.shape, -1, np.int64)
+    for r in range(1, ys - 1):
+        for c in range(1, xs - 1):
+            w = grid[r - 1:r + 2, c - 1:c + 2]
+            if (w == NULL).any():
+                continue
+            w = w.astype(np.float64)
+            gx = ((w[0, 2] + 2 * w[1, 2] + w[2, 2])
+                  - (w[0, 0] + 2 * w[1, 0] + w[2, 0])) / fx
+            gy = ((w[2, 0] + 2 * w[2, 1] + w[2, 2])
+                  - (w[0, 0] + 2 * w[0, 1] + w[0, 2])) / fy
+            num = HS_LZ - HS_LX * gx - HS_LY * gy
+            den = np.sqrt(1.0 + gx * gx + gy * gy)
+            out[r, c] = int(np.floor(255.0 * max(num / den, 0.0) + 0.5))
+    return out
+
+
+@pytest.mark.parametrize("packed", [False, True])
+def test_focal_stats_matches_whole_raster(spark, packed):
+    grid = _make_raster(np.random.default_rng(7))
+    tiles = _tiles_df(spark, grid, packed)
+    got = _collect_grids(
+        focal_stats(tiles, nullval=NULL),
+        ["f_count", "f_sum", "f_min", "f_max"],
+    )
+    cnt, tot, mn, mx = _brute_focal(grid)
+    np.testing.assert_array_equal(got["f_count"], cnt)
+    np.testing.assert_array_equal(got["f_sum"], tot)
+    np.testing.assert_array_equal(got["f_min"], mn)
+    np.testing.assert_array_equal(got["f_max"], mx)
+
+
+def test_focal_layouts_agree(spark):
+    grid = _make_raster(np.random.default_rng(11))
+    a = _collect_grids(
+        focal_stats(_tiles_df(spark, grid, False), nullval=NULL), ["f_sum"])
+    b = _collect_grids(
+        focal_stats(_tiles_df(spark, grid, True), nullval=NULL), ["f_sum"])
+    np.testing.assert_array_equal(a["f_sum"], b["f_sum"])
+
+
+@pytest.mark.parametrize("packed", [False, True])
+def test_hillshade_matches_whole_raster(spark, packed):
+    grid = _make_raster(np.random.default_rng(13))
+    xres, yres = 10.0, 10.0
+    tiles = _tiles_df(spark, grid, packed)
+    got = _collect_grids(
+        hillshade(tiles, xres=xres, yres=yres, nullval=NULL), ["pixels"])
+    truth = _brute_hillshade(grid, 8.0 * xres, 8.0 * yres)
+    np.testing.assert_array_equal(got["pixels"], truth)
+
+
+def test_hillshade_flat_surface(spark):
+    # flat surface: gx = gy = 0 -> shade = floor(255 * LZ + 0.5) = 180
+    # everywhere the 3x3 window is fully on-raster; -1 on the border.
+    grid = np.full((sum(TILE_ROWS), sum(TILE_COLS)), 7, dtype=np.int64)
+    got = _collect_grids(
+        hillshade(_tiles_df(spark, grid, True), xres=10.0, yres=10.0,
+                  nullval=NULL),
+        ["pixels"])["pixels"]
+    assert (got[1:-1, 1:-1] == 180).all()
+    assert (got[0, :] == -1).all() and (got[-1, :] == -1).all()
+    assert (got[:, 0] == -1).all() and (got[:, -1] == -1).all()
+
+
+def test_focal_single_shuffle_plan(spark):
+    # the halo exchange must be ONE shuffle: exactly one Exchange in
+    # the plan, keyed on the tile id
+    grid = _make_raster(np.random.default_rng(3))
+    plan = focal_stats(_tiles_df(spark, grid, True))._jdf.queryExecution(
+    ).executedPlan().toString()
+    assert plan.count("Exchange") == 1, plan
