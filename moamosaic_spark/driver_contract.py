@@ -1148,32 +1148,44 @@ def _level0_tiles(res):
     return t.where(F.col("level") == 0) if "level" in t.columns else t
 
 
-def _focal_reduce(out: DataFrame, col: str, g_ncols: int, names: tuple) -> DataFrame:
-    """Reduce a per-pixel array column (-1 = undefined) to per-tile
-    (count, sum, position-weighted sum, min, max) — all JVM-side
-    higher-order functions, no Python per pixel. The weight is the
-    GLOBAL pixel index (r * g_ncols + c): remainder-absorbing tiling
-    keeps t_top = tile_row * BLOCKSIZE for every tile, so position
-    reconstructs from the tile key + xsize alone, and any spatial
-    permutation breaks the hash."""
-    a = F.col(col)
-    valid = F.filter(a, lambda x: x != -1)
-
+def _focal_gidx(g_ncols: int):
+    """Global pixel index (r * g_ncols + c) of element ``i`` of a
+    tile's row-major array — the position-sensitive checksum weight.
+    Remainder-absorbing tiling keeps t_top = tile_row * BLOCKSIZE for
+    every tile, so position reconstructs from the tile key + xsize
+    alone, and any spatial permutation breaks the hash."""
     def gidx(i):
         gr = F.col("tile_row").cast("long") * BLOCKSIZE + F.floor(i / F.col("xsize")).cast("long")
         gc = F.col("tile_col").cast("long") * BLOCKSIZE + (i % F.col("xsize")).cast("long")
         return gr * g_ncols + gc
 
-    wsum = F.aggregate(
-        F.transform(a, lambda x, i: F.when(x != -1, x * gidx(i)).otherwise(F.lit(0).cast("long"))),
-        F.lit(0).cast("long"), lambda acc, x: acc + x,
-    )
+    return gidx
+
+
+def _focal_wsum(g_ncols: int):
+    """Column factory: position-weighted sum of an array column with
+    -1 = undefined — all JVM-side higher-order functions."""
+    gidx = _focal_gidx(g_ncols)
+
+    def wsum(col: str):
+        return F.aggregate(
+            F.transform(F.col(col), lambda x, i: F.when(x != -1, x * gidx(i)).otherwise(F.lit(0).cast("long"))),
+            F.lit(0).cast("long"), lambda acc, x: acc + x,
+        )
+
+    return wsum
+
+
+def _focal_reduce(out: DataFrame, col: str, g_ncols: int, names: tuple) -> DataFrame:
+    """Reduce a per-pixel array column (-1 = undefined) to per-tile
+    (count, sum, position-weighted sum, min, max)."""
+    valid = F.filter(F.col(col), lambda x: x != -1)
     n_def, s, w, mn, mx = names
     return out.select(
         "band", "tile_row", "tile_col",
         F.size(valid).cast("long").alias(n_def),
         F.aggregate(valid, F.lit(0).cast("long"), lambda acc, x: acc + x).alias(s),
-        wsum.alias(w),
+        _focal_wsum(g_ncols)(col).alias(w),
         F.array_min(valid).cast("long").alias(mn),
         F.array_max(valid).cast("long").alias(mx),
     ).where(F.col(n_def) > 0)
@@ -1194,15 +1206,20 @@ def q_focal_checksums(spark: SparkSession, sf_dir: str) -> DataFrame:
     res = _mosaic_result_cached(sf_dir, spark)
     out = focal_stats(_level0_tiles(res), nullval=int(res.grid.nullval))
     gnc = int(res.grid.ncols)
-    f = _focal_reduce(out, "f_sum", gnc, ("n_def", "sum_sum", "wsum_sum", "min_sum", "max_sum"))
-    cnt = _focal_reduce(out, "f_count", gnc, ("n_def_c", "sum_cnt", "wsum_cnt", "min_cnt", "max_cnt"))
-    return f.join(
-        cnt.select("band", "tile_row", "tile_col", "sum_cnt", "wsum_cnt"),
-        ["band", "tile_row", "tile_col"],
-    ).select(
-        "band", "tile_row", "tile_col", "n_def",
-        "sum_cnt", "wsum_cnt", "sum_sum", "wsum_sum", "min_sum", "max_sum",
-    )
+    gidx, wsum = _focal_gidx(gnc), _focal_wsum(gnc)
+    vs, vc = F.filter(F.col("f_sum"), lambda x: x != -1), F.filter(
+        F.col("f_count"), lambda x: x != -1)
+    # one select over ONE halo exchange — both arrays reduce in place
+    return out.select(
+        "band", "tile_row", "tile_col",
+        F.size(vs).cast("long").alias("n_def"),
+        F.aggregate(vc, F.lit(0).cast("long"), lambda a, x: a + x).alias("sum_cnt"),
+        wsum("f_count").alias("wsum_cnt"),
+        F.aggregate(vs, F.lit(0).cast("long"), lambda a, x: a + x).alias("sum_sum"),
+        wsum("f_sum").alias("wsum_sum"),
+        F.array_min(vs).cast("long").alias("min_sum"),
+        F.array_max(vs).cast("long").alias("max_sum"),
+    ).where(F.col("n_def") > 0)
 
 
 def _focal_checksums_sql() -> str:
@@ -1306,6 +1323,111 @@ SELECT 1 AS band,
        CAST(min(h.shade) AS BIGINT) AS min_shade,
        CAST(max(h.shade) AS BIGINT) AS max_shade
 FROM hs h, nb, grid g
+GROUP BY 1, 2, 3
+"""
+
+
+def q_terrain_checksums(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Slope + D8 flow direction (functions/focal.terrain) over the
+    stitched mosaic in one halo exchange. slope_q is percent slope
+    quantized (floor(1e5*sqrt(gx^2+gy^2)+0.5)) so the float pipeline is
+    exactly replayable; d8 is pure integer/compare semantics with the
+    documented scan-order tie-break — the oracle reproduces both per
+    pixel, position-gated by the weighted checksums."""
+    from .functions.focal import terrain
+
+    res = _mosaic_result_cached(sf_dir, spark)
+    out = terrain(
+        _level0_tiles(res),
+        xres=float(res.grid.x_res), yres=float(res.grid.y_res),
+        nullval=int(res.grid.nullval),
+    )
+    wsum = _focal_wsum(int(res.grid.ncols))
+    vs = F.filter(F.col("slope_q"), lambda x: x != -1)
+    vd = F.filter(F.col("d8"), lambda x: x != -1)
+    return out.select(
+        "band", "tile_row", "tile_col",
+        F.size(vs).cast("long").alias("n_def"),
+        F.aggregate(vs, F.lit(0).cast("long"), lambda a, x: a + x).alias("sum_slope"),
+        wsum("slope_q").alias("wsum_slope"),
+        F.array_max(vs).cast("long").alias("max_slope"),
+        F.aggregate(vd, F.lit(0).cast("long"), lambda a, x: a + x).alias("sum_d8"),
+        wsum("d8").alias("wsum_d8"),
+    ).where(F.col("n_def") > 0)
+
+
+def _terrain_checksums_sql() -> str:
+    from .functions.focal import D8_DIAG_W, D8_FLAT, SLOPE_Q
+
+    fx = 8.0 * RES
+    fy = 8.0 * RES
+    return f"""{_sql_prologue()},
+n9 AS (
+  SELECT m.r - dr.i AS r, m.c - dc.i AS c, dr.i AS wy, dc.i AS wx, m.val
+  FROM merged m,
+       generate_series(-1, 1) dr(i),
+       generate_series(-1, 1) dc(i)
+),
+w AS (
+  SELECT r, c,
+         sum(CASE WHEN wy = -1 AND wx = -1 THEN val END) AS tl,
+         sum(CASE WHEN wy = -1 AND wx =  0 THEN val END) AS tm,
+         sum(CASE WHEN wy = -1 AND wx =  1 THEN val END) AS tr,
+         sum(CASE WHEN wy =  0 AND wx = -1 THEN val END) AS ml,
+         sum(CASE WHEN wy =  0 AND wx =  0 THEN val END) AS cc,
+         sum(CASE WHEN wy =  0 AND wx =  1 THEN val END) AS mr,
+         sum(CASE WHEN wy =  1 AND wx = -1 THEN val END) AS bl,
+         sum(CASE WHEN wy =  1 AND wx =  0 THEN val END) AS bm,
+         sum(CASE WHEN wy =  1 AND wx =  1 THEN val END) AS br
+  FROM n9
+  GROUP BY r, c
+  HAVING count(*) = 9
+),
+gxy AS (
+  SELECT r, c,
+         CAST((tr + 2 * mr + br) - (tl + 2 * ml + bl) AS DOUBLE) / {fx!r} AS gx,
+         CAST((bl + 2 * bm + br) - (tl + 2 * tm + tr) AS DOUBLE) / {fy!r} AS gy
+  FROM w
+),
+slope AS (
+  SELECT r, c,
+         CAST(floor({SLOPE_Q!r} * sqrt(gx * gx + gy * gy) + 0.5) AS BIGINT) AS slope_q
+  FROM gxy
+),
+n8 AS (
+  -- D8 scan order N,NE,E,SE,S,SW,W,NW = dir 0..7 (focal.D8_DIRS)
+  SELECT n.r, n.c,
+         CASE WHEN n.wy = -1 AND n.wx =  0 THEN 0
+              WHEN n.wy = -1 AND n.wx =  1 THEN 1
+              WHEN n.wy =  0 AND n.wx =  1 THEN 2
+              WHEN n.wy =  1 AND n.wx =  1 THEN 3
+              WHEN n.wy =  1 AND n.wx =  0 THEN 4
+              WHEN n.wy =  1 AND n.wx = -1 THEN 5
+              WHEN n.wy =  0 AND n.wx = -1 THEN 6
+              ELSE 7 END AS dir,
+         CAST(w.cc - n.val AS DOUBLE)
+           * (CASE WHEN n.wy != 0 AND n.wx != 0 THEN {D8_DIAG_W!r} ELSE 1.0 END) AS eff
+  FROM n9 n JOIN w ON w.r = n.r AND w.c = n.c
+  WHERE NOT (n.wy = 0 AND n.wx = 0)
+),
+d8 AS (
+  SELECT r, c,
+         CASE WHEN max(eff) > 0.0
+              THEN first(dir ORDER BY eff DESC, dir)
+              ELSE {D8_FLAT} END AS d8
+  FROM n8
+  GROUP BY r, c
+)
+SELECT 1 AS band,
+       CAST(least(floor(s.r * 1.0 / {BLOCKSIZE}), nb.nb_r - 1) AS INT) AS tile_row,
+       CAST(least(floor(s.c * 1.0 / {BLOCKSIZE}), nb.nb_c - 1) AS INT) AS tile_col,
+       CAST(count(*) AS BIGINT) AS n_def,
+       CAST(sum(s.slope_q) AS BIGINT) AS sum_slope,
+       CAST(sum(s.slope_q * (s.r * g.g_ncols + s.c)) AS BIGINT) AS wsum_slope,
+       CAST(max(s.slope_q) AS BIGINT) AS max_slope,
+       CAST(sum(d.d8) AS BIGINT) AS sum_d8,
+       CAST(sum(d.d8 * (s.r * g.g_ncols + s.c)) AS BIGINT) AS wsum_d8
+FROM slope s JOIN d8 d ON d.r = s.r AND d.c = s.c, nb, grid g
 GROUP BY 1, 2, 3
 """
 
@@ -2729,6 +2851,7 @@ def queries() -> dict:
         "region_outlines": q_region_outlines,
         "focal_checksums": q_focal_checksums,
         "hillshade_checksums": q_hillshade_checksums,
+        "terrain_checksums": q_terrain_checksums,
         "tile_knn_sources": q_tile_knn_sources,
         "doc_token_stats": q_doc_token_stats,
         "doc_fingerprints": q_doc_fingerprints,
@@ -2788,6 +2911,7 @@ def oracle_sql() -> dict:
         "region_outlines": _region_outlines_sql(),
         "focal_checksums": _focal_checksums_sql(),
         "hillshade_checksums": _hillshade_checksums_sql(),
+        "terrain_checksums": _terrain_checksums_sql(),
         "tile_knn_sources": _tile_knn_sql(),
         "doc_token_stats": SQL_DOC_TOKEN_STATS,
         "doc_fingerprints": _doc_fingerprints_sql(),

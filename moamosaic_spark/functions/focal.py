@@ -53,6 +53,11 @@ FOCAL_APPLY_SCHEMA = (
     "pixels array<long>"
 )
 
+TERRAIN_SCHEMA = (
+    "band int, tile_row int, tile_col int, ysize int, xsize int, "
+    "slope_q array<long>, d8 array<long>"
+)
+
 
 def _tile_array(row) -> np.ndarray:
     """Decode either pixel layout to (ysize, xsize) int64."""
@@ -239,4 +244,76 @@ def hillshade(
 
     return frags.groupBy("band", "tile_row", "tile_col").applyInPandas(
         work, FOCAL_APPLY_SCHEMA
+    )
+
+
+# D8 neighbor scan order (the tie-break order): N, NE, E, SE, S, SW, W,
+# NW as (window_dy, window_dx); diagonals weight drops by 1/sqrt(2).
+D8_DIRS = ((-1, 0), (-1, 1), (0, 1), (1, 1), (1, 0), (1, -1), (0, -1), (-1, -1))
+D8_DIAG_W = 0.7071067811865476
+D8_FLAT = 8
+SLOPE_Q = 100000.0  # percent-slope x 1000, floor(q*slope + 0.5)
+
+
+def terrain(
+    tiles: DataFrame,
+    xres: float,
+    yres: float,
+    nullval: int = 0,
+    zfactor: float = 1.0,
+) -> DataFrame:
+    """Slope + D8 flow direction (the ``gdaldem slope`` and hydrology
+    flow-routing primitives) in ONE halo exchange and one kernel pass.
+
+    ``slope_q`` = floor(100000 * sqrt(gx^2 + gy^2) + 0.5) — Horn
+    gradients as in :func:`hillshade`, percent slope quantized x1000.
+    Every op (int-sum, cast, multiply, add, sqrt, floor) is IEEE
+    correctly-rounded, so a SQL oracle running the same expression
+    matches exactly.
+
+    ``d8`` = index into D8_DIRS of the steepest-descent neighbor,
+    comparing drop * (1 or 1/sqrt(2) for diagonals); ties take the
+    FIRST direction in scan order; no positive drop -> D8_FLAT (8).
+    Both are -1 wherever any of the 9 window pixels is null or
+    off-raster."""
+    frags = _emit_fragments(tiles)
+    fx = 8.0 * float(xres) / float(zfactor)
+    fy = 8.0 * float(yres) / float(zfactor)
+
+    def work(pdf: pd.DataFrame) -> pd.DataFrame:
+        got = _assemble(pdf, nullval)
+        if got is None:
+            return pd.DataFrame(
+                columns=["band", "tile_row", "tile_col",
+                         "ysize", "xsize", "slope_q", "d8"])
+        band, tr, tc, ys, xs, padded = got
+        v = _window_views(padded)
+        vv = _window_views(padded != nullval)
+        allv = np.ones_like(vv[4])
+        for m in vv:
+            allv &= m
+        tl, tm, tr_, ml, cc, mr, bl, bm, br = v
+        gx = ((tr_ + 2 * mr + br) - (tl + 2 * ml + bl)) / fx
+        gy = ((bl + 2 * bm + br) - (tl + 2 * tm + tr_)) / fy
+        slope = np.floor(SLOPE_Q * np.sqrt(gx * gx + gy * gy) + 0.5)
+
+        by_off = {(i // 3 - 1, i % 3 - 1): v[i] for i in range(9)}
+        best_eff = np.full((ys, xs), -np.inf)
+        best_dir = np.full((ys, xs), D8_FLAT, np.int64)
+        for k, (dy, dx) in enumerate(D8_DIRS):
+            w = D8_DIAG_W if dy != 0 and dx != 0 else 1.0
+            eff = (cc - by_off[(dy, dx)]).astype(np.float64) * w
+            take = eff > best_eff  # strict: first direction wins ties
+            best_eff = np.where(take, eff, best_eff)
+            best_dir = np.where(take, k, best_dir)
+        d8 = np.where(best_eff > 0.0, best_dir, D8_FLAT)
+        return pd.DataFrame([{
+            "band": band, "tile_row": tr, "tile_col": tc,
+            "ysize": ys, "xsize": xs,
+            "slope_q": np.where(allv, slope.astype(np.int64), -1).ravel(),
+            "d8": np.where(allv, d8, -1).ravel(),
+        }])
+
+    return frags.groupBy("band", "tile_row", "tile_col").applyInPandas(
+        work, TERRAIN_SCHEMA
     )

@@ -15,7 +15,8 @@ from pyspark.sql.types import (
 )
 
 from moamosaic_spark.functions.focal import (
-    HS_LX, HS_LY, HS_LZ, focal_stats, hillshade,
+    D8_DIAG_W, D8_DIRS, D8_FLAT, HS_LX, HS_LY, HS_LZ, SLOPE_Q,
+    focal_stats, hillshade, terrain,
 )
 
 # 3x3 tile grid, ragged last row/col: full raster 8+8+5 = 21 rows,
@@ -158,6 +159,71 @@ def test_hillshade_flat_surface(spark):
     assert (got[1:-1, 1:-1] == 180).all()
     assert (got[0, :] == -1).all() and (got[-1, :] == -1).all()
     assert (got[:, 0] == -1).all() and (got[:, -1] == -1).all()
+
+
+def _brute_terrain(grid, fx, fy):
+    ys, xs = grid.shape
+    slope = np.full(grid.shape, -1, np.int64)
+    d8 = np.full(grid.shape, -1, np.int64)
+    for r in range(1, ys - 1):
+        for c in range(1, xs - 1):
+            w = grid[r - 1:r + 2, c - 1:c + 2]
+            if (w == NULL).any():
+                continue
+            wf = w.astype(np.float64)
+            gx = ((wf[0, 2] + 2 * wf[1, 2] + wf[2, 2])
+                  - (wf[0, 0] + 2 * wf[1, 0] + wf[2, 0])) / fx
+            gy = ((wf[2, 0] + 2 * wf[2, 1] + wf[2, 2])
+                  - (wf[0, 0] + 2 * wf[0, 1] + wf[0, 2])) / fy
+            slope[r, c] = int(np.floor(
+                SLOPE_Q * np.sqrt(gx * gx + gy * gy) + 0.5))
+            best_eff, best_k = -np.inf, D8_FLAT
+            for k, (dy, dx) in enumerate(D8_DIRS):
+                wt = D8_DIAG_W if dy != 0 and dx != 0 else 1.0
+                eff = float(int(w[1, 1]) - int(w[1 + dy, 1 + dx])) * wt
+                if eff > best_eff:
+                    best_eff, best_k = eff, k
+            d8[r, c] = best_k if best_eff > 0.0 else D8_FLAT
+    return slope, d8
+
+
+@pytest.mark.parametrize("packed", [False, True])
+def test_terrain_matches_whole_raster(spark, packed):
+    # values in 1..6 force many D8 ties -> the scan-order tie-break is
+    # what this test actually gates (plus the cross-tile halo)
+    rng = np.random.default_rng(17)
+    total = (sum(TILE_ROWS), sum(TILE_COLS))
+    grid = rng.integers(1, 7, size=total).astype(np.int64)
+    grid[rng.random(total) < 0.1] = NULL
+    got = _collect_grids(
+        terrain(_tiles_df(spark, grid, packed), xres=10.0, yres=10.0,
+                nullval=NULL),
+        ["slope_q", "d8"],
+    )
+    slope, d8 = _brute_terrain(grid, 80.0, 80.0)
+    np.testing.assert_array_equal(got["slope_q"], slope)
+    np.testing.assert_array_equal(got["d8"], d8)
+
+
+def test_terrain_flat_and_single_descent(spark):
+    # flat -> slope 0, d8 = D8_FLAT; one lower cell -> its 8 neighbors
+    # all point at it
+    grid = np.full((sum(TILE_ROWS), sum(TILE_COLS)), 9, dtype=np.int64)
+    grid[10, 10] = 3  # sits on the (8,8) tile's interior-adjacent zone
+    got = _collect_grids(
+        terrain(_tiles_df(spark, grid, True), xres=10.0, yres=10.0,
+                nullval=NULL),
+        ["slope_q", "d8"],
+    )
+    d8 = got["d8"]
+    assert d8[5, 5] == D8_FLAT and got["slope_q"][5, 5] == 0
+    # neighbors of the pit route into it: cell above flows S(4),
+    # below flows N(0), left flows E(2), right flows W(6), diagonals too
+    assert d8[9, 10] == 4 and d8[11, 10] == 0
+    assert d8[10, 9] == 2 and d8[10, 11] == 6
+    assert d8[9, 9] == 3 and d8[11, 11] == 7
+    # the pit itself is a pit -> D8_FLAT (no positive drop)
+    assert d8[10, 10] == D8_FLAT
 
 
 def test_focal_single_shuffle_plan(spark):
