@@ -37,11 +37,6 @@ import numpy as np
 import pandas as pd
 from pyspark.sql import DataFrame, functions as F
 
-FRAG_SCHEMA = (
-    "band int, tile_row int, tile_col int, dy int, dx int, "
-    "fysize int, fxsize int, frag binary"
-)
-
 FOCAL_STATS_SCHEMA = (
     "band int, tile_row int, tile_col int, ysize int, xsize int, "
     "f_count array<long>, f_sum array<long>, f_min array<long>, "
@@ -59,18 +54,24 @@ TERRAIN_SCHEMA = (
 )
 
 
-def _tile_array(row) -> np.ndarray:
-    """Decode either pixel layout to (ysize, xsize) int64."""
-    px = row.pixels
-    if isinstance(px, (bytes, bytearray)):
-        a = np.frombuffer(bytes(px), "<u2").astype(np.int64)
-    else:
-        a = np.asarray(px, dtype=np.int64)
-    return a.reshape(int(row.ysize), int(row.xsize))
+FRAG_SCHEMA = (
+    "band int, tile_row int, tile_col int, dy int, dx int, "
+    "fysize int, fxsize int, frag binary"
+)
 
 
 def _emit_fragments(tiles: DataFrame) -> DataFrame:
     """Map side of the halo exchange: 9 addressed fragments per tile.
+
+    Split by access pattern, not by habit: the 7 CONTIGUOUS fragments
+    (full payload to self, top/bottom rows, 4 corners) are a pure JVM
+    projection — substr slices + explode, no Python and no Arrow
+    crossing for the heavy payload before the shuffle. Only the 2
+    non-contiguous COLUMN strips go through one mapInPandas (numpy's
+    strided slice is O(ysize); a JVM substr-per-row lambda re-copies
+    the whole payload from the row per element — measured ~2 GB of
+    memcpy per 1024^2 tile). Strip output is O(perimeter). array<int>
+    input is packed to the wire layout (u2 binary) first, JVM-side.
 
     A fragment row (band, tr, tc, dy, dx, ...) is addressed TO tile
     (tr, tc) and was emitted BY tile (tr - dy, tc - dx); the assembler
@@ -78,39 +79,70 @@ def _emit_fragments(tiles: DataFrame) -> DataFrame:
     edge form centerless groups the reduce side drops — no grid-extent
     lookup is needed on the map side.
     """
+    from ..pixels import pack_u2, pixels_are_binary
+
     cols = [c for c in ("band", "tile_row", "tile_col", "ysize", "xsize", "pixels")
             if c in tiles.columns]
     src = tiles.select(*cols) if "band" in tiles.columns else tiles.select(
         F.lit(1).alias("band"), "tile_row", "tile_col", "ysize", "xsize", "pixels"
     )
+    if not pixels_are_binary(src):
+        src = src.withColumn("pixels", pack_u2(F.col("pixels")))
 
-    def emit(batches):
+    px = F.col("pixels")
+    ys, xs = F.col("ysize"), F.col("xsize")
+    xs2 = xs * 2  # bytes per row (u2)
+    one = F.lit(1)
+
+    def frag(dy, dx, fy, fx, data):
+        return F.struct(
+            F.lit(dy).alias("dy"), F.lit(dx).alias("dx"),
+            fy.cast("int").alias("fysize"), fx.cast("int").alias("fxsize"),
+            data.alias("frag"),
+        )
+
+    # slices of THIS tile that the neighbor at (+dy,+dx) pads with
+    seven = F.array(
+        frag(0, 0, ys, xs, px),
+        frag(1, 0, one, xs, px.substr((ys - 1) * xs2 + 1, xs2)),
+        frag(-1, 0, one, xs, px.substr(F.lit(1), xs2)),
+        frag(1, 1, one, one, px.substr(ys * xs2 - 1, F.lit(2))),
+        frag(1, -1, one, one, px.substr((ys - 1) * xs2 + 1, F.lit(2))),
+        frag(-1, 1, one, one, px.substr(xs2 - 1, F.lit(2))),
+        frag(-1, -1, one, one, px.substr(F.lit(1), F.lit(2))),
+    )
+    f = F.col("f")
+    jvm = src.select(
+        "band", "tile_row", "tile_col", F.explode(seven).alias("f")
+    ).select(
+        "band",
+        (F.col("tile_row") + f.dy).cast("int").alias("tile_row"),
+        (F.col("tile_col") + f.dx).cast("int").alias("tile_col"),
+        f.dy.alias("dy"), f.dx.alias("dx"),
+        f.fysize.alias("fysize"), f.fxsize.alias("fxsize"),
+        f.frag.alias("frag"),
+    )
+
+    def strips(batches):
         for pdf in batches:
             out = []
             for r in pdf.itertuples(index=False):
-                arr = _tile_array(r)
-                ys, xs = arr.shape
-                tr, tc, band = int(r.tile_row), int(r.tile_col), int(r.band)
-                # slices of THIS tile that the neighbor at (+dy,+dx) pads with
-                views = {
-                    (0, 0): arr,
-                    (1, 0): arr[-1:, :], (-1, 0): arr[:1, :],
-                    (0, 1): arr[:, -1:], (0, -1): arr[:, :1],
-                    (1, 1): arr[-1:, -1:], (1, -1): arr[-1:, :1],
-                    (-1, 1): arr[:1, -1:], (-1, -1): arr[:1, :1],
-                }
-                for (dy, dx), v in views.items():
+                a = np.frombuffer(bytes(r.pixels), "<u2").reshape(
+                    int(r.ysize), int(r.xsize))
+                for dx, col in ((1, a[:, -1]), (-1, a[:, 0])):
                     out.append({
-                        "band": band,
-                        "tile_row": tr + dy, "tile_col": tc + dx,
-                        "dy": dy, "dx": dx,
-                        "fysize": v.shape[0], "fxsize": v.shape[1],
-                        "frag": np.ascontiguousarray(v).astype("<u2").tobytes(),
+                        "band": int(r.band),
+                        "tile_row": int(r.tile_row),
+                        "tile_col": int(r.tile_col) + dx,
+                        "dy": 0, "dx": dx,
+                        "fysize": a.shape[0], "fxsize": 1,
+                        "frag": np.ascontiguousarray(col).tobytes(),
                     })
             if out:
                 yield pd.DataFrame(out)
 
-    return src.mapInPandas(emit, FRAG_SCHEMA)
+    py = src.mapInPandas(strips, FRAG_SCHEMA)
+    return jvm.unionByName(py)
 
 
 def _assemble(pdf: pd.DataFrame, nullval: int) -> tuple | None:
