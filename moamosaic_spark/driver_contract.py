@@ -1356,12 +1356,13 @@ def q_terrain_checksums(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).where(F.col("n_def") > 0)
 
 
-def _terrain_checksums_sql() -> str:
-    from .functions.focal import D8_DIAG_W, D8_FLAT, SLOPE_Q
+def _d8_ctes() -> str:
+    """CTE block (n9 -> w -> n8 -> d8) shared by the terrain and basin
+    oracles: per-pixel D8 code with the identical eff semantics and
+    scan-order tie-break as functions/focal.terrain."""
+    from .functions.focal import D8_DIAG_W, D8_FLAT
 
-    fx = 8.0 * RES
-    fy = 8.0 * RES
-    return f"""{_sql_prologue()},
+    return f"""
 n9 AS (
   SELECT m.r - dr.i AS r, m.c - dc.i AS c, dr.i AS wy, dc.i AS wx, m.val
   FROM merged m,
@@ -1382,17 +1383,6 @@ w AS (
   FROM n9
   GROUP BY r, c
   HAVING count(*) = 9
-),
-gxy AS (
-  SELECT r, c,
-         CAST((tr + 2 * mr + br) - (tl + 2 * ml + bl) AS DOUBLE) / {fx!r} AS gx,
-         CAST((bl + 2 * bm + br) - (tl + 2 * tm + tr) AS DOUBLE) / {fy!r} AS gy
-  FROM w
-),
-slope AS (
-  SELECT r, c,
-         CAST(floor({SLOPE_Q!r} * sqrt(gx * gx + gy * gy) + 0.5) AS BIGINT) AS slope_q
-  FROM gxy
 ),
 n8 AS (
   -- D8 scan order N,NE,E,SE,S,SW,W,NW = dir 0..7 (focal.D8_DIRS)
@@ -1417,6 +1407,25 @@ d8 AS (
               ELSE {D8_FLAT} END AS d8
   FROM n8
   GROUP BY r, c
+)"""
+
+
+def _terrain_checksums_sql() -> str:
+    from .functions.focal import SLOPE_Q
+
+    fx = 8.0 * RES
+    fy = 8.0 * RES
+    return f"""{_sql_prologue()},{_d8_ctes()},
+gxy AS (
+  SELECT r, c,
+         CAST((tr + 2 * mr + br) - (tl + 2 * ml + bl) AS DOUBLE) / {fx!r} AS gx,
+         CAST((bl + 2 * bm + br) - (tl + 2 * tm + tr) AS DOUBLE) / {fy!r} AS gy
+  FROM w
+),
+slope AS (
+  SELECT r, c,
+         CAST(floor({SLOPE_Q!r} * sqrt(gx * gx + gy * gy) + 0.5) AS BIGINT) AS slope_q
+  FROM gxy
 )
 SELECT 1 AS band,
        CAST(least(floor(s.r * 1.0 / {BLOCKSIZE}), nb.nb_r - 1) AS INT) AS tile_row,
@@ -1429,6 +1438,88 @@ SELECT 1 AS band,
        CAST(sum(d.d8 * (s.r * g.g_ncols + s.c)) AS BIGINT) AS wsum_d8
 FROM slope s JOIN d8 d ON d.r = s.r AND d.c = s.c, nb, grid g
 GROUP BY 1, 2, 3
+"""
+
+
+def q_flow_basins(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Drainage-basin labeling (watershed segmentation) over the
+    stitched mosaic: terrain D8 -> per-cell flow edges (JVM posexplode)
+    -> pointer-doubling sink resolution (functions/hydro.flow_basins,
+    O(log max-path) shuffle rounds — the same round shape as the dedup
+    connected-components) -> per-basin rollup. The oracle recomputes
+    D8 per pixel from the merged CTE and resolves sinks with TEN
+    chained materialized self-join CTEs (2^10 hops >= any path in the
+    984^2 fixture; Spark side converges by count, oracle by depth)."""
+    from .functions.focal import terrain
+    from .functions.hydro import basin_summary, d8_edges, flow_basins
+
+    res = _mosaic_result_cached(sf_dir, spark)
+    terr = terrain(
+        _level0_tiles(res),
+        xres=float(res.grid.x_res), yres=float(res.grid.y_res),
+        nullval=int(res.grid.nullval),
+    )
+    edges = d8_edges(terr, g_ncols=int(res.grid.ncols), blocksize=BLOCKSIZE)
+    b = flow_basins(edges)
+    return basin_summary(b).select(
+        F.col("basin").cast("long").alias("basin"),
+        F.col("n_cells").cast("long").alias("n_cells"),
+        F.col("max_dist").cast("long").alias("max_dist"),
+        F.col("sum_dist").cast("long").alias("sum_dist"),
+        F.col("wsum_gid").cast("long").alias("wsum_gid"),
+    )
+
+
+_BASIN_DOUBLING_ROUNDS = 10  # 2^10 = 1024 hops >= any path in the fixture
+
+
+def _flow_basins_sql() -> str:
+    doubling = "\n".join(
+        f"s{k + 1} AS MATERIALIZED (\n"
+        f"  SELECT a.gid, b.ptr, a.dist + b.dist AS dist\n"
+        f"  FROM s{k} a JOIN s{k} b ON b.gid = a.ptr\n"
+        f"),"
+        for k in range(_BASIN_DOUBLING_ROUNDS)
+    )
+    last = f"s{_BASIN_DOUBLING_ROUNDS}"
+    return f"""{_sql_prologue()},{_d8_ctes()},
+edges AS MATERIALIZED (
+  SELECT d.r * g.g_ncols + d.c AS gid,
+         CASE d.d8
+           WHEN 8 THEN d.r * g.g_ncols + d.c
+           WHEN 0 THEN (d.r - 1) * g.g_ncols + d.c
+           WHEN 1 THEN (d.r - 1) * g.g_ncols + (d.c + 1)
+           WHEN 2 THEN d.r * g.g_ncols + (d.c + 1)
+           WHEN 3 THEN (d.r + 1) * g.g_ncols + (d.c + 1)
+           WHEN 4 THEN (d.r + 1) * g.g_ncols + d.c
+           WHEN 5 THEN (d.r + 1) * g.g_ncols + (d.c - 1)
+           WHEN 6 THEN d.r * g.g_ncols + (d.c - 1)
+           ELSE (d.r - 1) * g.g_ncols + (d.c - 1)
+         END AS dst
+  FROM d8 d, grid g
+),
+-- virtual outlets (dst outside the defined set) become absorbing
+-- self-loops, exactly as in hydro.flow_basins
+s0 AS MATERIALIZED (
+  SELECT gid, dst AS ptr, CASE WHEN dst = gid THEN 0 ELSE 1 END AS dist
+  FROM edges
+  UNION ALL
+  SELECT DISTINCT dst AS gid, dst AS ptr, 0 AS dist
+  FROM edges
+  WHERE dst NOT IN (SELECT gid FROM edges)
+),
+{doubling}
+final AS (
+  SELECT e.gid, s.ptr AS basin, s.dist
+  FROM edges e JOIN {last} s ON s.gid = e.gid
+)
+SELECT CAST(basin AS BIGINT) AS basin,
+       CAST(count(*) AS BIGINT) AS n_cells,
+       CAST(max(dist) AS BIGINT) AS max_dist,
+       CAST(sum(dist) AS BIGINT) AS sum_dist,
+       CAST(sum(gid % 1000003) AS BIGINT) AS wsum_gid
+FROM final
+GROUP BY basin
 """
 
 
@@ -2852,6 +2943,7 @@ def queries() -> dict:
         "focal_checksums": q_focal_checksums,
         "hillshade_checksums": q_hillshade_checksums,
         "terrain_checksums": q_terrain_checksums,
+        "flow_basins": q_flow_basins,
         "tile_knn_sources": q_tile_knn_sources,
         "doc_token_stats": q_doc_token_stats,
         "doc_fingerprints": q_doc_fingerprints,
@@ -2912,6 +3004,7 @@ def oracle_sql() -> dict:
         "focal_checksums": _focal_checksums_sql(),
         "hillshade_checksums": _hillshade_checksums_sql(),
         "terrain_checksums": _terrain_checksums_sql(),
+        "flow_basins": _flow_basins_sql(),
         "tile_knn_sources": _tile_knn_sql(),
         "doc_token_stats": SQL_DOC_TOKEN_STATS,
         "doc_fingerprints": _doc_fingerprints_sql(),
