@@ -480,6 +480,101 @@ def run_focal(spark) -> dict:
     }
 
 
+def run_basin_scale(spark) -> dict:
+    """Watershed segmentation at the 10^6.5-cell shape: a 2048^2
+    deterministic DEM (smooth ridged surface + per-cell hash jitter ->
+    real pit/valley structure), terrain D8 on 256^2 tiles, then
+    pointer-doubling basin resolution. EVERY cell's (basin, dist) is
+    asserted against an independent numpy pointer-doubling pass over
+    the driver-side D8 grid before any number is reported. Rounds grow
+    O(log max-path) — the number that stays flat at 100x the cells."""
+    import numpy as np
+    from pyspark.sql import functions as F
+    from pyspark.sql.types import (
+        BinaryType, IntegerType, StructField, StructType,
+    )
+
+    from moamosaic_spark.functions.focal import D8_DIRS, D8_FLAT, terrain
+    from moamosaic_spark.functions.hydro import basin_summary, d8_edges, flow_basins
+
+    N, BS_ = 2048, 256
+    yy, xx = np.mgrid[0:N, 0:N].astype(np.float64)
+    surf = (
+        3000
+        + 900 * np.sin(yy / 97.0) * np.cos(xx / 71.0)
+        + 500 * np.sin((yy + xx) / 211.0)
+    )
+    # deterministic per-cell jitter (splitmix-ish hash), +-8 units
+    h = (yy.astype(np.int64) * 2654435761 + xx.astype(np.int64) * 40503) % 97
+    grid = np.maximum((surf + (h - 48) / 6.0).astype(np.int64), 1)
+    rows = []
+    for tr in range(N // BS_):
+        for tc in range(N // BS_):
+            a = grid[tr * BS_:(tr + 1) * BS_, tc * BS_:(tc + 1) * BS_]
+            rows.append((1, tr, tc, BS_, BS_, a.astype("<u2").tobytes()))
+    schema = StructType([
+        StructField("band", IntegerType()), StructField("tile_row", IntegerType()),
+        StructField("tile_col", IntegerType()), StructField("ysize", IntegerType()),
+        StructField("xsize", IntegerType()), StructField("pixels", BinaryType()),
+    ])
+    tiles = spark.createDataFrame(rows, schema).repartition(32).persist()
+    tiles.count()
+
+    t0 = time.time()
+    terr = terrain(tiles, xres=10.0, yres=10.0, nullval=0)
+    edges = d8_edges(terr, g_ncols=N, blocksize=BS_).persist()
+    n_cells = edges.count()
+    terrain_s = time.time() - t0
+    t0 = time.time()
+    basins = flow_basins(edges).persist()
+    basins.count()
+    basins_s = time.time() - t0
+    summ = basin_summary(basins)
+    n_basins = summ.count()
+
+    # ---- independent truth: numpy pointer doubling over the d8 grid
+    d8g = np.full((N, N), -1, np.int64)
+    for r in terr.select("tile_row", "tile_col", "ysize", "xsize", "d8").collect():
+        d8g[r.tile_row * BS_:r.tile_row * BS_ + r.ysize,
+            r.tile_col * BS_:r.tile_col * BS_ + r.xsize] = np.asarray(
+            r.d8, np.int64).reshape(r.ysize, r.xsize)
+    gid = np.arange(N * N, dtype=np.int64)
+    flat_d8 = d8g.ravel()
+    ptr = gid.copy()
+    dist = np.zeros(N * N, np.int64)
+    defined = flat_d8 != -1
+    flowing = defined & (flat_d8 != D8_FLAT)
+    off = np.array([dy * N + dx for dy, dx in D8_DIRS], np.int64)
+    ptr[flowing] = gid[flowing] + off[flat_d8[flowing]]
+    dist[flowing] = 1
+    # absorbing: undefined targets and pits keep ptr = self
+    for _ in range(24):
+        ptr2 = ptr[ptr]
+        if (ptr2 == ptr).all():
+            break
+        dist = dist + np.where(ptr2 != ptr, dist[ptr], 0)
+        ptr = ptr2
+    pdf = basins.where("is_cell").select("gid", "basin", "dist").toPandas()
+    pdf = pdf.sort_values("gid").reset_index(drop=True)
+    ok = (
+        len(pdf) == int(defined.sum())
+        and (pdf["gid"].to_numpy() == gid[defined]).all()
+        and (pdf["basin"].to_numpy() == ptr[defined]).all()
+        and (pdf["dist"].to_numpy() == dist[defined]).all()
+    )
+    if not ok:
+        raise AssertionError("basin labels/dists differ from numpy doubling truth")
+    tiles.unpersist(); edges.unpersist(); basins.unpersist()
+    return {
+        "cells": int(n_cells),
+        "basins": int(n_basins),
+        "terrain_seconds": round(terrain_s, 3),
+        "basins_seconds": round(basins_s, 3),
+        "cells_per_sec": round(n_cells / basins_s, 1),
+        "all_labels_asserted": True,
+    }
+
+
 def run_cc_scale(spark) -> dict:
     """Connected components at the 10^5-node shape the small fixtures
     don't reach: 64 chains of 1000 nodes (the O(log n)-round worst
@@ -759,6 +854,8 @@ def child_main(mode: str, cores: int) -> None:
         elif mode == "focal":
             warmup(spark)
             print("RESULT:" + json.dumps(run_focal(spark)))
+        elif mode == "basinscale":
+            print("RESULT:" + json.dumps(run_basin_scale(spark)))
         elif mode == "relstitchscale":
             warmup(spark)
             print("RESULT:" + json.dumps(run_relayout_stitch_scaling(spark)))
@@ -860,6 +957,7 @@ def main() -> None:
         "mosaic_relayout": rel,
         "focal": focal,
         "dedup_clusters_scale": spawn("ccscale", CPUS),
+        "basin_scale": spawn("basinscale", CPUS),
         "scaling": {
             "cores_lo": lo_cores,
             "cores_hi": hi_cores,

@@ -73,10 +73,14 @@ def flow_basins(
     the synthetic absorbing rows (virtual outlets are not raster
     cells and are excluded from rollups).
 
-    Each round: state ⋈ state on (band, ptr == gid) — ONE shuffle —
-    then a single count() decides convergence (rows that still moved).
-    localCheckpoint per round keeps the plan flat, exactly like the
-    dedup connected-components loop."""
+    Each round: active ⋈ full-state on (band, ptr == gid) — ONE
+    shuffle — then a single count() decides convergence. Rows whose
+    ptr has reached a sink RETIRE out of the loop (their mapping never
+    changes again), so only the shrinking active set is re-joined and
+    re-checkpointed each round; retired parts are checkpointed once.
+    Same flat-plan discipline as the dedup connected-components loop."""
+    from functools import reduce
+
     # nodes that appear as dst but have no own edge (virtual outlets
     # just outside the defined region) are absorbing: give them
     # explicit self-loops so the doubling join never drops rows
@@ -96,33 +100,34 @@ def flow_basins(
         (F.col("dst") == F.col("gid")).alias("done"),
         F.lit(True).alias("is_cell"),
     ).union(absorbing).localCheckpoint(eager=True)
+    settled = [state.where(F.col("done"))]
+    active = state.where(~F.col("done"))
 
     for _ in range(max_rounds):
-        nxt = state.alias("s").join(
-            state.select(
-                "band",
-                F.col("gid").alias("ptr"),
-                F.col("ptr").alias("ptr2"),
-                F.col("dist").alias("dist2"),
-                F.col("done").alias("done2"),
-            ).alias("t"),
-            ["band", "ptr"],
-        ).select(
-            "band", "gid", F.col("s.is_cell").alias("is_cell"),
-            F.when(F.col("done"), F.col("ptr")).otherwise(F.col("ptr2")).alias("ptr"),
-            F.when(F.col("done"), F.col("dist"))
-            .otherwise(F.col("dist") + F.col("dist2")).alias("dist"),
-            (F.col("done") | F.col("done2")).alias("done"),
-        ).localCheckpoint(eager=True)
-        moving = nxt.where(~F.col("done")).count()  # one job per round
-        state = nxt
-        if moving == 0:
+        if active.isEmpty():
             break
-    else:
-        raise RuntimeError(
-            f"flow_basins did not converge in {max_rounds} doubling rounds"
+        lookup = reduce(lambda a, b: a.union(b), settled + [active]).select(
+            "band",
+            F.col("gid").alias("ptr"),
+            F.col("ptr").alias("ptr2"),
+            F.col("dist").alias("dist2"),
+            F.col("done").alias("done2"),
         )
-    return state.select(
+        nxt = active.join(lookup, ["band", "ptr"]).select(
+            "band", "gid",
+            F.col("ptr2").alias("ptr"),
+            (F.col("dist") + F.col("dist2")).alias("dist"),
+            F.col("done2").alias("done"),
+            "is_cell",
+        ).localCheckpoint(eager=True)
+        settled.append(nxt.where(F.col("done")))
+        active = nxt.where(~F.col("done"))
+    else:
+        if not active.isEmpty():
+            raise RuntimeError(
+                f"flow_basins did not converge in {max_rounds} doubling rounds"
+            )
+    return reduce(lambda a, b: a.union(b), settled).select(
         "band", "gid", F.col("ptr").alias("basin"), "dist", "is_cell"
     )
 
