@@ -1441,6 +1441,29 @@ GROUP BY 1, 2, 3
 """
 
 
+def q_mosaic_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact pixel-value histogram of the stitched mosaic
+    (operators/stats.value_histogram — JVM explode into a partial
+    hash aggregate; the shuffle carries bin counts, never pixels)."""
+    from .operators.stats import value_histogram
+
+    res = _mosaic_result_cached(sf_dir, spark)
+    return value_histogram(
+        _level0_tiles(res), nullval=int(res.grid.nullval)
+    ).select(
+        "band",
+        F.col("val").cast("int").alias("val"),
+        F.col("n_px").cast("long").alias("n_px"),
+    )
+
+
+SQL_MOSAIC_HISTOGRAM = f"""{_sql_prologue()}
+SELECT 1 AS band, CAST(val AS INT) AS val, CAST(count(*) AS BIGINT) AS n_px
+FROM merged
+GROUP BY val
+"""
+
+
 def q_flow_basins(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Drainage-basin labeling (watershed segmentation) over the
     stitched mosaic: terrain D8 -> per-cell flow edges (JVM posexplode)
@@ -2931,6 +2954,7 @@ def queries() -> dict:
         "mosaic_blend_checksums": q_mosaic_blend_checksums,
         "mosaic_stats": q_mosaic_stats,
         "mosaic_overview_checksums": q_mosaic_overview_checksums,
+        "mosaic_histogram": q_mosaic_histogram,
         "mosaic_resampled_checksums": q_mosaic_resampled_checksums,
         "mosaic_warped_checksums": q_mosaic_warped_checksums,
         "mosaic_warped_3857_checksums": q_mosaic_warped_3857_checksums,
@@ -2992,6 +3016,7 @@ def oracle_sql() -> dict:
         "mosaic_blend_checksums": _blend_checksums_sql(),
         "mosaic_stats": SQL_MOSAIC_STATS,
         "mosaic_overview_checksums": SQL_MOSAIC_OVERVIEW_CHECKSUMS,
+        "mosaic_histogram": SQL_MOSAIC_HISTOGRAM,
         "mosaic_resampled_checksums": _resampled_checksums_sql(),
         "mosaic_warped_checksums": _warped_checksums_sql(),
         "mosaic_warped_3857_checksums": _warped_checksums_sql(3857, WEBMERC_RES),

@@ -43,3 +43,25 @@ def finalize_stats(stitch_out: DataFrame) -> DataFrame:
         F.when(has, stddev).alias("stddev"),
         F.col("count").cast("long").alias("count"),
     )
+
+
+def value_histogram(tiles: DataFrame, nullval: int = 0) -> DataFrame:
+    """Exact per-band pixel-value histogram of a tile relation — the
+    ``gdalinfo -hist`` analog the reference's stats sink stops short
+    of (mosaic.py:746-794 keeps min/max/mean/stddev only).
+
+    Plan shape: JVM explode of the (unpacked-at-boundary) pixel
+    arrays feeds a partial hash aggregate — each task reduces its
+    pixels to <= 65536 (band, val) partials map-side, so the ONE
+    shuffle carries bin counts, never pixels. No Python anywhere."""
+    from ..pixels import pixels_are_binary, unpack_u2
+
+    px = F.col("pixels")
+    if pixels_are_binary(tiles):
+        px = unpack_u2(px)
+    return (
+        tiles.select("band", F.explode(px).alias("val"))
+        .where(F.col("val") != nullval)
+        .groupBy("band", "val")
+        .agg(F.count("*").alias("n_px"))
+    )
