@@ -71,6 +71,63 @@ def read_seen(spark: SparkSession, out_path: str) -> DataFrame | None:
     return _read_parquet_if_exists(spark, _state_path(out_path))
 
 
+def _dilate_keys(keys: DataFrame) -> DataFrame:
+    """The 3x3 tile-neighborhood of a (tile_row, tile_col) key set."""
+    o = F.array(*[
+        F.struct(F.lit(a).alias("dr"), F.lit(b).alias("dc"))
+        for a in (-1, 0, 1) for b in (-1, 0, 1)
+    ])
+    return keys.select(
+        "tile_row", "tile_col", F.explode(o).alias("o")
+    ).select(
+        (F.col("tile_row") + F.col("o.dr")).alias("tile_row"),
+        (F.col("tile_col") + F.col("o.dc")).alias("tile_col"),
+    ).where(
+        (F.col("tile_row") >= 0) & (F.col("tile_col") >= 0)
+    ).distinct()
+
+
+def _update_derived_focal(spark, out_path, touched, config, grid) -> int:
+    """Incrementally maintain a derived hillshade product: a focal
+    output tile depends only on its 3x3 tile neighborhood, so the
+    invalidation ring of a batch is touched ⊕ 1 and its recompute
+    reads touched ⊕ 2 from the cumulative tile sink written just
+    above (halos included). Runs BEFORE the state commit: a replayed
+    batch recomputes the same ring from the same sink — identical
+    bytes, same idempotence contract as the tile sink itself."""
+    from ..functions.focal import hillshade
+
+    ring = _dilate_keys(touched)
+    need = _dilate_keys(ring)
+    sink = spark.read.parquet(f"{out_path}/tiles")
+    inp = sink.join(need, ["tile_row", "tile_col"], "left_semi").select(
+        "band", "tile_row", "tile_col", "ysize", "xsize", "pixels"
+    )
+    hs = hillshade(
+        inp, xres=float(grid.x_res), yres=float(grid.y_res),
+        nullval=int(grid.nullval),
+    )
+    out = hs.join(ring, ["tile_row", "tile_col"], "left_semi").withColumn(
+        "part", F.pmod(F.col("tile_row"), F.lit(int(config.sink_parts)))
+    )
+    path = f"{out_path}/hillshade"
+    existing = _read_parquet_if_exists(spark, path)
+    if existing is not None:
+        keep = existing.join(
+            ring, on=["tile_row", "tile_col"], how="left_anti"
+        ).join(out.select("part").distinct(), on="part", how="left_semi")
+        out = out.unionByName(keep.select(*out.columns))
+    out = out.localCheckpoint(eager=True)
+    (
+        out.repartitionByRange("band", "tile_row", "tile_col")
+        .sortWithinPartitions("band", "tile_row", "tile_col")
+        .write.mode("overwrite")
+        .partitionBy("part")
+        .parquet(path)
+    )
+    return out.count()
+
+
 def process_batch(
     batch_docs: DataFrame,
     batch_id: int,
@@ -81,6 +138,7 @@ def process_batch(
     config: MosaicConfig,
     relayout_table: str | None = None,
     sink_table: str | None = None,
+    derived_focal: bool = False,
 ) -> dict:
     """One micro-batch of the incremental mosaic (foreachBatch body).
 
@@ -120,7 +178,8 @@ def process_batch(
     new_fp = new_fp.localCheckpoint(eager=True)
     n_new = new_fp.count()
     if n_new == 0:
-        return {"batch_id": batch_id, "new_refs": 0, "tiles_written": 0}
+        return {"batch_id": batch_id, "new_refs": 0, "tiles_written": 0,
+                "derived_tiles": 0}
 
     all_fp = new_fp if seen is None else seen.unionByName(new_fp)
 
@@ -198,11 +257,18 @@ def process_batch(
             .partitionBy("part")
             .parquet(f"{out_path}/tiles")
         )
-    # State commit LAST: only once the tiles are durably in the sink do
-    # the batch's refs count as seen. A failure anywhere above replays
-    # the whole batch (state unchanged -> identical recompute).
+    n_derived = 0
+    if derived_focal:
+        n_derived = _update_derived_focal(spark, out_path, touched, config, grid)
+    # State commit LAST: only once the tiles (and any derived product)
+    # are durably in the sink do the batch's refs count as seen. A
+    # failure anywhere above replays the whole batch (state unchanged
+    # -> identical recompute).
     new_fp.write.mode("append").parquet(_state_path(out_path))
-    return {"batch_id": batch_id, "new_refs": n_new, "tiles_written": n}
+    return {
+        "batch_id": batch_id, "new_refs": n_new, "tiles_written": n,
+        "derived_tiles": n_derived,
+    }
 
 
 def incremental_mosaic_stream(
@@ -216,6 +282,7 @@ def incremental_mosaic_stream(
     trigger_available_now: bool = True,
     relayout_table: str | None = None,
     sink_table: str | None = None,
+    derived_focal: bool = False,
 ):
     """Wire a streaming documents DataFrame into the incremental mosaic.
 
@@ -235,6 +302,7 @@ def incremental_mosaic_stream(
         process_batch(
             batch_docs, batch_id, spark, footprint_meta, blocks, out_path, config,
             relayout_table=relayout_table, sink_table=sink_table,
+            derived_focal=derived_focal,
         )
 
     writer = docs_stream.writeStream.foreachBatch(fb).option(

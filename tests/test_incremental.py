@@ -256,3 +256,49 @@ def test_sink_parts_change_is_refused(spark, tmp_path):
     # same modulus still works
     process_batch(b1, 1, spark, fp_meta, blocks, out, cfg)
     check_covered_tiles(spark, out, want)
+
+
+def test_incremental_derived_hillshade(spark, tmp_path):
+    """Derived-product maintenance: hillshade recomputed only on the
+    invalidation ring each batch must equal a full hillshade over the
+    final mosaic, and a replayed batch must not change it."""
+    from moamosaic_spark.functions.focal import hillshade
+
+    rasters, fp_meta, blocks, docs_pdf, want, cfg = make_corpus(spark)
+    out = str(tmp_path / "inc_hs")
+
+    half = len(docs_pdf) // 2
+    b0 = to_documents(spark, docs_pdf.iloc[:half])
+    b1 = to_documents(spark, docs_pdf.iloc[half:])
+    r0 = process_batch(b0, 0, spark, fp_meta, blocks, out, cfg,
+                       derived_focal=True)
+    assert r0["derived_tiles"] > 0
+    r1 = process_batch(b1, 1, spark, fp_meta, blocks, out, cfg,
+                       derived_focal=True)
+    assert r1["derived_tiles"] > 0
+
+    def read_hs():
+        return {
+            (r.band, r.tile_row, r.tile_col): np.asarray(r.pixels, np.int64)
+            for r in spark.read.parquet(f"{out}/hillshade").collect()
+        }
+
+    got = read_hs()
+    sink = spark.read.parquet(f"{out}/tiles").select(
+        "band", "tile_row", "tile_col", "ysize", "xsize", "pixels")
+    full = {
+        (r.band, r.tile_row, r.tile_col): np.asarray(r.pixels, np.int64)
+        for r in hillshade(sink, xres=10.0, yres=10.0, nullval=0).collect()
+    }
+    assert set(got) == set(full)
+    for k in full:
+        np.testing.assert_array_equal(got[k], full[k], err_msg=f"tile {k}")
+
+    # duplicate delivery: no new refs -> derived product untouched
+    r2 = process_batch(b1, 2, spark, fp_meta, blocks, out, cfg,
+                       derived_focal=True)
+    assert r2["new_refs"] == 0 and r2["derived_tiles"] == 0
+    got2 = read_hs()
+    assert set(got2) == set(got)
+    for k in got:
+        np.testing.assert_array_equal(got2[k], got[k])
