@@ -1493,10 +1493,56 @@ def q_flow_basins(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-_BASIN_DOUBLING_ROUNDS = 10  # 2^10 = 1024 hops >= any path in the fixture
+def q_basin_zonal_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Composition query — 'mean elevation per watershed': the basin
+    relation (graph result) equi-joined on gid with the mosaic's
+    per-cell values (raster result), aggregated per basin. Reuses
+    q_flow_basins' machinery for the labels and a JVM posexplode for
+    the values; the join is slim-row hash join on gid, the aggregate
+    is partial-algebra. Only basins with >= 50 cells are reported
+    (keeps the relation stable and small, like a real report would)."""
+    from .functions.focal import terrain
+    from .functions.hydro import d8_edges, flow_basins
+    from .pixels import unpack_u2
+
+    res = _mosaic_result_cached(sf_dir, spark)
+    gnc = int(res.grid.ncols)
+    terr = terrain(
+        _level0_tiles(res),
+        xres=float(res.grid.x_res), yres=float(res.grid.y_res),
+        nullval=int(res.grid.nullval),
+    )
+    basins = flow_basins(d8_edges(terr, g_ncols=gnc, blocksize=BLOCKSIZE))
+    tiles = _level0_tiles(res)
+    px = F.col("pixels")
+    if dict(tiles.dtypes).get("pixels") == "binary":
+        px = unpack_u2(px)
+    vals = tiles.select(
+        "band", "tile_row", "tile_col", "xsize",
+        F.posexplode(px).alias("pos", "val"),
+    ).select(
+        "band",
+        ((F.col("tile_row").cast("long") * BLOCKSIZE
+          + F.floor(F.col("pos") / F.col("xsize")).cast("long")) * gnc
+         + F.col("tile_col").cast("long") * BLOCKSIZE
+         + (F.col("pos") % F.col("xsize")).cast("long")).alias("gid"),
+        F.col("val").cast("long").alias("val"),
+    )
+    joined = basins.where(F.col("is_cell")).join(vals, ["band", "gid"])
+    return joined.groupBy("basin").agg(
+        F.count("*").alias("n"),
+        F.sum("val").alias("sum_val"),
+        F.min("val").cast("long").alias("min_val"),
+        F.max("val").cast("long").alias("max_val"),
+    ).where(F.col("n") >= 50).select(
+        F.col("basin").cast("long").alias("basin"),
+        F.col("n").cast("long").alias("n"),
+        F.col("sum_val").cast("long").alias("sum_val"),
+        "min_val", "max_val",
+    )
 
 
-def _flow_basins_sql() -> str:
+def _basin_zonal_sql() -> str:
     doubling = "\n".join(
         f"s{k + 1} AS MATERIALIZED (\n"
         f"  SELECT a.gid, b.ptr, a.dist + b.dist AS dist\n"
@@ -1506,6 +1552,37 @@ def _flow_basins_sql() -> str:
     )
     last = f"s{_BASIN_DOUBLING_ROUNDS}"
     return f"""{_sql_prologue()},{_d8_ctes()},
+{_BASIN_EDGES_SQL}
+{doubling}
+final AS (
+  SELECT e.gid, s.ptr AS basin
+  FROM edges e JOIN {last} s ON s.gid = e.gid
+),
+mg AS MATERIALIZED (
+  SELECT m.r * g.g_ncols + m.c AS gid, m.val
+  FROM merged m, grid g
+),
+cells AS (
+  SELECT f.basin, m.val
+  FROM final f JOIN mg m ON m.gid = f.gid
+)
+SELECT CAST(basin AS BIGINT) AS basin,
+       CAST(count(*) AS BIGINT) AS n,
+       CAST(sum(val) AS BIGINT) AS sum_val,
+       CAST(min(val) AS BIGINT) AS min_val,
+       CAST(max(val) AS BIGINT) AS max_val
+FROM cells
+GROUP BY basin
+HAVING count(*) >= 50
+"""
+
+
+_BASIN_DOUBLING_ROUNDS = 10  # 2^10 = 1024 hops >= any path in the fixture
+
+# edges + doubling seed, shared by the basin oracles. Virtual outlets
+# (dst outside the defined set) become absorbing self-loops, exactly
+# as in hydro.flow_basins.
+_BASIN_EDGES_SQL = """
 edges AS MATERIALIZED (
   SELECT d.r * g.g_ncols + d.c AS gid,
          CASE d.d8
@@ -1521,8 +1598,6 @@ edges AS MATERIALIZED (
          END AS dst
   FROM d8 d, grid g
 ),
--- virtual outlets (dst outside the defined set) become absorbing
--- self-loops, exactly as in hydro.flow_basins
 s0 AS MATERIALIZED (
   SELECT gid, dst AS ptr, CASE WHEN dst = gid THEN 0 ELSE 1 END AS dist
   FROM edges
@@ -1530,7 +1605,20 @@ s0 AS MATERIALIZED (
   SELECT DISTINCT dst AS gid, dst AS ptr, 0 AS dist
   FROM edges
   WHERE dst NOT IN (SELECT gid FROM edges)
-),
+),"""
+
+
+def _flow_basins_sql() -> str:
+    doubling = "\n".join(
+        f"s{k + 1} AS MATERIALIZED (\n"
+        f"  SELECT a.gid, b.ptr, a.dist + b.dist AS dist\n"
+        f"  FROM s{k} a JOIN s{k} b ON b.gid = a.ptr\n"
+        f"),"
+        for k in range(_BASIN_DOUBLING_ROUNDS)
+    )
+    last = f"s{_BASIN_DOUBLING_ROUNDS}"
+    return f"""{_sql_prologue()},{_d8_ctes()},
+{_BASIN_EDGES_SQL}
 {doubling}
 final AS (
   SELECT e.gid, s.ptr AS basin, s.dist
@@ -2968,6 +3056,7 @@ def queries() -> dict:
         "hillshade_checksums": q_hillshade_checksums,
         "terrain_checksums": q_terrain_checksums,
         "flow_basins": q_flow_basins,
+        "basin_zonal_stats": q_basin_zonal_stats,
         "tile_knn_sources": q_tile_knn_sources,
         "doc_token_stats": q_doc_token_stats,
         "doc_fingerprints": q_doc_fingerprints,
@@ -3030,6 +3119,7 @@ def oracle_sql() -> dict:
         "hillshade_checksums": _hillshade_checksums_sql(),
         "terrain_checksums": _terrain_checksums_sql(),
         "flow_basins": _flow_basins_sql(),
+        "basin_zonal_stats": _basin_zonal_sql(),
         "tile_knn_sources": _tile_knn_sql(),
         "doc_token_stats": SQL_DOC_TOKEN_STATS,
         "doc_fingerprints": _doc_fingerprints_sql(),
