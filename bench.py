@@ -469,6 +469,54 @@ def run_focal(spark) -> dict:
         ts.append(time.time() - t0)
         nt, px, dpx = int(row["tiles"]), int(row["px"]), int(row["defined_px"])
     ts.sort()
+
+    # in-leg correctness (untimed): one interior tile recomputed
+    # driver-side from its collected 3x3 tile neighborhood must match
+    # the distributed output bit-for-bit — gates halo placement AND
+    # the kernel before the number is reported
+    import numpy as np
+
+    from moamosaic_spark.functions.focal import HS_LX, HS_LY, HS_LZ
+
+    tr0, tc0 = 5, 5
+    nb = {}
+    for r in tiles.where(
+        F.col("tile_row").between(tr0 - 1, tr0 + 1)
+        & F.col("tile_col").between(tc0 - 1, tc0 + 1)
+    ).collect():
+        nb[(r.tile_row, r.tile_col)] = np.frombuffer(
+            bytes(r.pixels), "<u2").astype(np.int64).reshape(r.ysize, r.xsize)
+    ctr = nb[(tr0, tc0)]
+    ys_, xs_ = ctr.shape
+    padded = np.zeros((ys_ + 2, xs_ + 2), np.int64)
+    padded[1:-1, 1:-1] = ctr
+    padded[0, 1:-1] = nb[(tr0 - 1, tc0)][-1, :]
+    padded[-1, 1:-1] = nb[(tr0 + 1, tc0)][0, :]
+    padded[1:-1, 0] = nb[(tr0, tc0 - 1)][:, -1]
+    padded[1:-1, -1] = nb[(tr0, tc0 + 1)][:, 0]
+    padded[0, 0] = nb[(tr0 - 1, tc0 - 1)][-1, -1]
+    padded[0, -1] = nb[(tr0 - 1, tc0 + 1)][-1, 0]
+    padded[-1, 0] = nb[(tr0 + 1, tc0 - 1)][0, -1]
+    padded[-1, -1] = nb[(tr0 + 1, tc0 + 1)][0, 0]
+    v = [padded[i:i + ys_, j:j + xs_] for i in range(3) for j in range(3)]
+    allv = np.ones((ys_, xs_), bool)
+    for m in v:
+        allv &= m != 0
+    tl, tm, trr, ml, _, mr, bl, bm, br = v
+    gx = ((trr + 2 * mr + br) - (tl + 2 * ml + bl)) / 80.0
+    gy = ((bl + 2 * bm + br) - (tl + 2 * tm + trr)) / 80.0
+    num = HS_LZ - HS_LX * gx - HS_LY * gy
+    den = np.sqrt(1.0 + gx * gx + gy * gy)
+    exp = np.where(
+        allv, np.floor(255.0 * np.maximum(num / den, 0.0) + 0.5).astype(np.int64), -1)
+    got_row = hillshade(tiles, xres=10.0, yres=10.0, nullval=0).where(
+        (F.col("tile_row") == tr0) & (F.col("tile_col") == tc0)).collect()[0]
+    got = np.asarray(got_row.pixels, np.int64).reshape(got_row.ysize, got_row.xsize)
+    if not (got == exp).all():
+        raise AssertionError(
+            f"hillshade tile ({tr0},{tc0}) differs from driver-side recompute "
+            f"on {(got != exp).sum()} px")
+
     tiles.unpersist()
     return {
         "seconds": ts[1],
@@ -476,6 +524,7 @@ def run_focal(spark) -> dict:
         "tiles": nt,
         "px": px,
         "defined_px": dpx,
+        "tile_asserted": [tr0, tc0],
         "mpx_per_sec": round(px / ts[1] / 1e6, 2),
     }
 

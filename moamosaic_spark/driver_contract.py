@@ -1149,15 +1149,13 @@ def _level0_tiles(res):
 
 
 def _focal_gidx(g_ncols: int):
-    """Global pixel index (r * g_ncols + c) of element ``i`` of a
-    tile's row-major array — the position-sensitive checksum weight.
-    Remainder-absorbing tiling keeps t_top = tile_row * BLOCKSIZE for
-    every tile, so position reconstructs from the tile key + xsize
-    alone, and any spatial permutation breaks the hash."""
+    """Global pixel index of element ``i`` of a tile's row-major array
+    — the position-sensitive checksum weight (plans/grid.py holds the
+    single tiling-contract implementation)."""
+    from .plans.grid import global_pixel_index
+
     def gidx(i):
-        gr = F.col("tile_row").cast("long") * BLOCKSIZE + F.floor(i / F.col("xsize")).cast("long")
-        gc = F.col("tile_col").cast("long") * BLOCKSIZE + (i % F.col("xsize")).cast("long")
-        return gr * g_ncols + gc
+        return global_pixel_index(i, BLOCKSIZE, g_ncols)
 
     return gidx
 
@@ -1189,6 +1187,44 @@ def _focal_reduce(out: DataFrame, col: str, g_ncols: int, names: tuple) -> DataF
         F.array_min(valid).cast("long").alias(mn),
         F.array_max(valid).cast("long").alias(mx),
     ).where(F.col(n_def) > 0)
+
+
+_TERRAIN_CACHE: dict = {}
+_BASINS_CACHE: dict = {}
+
+
+def _terrain_cached(sf_dir: str, spark: SparkSession) -> DataFrame:
+    """One terrain (halo exchange) execution per (session, sf_dir):
+    q_terrain_checksums, q_flow_basins and q_basin_zonal_stats all
+    read the SAME lazily-checkpointed relation — one exchange instead
+    of three, and the three gates are provably over one computation."""
+    key = (spark, sf_dir)
+    if key not in _TERRAIN_CACHE:
+        from .functions.focal import terrain
+
+        res = _mosaic_result_cached(sf_dir, spark)
+        _TERRAIN_CACHE[key] = terrain(
+            _level0_tiles(res),
+            xres=float(res.grid.x_res), yres=float(res.grid.y_res),
+            nullval=int(res.grid.nullval),
+        ).localCheckpoint(eager=False)
+    return _TERRAIN_CACHE[key]
+
+
+def _basins_cached(sf_dir: str, spark: SparkSession) -> DataFrame:
+    """One pointer-doubling run per (session, sf_dir), shared by
+    q_flow_basins and q_basin_zonal_stats."""
+    key = (spark, sf_dir)
+    if key not in _BASINS_CACHE:
+        from .functions.hydro import d8_edges, flow_basins
+
+        res = _mosaic_result_cached(sf_dir, spark)
+        edges = d8_edges(
+            _terrain_cached(sf_dir, spark),
+            g_ncols=int(res.grid.ncols), blocksize=BLOCKSIZE,
+        )
+        _BASINS_CACHE[key] = flow_basins(edges)
+    return _BASINS_CACHE[key]
 
 
 def q_focal_checksums(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -1334,14 +1370,8 @@ def q_terrain_checksums(spark: SparkSession, sf_dir: str) -> DataFrame:
     exactly replayable; d8 is pure integer/compare semantics with the
     documented scan-order tie-break — the oracle reproduces both per
     pixel, position-gated by the weighted checksums."""
-    from .functions.focal import terrain
-
     res = _mosaic_result_cached(sf_dir, spark)
-    out = terrain(
-        _level0_tiles(res),
-        xres=float(res.grid.x_res), yres=float(res.grid.y_res),
-        nullval=int(res.grid.nullval),
-    )
+    out = _terrain_cached(sf_dir, spark)
     wsum = _focal_wsum(int(res.grid.ncols))
     vs = F.filter(F.col("slope_q"), lambda x: x != -1)
     vd = F.filter(F.col("d8"), lambda x: x != -1)
@@ -1473,17 +1503,9 @@ def q_flow_basins(spark: SparkSession, sf_dir: str) -> DataFrame:
     D8 per pixel from the merged CTE and resolves sinks with TEN
     chained materialized self-join CTEs (2^10 hops >= any path in the
     984^2 fixture; Spark side converges by count, oracle by depth)."""
-    from .functions.focal import terrain
-    from .functions.hydro import basin_summary, d8_edges, flow_basins
+    from .functions.hydro import basin_summary
 
-    res = _mosaic_result_cached(sf_dir, spark)
-    terr = terrain(
-        _level0_tiles(res),
-        xres=float(res.grid.x_res), yres=float(res.grid.y_res),
-        nullval=int(res.grid.nullval),
-    )
-    edges = d8_edges(terr, g_ncols=int(res.grid.ncols), blocksize=BLOCKSIZE)
-    b = flow_basins(edges)
+    b = _basins_cached(sf_dir, spark)
     return basin_summary(b).select(
         F.col("basin").cast("long").alias("basin"),
         F.col("n_cells").cast("long").alias("n_cells"),
@@ -1501,31 +1523,23 @@ def q_basin_zonal_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     the values; the join is slim-row hash join on gid, the aggregate
     is partial-algebra. Only basins with >= 50 cells are reported
     (keeps the relation stable and small, like a real report would)."""
-    from .functions.focal import terrain
-    from .functions.hydro import d8_edges, flow_basins
     from .pixels import unpack_u2
 
     res = _mosaic_result_cached(sf_dir, spark)
     gnc = int(res.grid.ncols)
-    terr = terrain(
-        _level0_tiles(res),
-        xres=float(res.grid.x_res), yres=float(res.grid.y_res),
-        nullval=int(res.grid.nullval),
-    )
-    basins = flow_basins(d8_edges(terr, g_ncols=gnc, blocksize=BLOCKSIZE))
+    basins = _basins_cached(sf_dir, spark)
     tiles = _level0_tiles(res)
     px = F.col("pixels")
     if dict(tiles.dtypes).get("pixels") == "binary":
         px = unpack_u2(px)
+    from .plans.grid import global_pixel_index
+
     vals = tiles.select(
         "band", "tile_row", "tile_col", "xsize",
         F.posexplode(px).alias("pos", "val"),
     ).select(
         "band",
-        ((F.col("tile_row").cast("long") * BLOCKSIZE
-          + F.floor(F.col("pos") / F.col("xsize")).cast("long")) * gnc
-         + F.col("tile_col").cast("long") * BLOCKSIZE
-         + (F.col("pos") % F.col("xsize")).cast("long")).alias("gid"),
+        global_pixel_index(F.col("pos"), BLOCKSIZE, gnc).alias("gid"),
         F.col("val").cast("long").alias("val"),
     )
     joined = basins.where(F.col("is_cell")).join(vals, ["band", "gid"])

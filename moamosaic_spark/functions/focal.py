@@ -175,6 +175,22 @@ def _window_views(padded: np.ndarray):
     return [padded[i:i + ys, j:j + xs] for i in range(3) for j in range(3)]
 
 
+def _horn(padded: np.ndarray, nullval: int, fx: float, fy: float):
+    """Shared Horn-gradient stage for hillshade/terrain: (views, gx,
+    gy, all-valid mask). ONE implementation on purpose — both kernels'
+    oracles rely on the float pipeline being expression-identical, so
+    the gradients must never be able to diverge between them."""
+    v = _window_views(padded)
+    vv = _window_views(padded != nullval)
+    allv = np.ones_like(vv[4])
+    for m in vv:
+        allv &= m
+    tl, tm, tr_, ml, _, mr, bl, bm, br = v
+    gx = ((tr_ + 2 * mr + br) - (tl + 2 * ml + bl)) / fx
+    gy = ((bl + 2 * bm + br) - (tl + 2 * tm + tr_)) / fy
+    return v, gx, gy, allv
+
+
 def focal_stats(tiles: DataFrame, nullval: int = 0) -> DataFrame:
     """Per-pixel 3x3 focal count/sum/min/max over VALID (non-null)
     window pixels, defined at valid centers (the window includes the
@@ -255,16 +271,7 @@ def hillshade(
                 columns=["band", "tile_row", "tile_col",
                          "ysize", "xsize", "pixels"])
         band, tr, tc, ys, xs, padded = got
-        v = _window_views(padded)
-        vv = _window_views(padded != nullval)
-        allv = np.ones_like(vv[4])
-        for m in vv:
-            allv &= m
-        tl, tm, tr_, ml, _, mr, bl, bm, br = v
-        gxn = (tr_ + 2 * mr + br) - (tl + 2 * ml + bl)
-        gyn = (bl + 2 * bm + br) - (tl + 2 * tm + tr_)
-        gx = gxn / fx
-        gy = gyn / fy
+        _, gx, gy, allv = _horn(padded, nullval, fx, fy)
         num = HS_LZ - HS_LX * gx - HS_LY * gy
         den = np.sqrt(1.0 + gx * gx + gy * gy)
         shade = np.floor(255.0 * np.maximum(num / den, 0.0) + 0.5)
@@ -319,14 +326,8 @@ def terrain(
                 columns=["band", "tile_row", "tile_col",
                          "ysize", "xsize", "slope_q", "d8"])
         band, tr, tc, ys, xs, padded = got
-        v = _window_views(padded)
-        vv = _window_views(padded != nullval)
-        allv = np.ones_like(vv[4])
-        for m in vv:
-            allv &= m
-        tl, tm, tr_, ml, cc, mr, bl, bm, br = v
-        gx = ((tr_ + 2 * mr + br) - (tl + 2 * ml + bl)) / fx
-        gy = ((bl + 2 * bm + br) - (tl + 2 * tm + tr_)) / fy
+        v, gx, gy, allv = _horn(padded, nullval, fx, fy)
+        cc = v[4]
         slope = np.floor(SLOPE_Q * np.sqrt(gx * gx + gy * gy) + 0.5)
 
         by_off = {(i // 3 - 1, i % 3 - 1): v[i] for i in range(9)}

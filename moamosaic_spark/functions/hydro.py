@@ -27,38 +27,28 @@ from __future__ import annotations
 
 from pyspark.sql import DataFrame, functions as F
 
-from .focal import D8_DIRS, D8_FLAT
-
-# row/col offset per D8 code, as SQL array literals (code+1 indexes)
-_DY = [d[0] for d in D8_DIRS]
-_DX = [d[1] for d in D8_DIRS]
+from .focal import D8_DIRS, D8_FLAT  # noqa: F401 (D8_FLAT re-exported for callers)
 
 
 def d8_edges(terrain_tiles: DataFrame, g_ncols: int, blocksize: int) -> DataFrame:
     """(gid, dst) for every defined cell of a ``terrain()`` result:
     dst = the D8 neighbor's global pixel index, or gid itself for
     pits/flats (D8_FLAT). Pure JVM: posexplode + array-literal offset
-    lookup, no Python per pixel."""
-    dy = F.array(*[F.lit(v) for v in _DY])
-    dx = F.array(*[F.lit(v) for v in _DX])
+    lookup, no Python per pixel. gid comes from the single
+    tiling-contract expression (plans/grid.global_pixel_index); a D8
+    neighbor is always in-raster (border cells are undefined), so
+    dst = gid + the flattened offset."""
+    from ..plans.grid import global_pixel_index
+
+    # flattened row-major offset per D8 code; pits/flats offset 0
+    off = F.array(*[F.lit(dy * g_ncols + dx) for dy, dx in D8_DIRS], F.lit(0))
     e = terrain_tiles.select(
         "band", "tile_row", "tile_col", "ysize", "xsize",
         F.posexplode("d8").alias("pos", "code"),
     ).where(F.col("code") != -1)
-    r = (F.col("tile_row").cast("long") * blocksize
-         + F.floor(F.col("pos") / F.col("xsize")).cast("long"))
-    c = (F.col("tile_col").cast("long") * blocksize
-         + (F.col("pos") % F.col("xsize")).cast("long"))
-    gid = (r * g_ncols + c).alias("gid")
-    flat = F.col("code") == D8_FLAT
-    dst = (
-        F.when(flat, r * g_ncols + c)
-        .otherwise(
-            (r + F.element_at(dy, F.col("code").cast("int") + 1)) * g_ncols
-            + (c + F.element_at(dx, F.col("code").cast("int") + 1))
-        )
-    ).alias("dst")
-    return e.select("band", gid, dst)
+    gid = global_pixel_index(F.col("pos"), blocksize, g_ncols)
+    dst = gid + F.element_at(off, F.col("code").cast("int") + 1)
+    return e.select("band", gid.alias("gid"), dst.alias("dst"))
 
 
 def flow_basins(

@@ -212,3 +212,21 @@ def with_cell_id(df: DataFrame, x_col: str, y_col: str, cell_size: float,
                  x_origin: float, y_origin: float) -> DataFrame:
     cx, cy = cell_coords_expr(F.col(x_col), F.col(y_col), cell_size, x_origin, y_origin)
     return df.withColumn("cell_id", morton_expr(cx, cy))
+
+
+def global_pixel_index(pos, blocksize: int, g_ncols: int,
+                       tile_row=None, tile_col=None, xsize=None):
+    """Column expression: global row-major pixel index (r * g_ncols + c)
+    of element ``pos`` of a tile's row-major pixel array.
+
+    This is THE tiling contract in one place: valid because the
+    remainder-absorbing tiling (make_tile_relation) keeps t_top =
+    tile_row * blocksize and t_left = tile_col * blocksize for every
+    tile including the absorbed last one, so position reconstructs
+    from the tile key + xsize alone."""
+    tile_row = F.col("tile_row") if tile_row is None else tile_row
+    tile_col = F.col("tile_col") if tile_col is None else tile_col
+    xsize = F.col("xsize") if xsize is None else xsize
+    r = tile_row.cast("long") * blocksize + F.floor(pos / xsize).cast("long")
+    c = tile_col.cast("long") * blocksize + (pos % xsize).cast("long")
+    return r * g_ncols + c

@@ -94,12 +94,23 @@ def _update_derived_focal(spark, out_path, touched, config, grid) -> int:
     reads touched ⊕ 2 from the cumulative tile sink written just
     above (halos included). Runs BEFORE the state commit: a replayed
     batch recomputes the same ring from the same sink — identical
-    bytes, same idempotence contract as the tile sink itself."""
+    bytes, same idempotence contract as the tile sink itself.
+
+    First activation on a sink with prior batches (no derived product
+    on disk yet) BACKFILLS the full raster instead of just the ring —
+    otherwise tiles from earlier batches that are never re-touched
+    would be missing from the product forever."""
     from ..functions.focal import hillshade
 
-    ring = _dilate_keys(touched)
-    need = _dilate_keys(ring)
+    path = f"{out_path}/hillshade"
+    existing = _read_parquet_if_exists(spark, path)
     sink = spark.read.parquet(f"{out_path}/tiles")
+    if existing is None:
+        ring = sink.select("tile_row", "tile_col").distinct()
+        need = ring
+    else:
+        ring = _dilate_keys(touched)
+        need = _dilate_keys(ring)
     inp = sink.join(need, ["tile_row", "tile_col"], "left_semi").select(
         "band", "tile_row", "tile_col", "ysize", "xsize", "pixels"
     )
@@ -110,8 +121,6 @@ def _update_derived_focal(spark, out_path, touched, config, grid) -> int:
     out = hs.join(ring, ["tile_row", "tile_col"], "left_semi").withColumn(
         "part", F.pmod(F.col("tile_row"), F.lit(int(config.sink_parts)))
     )
-    path = f"{out_path}/hillshade"
-    existing = _read_parquet_if_exists(spark, path)
     if existing is not None:
         keep = existing.join(
             ring, on=["tile_row", "tile_col"], how="left_anti"
@@ -150,6 +159,16 @@ def process_batch(
     pinned to the full-catalog grid. A crash-replayed batch re-appends
     its rows; the stitch is idempotent under duplicate contributor rows
     (same priority run re-pastes the same pixels)."""
+    if derived_focal and sink_table is not None:
+        # the derived product reads its inputs back from the parquet
+        # tile sink, which the native Iceberg MERGE path does not
+        # write — combining the two would compute hillshade from a
+        # stale or absent snapshot. Loud gate until the derived
+        # product also routes through the catalog (catalog.py seam).
+        raise ValueError(
+            "derived_focal reads the parquet tile sink; it cannot be "
+            "combined with sink_table (native catalog MERGE) yet"
+        )
     spark.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
     _check_sink_parts(spark, out_path, config.sink_parts)
 

@@ -302,3 +302,45 @@ def test_incremental_derived_hillshade(spark, tmp_path):
     assert set(got2) == set(got)
     for k in got:
         np.testing.assert_array_equal(got2[k], got[k])
+
+
+def test_derived_focal_rejects_catalog_sink(spark, tmp_path):
+    """derived_focal reads the parquet tile sink; combining it with a
+    native catalog sink (which skips that write) must fail loudly."""
+    import pytest
+
+    rasters, fp_meta, blocks, docs_pdf, want, cfg = make_corpus(spark)
+    b0 = to_documents(spark, docs_pdf.iloc[: len(docs_pdf) // 2])
+    with pytest.raises(ValueError, match="derived_focal"):
+        process_batch(b0, 0, spark, fp_meta, blocks,
+                      str(tmp_path / "x"), cfg,
+                      sink_table="cat.tiles", derived_focal=True)
+
+
+def test_derived_focal_backfills_on_activation(spark, tmp_path):
+    """Enabling derived_focal on a sink with prior batches must
+    backfill the FULL product, not just the current batch's ring."""
+    from moamosaic_spark.functions.focal import hillshade
+
+    rasters, fp_meta, blocks, docs_pdf, want, cfg = make_corpus(spark)
+    out = str(tmp_path / "inc_bf")
+    half = len(docs_pdf) // 2
+    b0 = to_documents(spark, docs_pdf.iloc[:half])
+    b1 = to_documents(spark, docs_pdf.iloc[half:])
+    process_batch(b0, 0, spark, fp_meta, blocks, out, cfg)  # no derived
+    r1 = process_batch(b1, 1, spark, fp_meta, blocks, out, cfg,
+                       derived_focal=True)  # activation mid-stream
+    assert r1["derived_tiles"] > 0
+    sink = spark.read.parquet(f"{out}/tiles").select(
+        "band", "tile_row", "tile_col", "ysize", "xsize", "pixels")
+    full = {
+        (r.band, r.tile_row, r.tile_col): np.asarray(r.pixels, np.int64)
+        for r in hillshade(sink, xres=10.0, yres=10.0, nullval=0).collect()
+    }
+    got = {
+        (r.band, r.tile_row, r.tile_col): np.asarray(r.pixels, np.int64)
+        for r in spark.read.parquet(f"{out}/hillshade").collect()
+    }
+    assert set(got) == set(full)
+    for k in full:
+        np.testing.assert_array_equal(got[k], full[k], err_msg=f"tile {k}")
