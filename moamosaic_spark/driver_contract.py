@@ -1288,6 +1288,60 @@ GROUP BY 1, 2, 3
 """
 
 
+def q_focal5_checksums(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """5x5 focal stats (radius=2) — gates the generalized halo
+    exchange: R-row/column strips and RxR corners crossing tile
+    seams, not just single-pixel borders. Same checksum shape as the
+    3x3 query; the oracle widens the shifted-copy range to ±2."""
+    from .functions.focal import focal_stats
+
+    res = _mosaic_result_cached(sf_dir, spark)
+    out = focal_stats(_level0_tiles(res), nullval=int(res.grid.nullval), radius=2)
+    gnc = int(res.grid.ncols)
+    wsum = _focal_wsum(gnc)
+    vs = F.filter(F.col("f_sum"), lambda x: x != -1)
+    vc = F.filter(F.col("f_count"), lambda x: x != -1)
+    return out.select(
+        "band", "tile_row", "tile_col",
+        F.size(vs).cast("long").alias("n_def"),
+        F.aggregate(vc, F.lit(0).cast("long"), lambda a, x: a + x).alias("sum_cnt"),
+        wsum("f_count").alias("wsum_cnt"),
+        F.aggregate(vs, F.lit(0).cast("long"), lambda a, x: a + x).alias("sum_sum"),
+        wsum("f_sum").alias("wsum_sum"),
+        F.array_min(vs).cast("long").alias("min_sum"),
+        F.array_max(vs).cast("long").alias("max_sum"),
+    ).where(F.col("n_def") > 0)
+
+
+def _focal5_checksums_sql() -> str:
+    return f"""{_sql_prologue()},
+n25 AS (
+  SELECT m.r - dr.i AS r, m.c - dc.i AS c, m.val
+  FROM merged m,
+       generate_series(-2, 2) dr(i),
+       generate_series(-2, 2) dc(i)
+),
+fs AS (
+  SELECT n.r, n.c,
+         count(*) AS f_cnt, sum(n.val) AS f_sum
+  FROM n25 n JOIN merged ctr ON ctr.r = n.r AND ctr.c = n.c
+  GROUP BY n.r, n.c
+)
+SELECT 1 AS band,
+       CAST(least(floor(f.r * 1.0 / {BLOCKSIZE}), nb.nb_r - 1) AS INT) AS tile_row,
+       CAST(least(floor(f.c * 1.0 / {BLOCKSIZE}), nb.nb_c - 1) AS INT) AS tile_col,
+       CAST(count(*) AS BIGINT) AS n_def,
+       CAST(sum(f.f_cnt) AS BIGINT) AS sum_cnt,
+       CAST(sum(f.f_cnt * (f.r * g.g_ncols + f.c)) AS BIGINT) AS wsum_cnt,
+       CAST(sum(f.f_sum) AS BIGINT) AS sum_sum,
+       CAST(sum(f.f_sum * (f.r * g.g_ncols + f.c)) AS BIGINT) AS wsum_sum,
+       CAST(min(f.f_sum) AS BIGINT) AS min_sum,
+       CAST(max(f.f_sum) AS BIGINT) AS max_sum
+FROM fs f, nb, grid g
+GROUP BY 1, 2, 3
+"""
+
+
 def q_hillshade_checksums(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Horn-method hillshade (the ``gdaldem hillshade`` analog,
     functions/focal.hillshade) over the stitched mosaic through the
@@ -3067,6 +3121,7 @@ def queries() -> dict:
         "region_labels": q_region_labels,
         "region_outlines": q_region_outlines,
         "focal_checksums": q_focal_checksums,
+        "focal5_checksums": q_focal5_checksums,
         "hillshade_checksums": q_hillshade_checksums,
         "terrain_checksums": q_terrain_checksums,
         "flow_basins": q_flow_basins,
@@ -3130,6 +3185,7 @@ def oracle_sql() -> dict:
         "region_labels": _region_labels_sql(),
         "region_outlines": _region_outlines_sql(),
         "focal_checksums": _focal_checksums_sql(),
+        "focal5_checksums": _focal5_checksums_sql(),
         "hillshade_checksums": _hillshade_checksums_sql(),
         "terrain_checksums": _terrain_checksums_sql(),
         "flow_basins": _flow_basins_sql(),

@@ -60,27 +60,34 @@ FRAG_SCHEMA = (
 )
 
 
-def _emit_fragments(tiles: DataFrame) -> DataFrame:
-    """Map side of the halo exchange: 9 addressed fragments per tile.
+def _emit_fragments(tiles: DataFrame, radius: int = 1) -> DataFrame:
+    """Map side of the halo exchange: 9 addressed fragments per tile,
+    for an arbitrary window ``radius`` (halo width = R pixels).
 
-    Split by access pattern, not by habit: the 7 CONTIGUOUS fragments
-    (full payload to self, top/bottom rows, 4 corners) are a pure JVM
+    Split by access pattern, not by habit: the 3 CONTIGUOUS fragments
+    (full payload to self, top/bottom R-row strips) are a pure JVM
     projection — substr slices + explode, no Python and no Arrow
-    crossing for the heavy payload before the shuffle. Only the 2
-    non-contiguous COLUMN strips go through one mapInPandas (numpy's
-    strided slice is O(ysize); a JVM substr-per-row lambda re-copies
-    the whole payload from the row per element — measured ~2 GB of
-    memcpy per 1024^2 tile). Strip output is O(perimeter). array<int>
-    input is packed to the wire layout (u2 binary) first, JVM-side.
+    crossing for the heavy payload before the shuffle. The strided
+    fragments (left/right R-column strips, 4 RxR corners) go through
+    one mapInPandas whose output is O(R * perimeter) (numpy's strided
+    slice is O(output); a JVM substr-per-row lambda re-copies the
+    whole payload from the row per element — measured ~2 GB of memcpy
+    per 1024^2 tile). array<int> input is packed to the wire layout
+    (u2 binary) first, JVM-side.
 
     A fragment row (band, tr, tc, dy, dx, ...) is addressed TO tile
     (tr, tc) and was emitted BY tile (tr - dy, tc - dx); the assembler
     places it purely from (dy, dx). Fragments addressed off the grid
     edge form centerless groups the reduce side drops — no grid-extent
-    lookup is needed on the map side.
+    lookup is needed on the map side. Requires radius <= every tile
+    dimension (blocksize >= radius; checked in the strip emitter) —
+    a wider halo would need pixels from two tiles away.
     """
     from ..pixels import pack_u2, pixels_are_binary
 
+    R = int(radius)
+    if R < 1:
+        raise ValueError(f"radius must be >= 1, got {radius}")
     cols = [c for c in ("band", "tile_row", "tile_col", "ysize", "xsize", "pixels")
             if c in tiles.columns]
     src = tiles.select(*cols) if "band" in tiles.columns else tiles.select(
@@ -92,7 +99,7 @@ def _emit_fragments(tiles: DataFrame) -> DataFrame:
     px = F.col("pixels")
     ys, xs = F.col("ysize"), F.col("xsize")
     xs2 = xs * 2  # bytes per row (u2)
-    one = F.lit(1)
+    r_ = F.lit(R)
 
     def frag(dy, dx, fy, fx, data):
         return F.struct(
@@ -101,19 +108,16 @@ def _emit_fragments(tiles: DataFrame) -> DataFrame:
             data.alias("frag"),
         )
 
-    # slices of THIS tile that the neighbor at (+dy,+dx) pads with
-    seven = F.array(
+    # contiguous slices of THIS tile that the neighbor at (+dy,+dx)
+    # pads with: whole payload, last R rows, first R rows
+    three = F.array(
         frag(0, 0, ys, xs, px),
-        frag(1, 0, one, xs, px.substr((ys - 1) * xs2 + 1, xs2)),
-        frag(-1, 0, one, xs, px.substr(F.lit(1), xs2)),
-        frag(1, 1, one, one, px.substr(ys * xs2 - 1, F.lit(2))),
-        frag(1, -1, one, one, px.substr((ys - 1) * xs2 + 1, F.lit(2))),
-        frag(-1, 1, one, one, px.substr(xs2 - 1, F.lit(2))),
-        frag(-1, -1, one, one, px.substr(F.lit(1), F.lit(2))),
+        frag(1, 0, r_, xs, px.substr((ys - R) * xs2 + 1, xs2 * R)),
+        frag(-1, 0, r_, xs, px.substr(F.lit(1), xs2 * R)),
     )
     f = F.col("f")
     jvm = src.select(
-        "band", "tile_row", "tile_col", F.explode(seven).alias("f")
+        "band", "tile_row", "tile_col", F.explode(three).alias("f")
     ).select(
         "band",
         (F.col("tile_row") + f.dy).cast("int").alias("tile_row"),
@@ -129,14 +133,23 @@ def _emit_fragments(tiles: DataFrame) -> DataFrame:
             for r in pdf.itertuples(index=False):
                 a = np.frombuffer(bytes(r.pixels), "<u2").reshape(
                     int(r.ysize), int(r.xsize))
-                for dx, col in ((1, a[:, -1]), (-1, a[:, 0])):
+                if min(a.shape) < R:
+                    raise ValueError(
+                        f"halo radius {R} exceeds tile dimensions {a.shape}"
+                    )
+                views = {
+                    (0, 1): a[:, -R:], (0, -1): a[:, :R],
+                    (1, 1): a[-R:, -R:], (1, -1): a[-R:, :R],
+                    (-1, 1): a[:R, -R:], (-1, -1): a[:R, :R],
+                }
+                for (dy, dx), v in views.items():
                     out.append({
                         "band": int(r.band),
-                        "tile_row": int(r.tile_row),
+                        "tile_row": int(r.tile_row) + dy,
                         "tile_col": int(r.tile_col) + dx,
-                        "dy": 0, "dx": dx,
-                        "fysize": a.shape[0], "fxsize": 1,
-                        "frag": np.ascontiguousarray(col).tobytes(),
+                        "dy": dy, "dx": dx,
+                        "fysize": v.shape[0], "fxsize": v.shape[1],
+                        "frag": np.ascontiguousarray(v).tobytes(),
                     })
             if out:
                 yield pd.DataFrame(out)
@@ -145,34 +158,36 @@ def _emit_fragments(tiles: DataFrame) -> DataFrame:
     return jvm.unionByName(py)
 
 
-def _assemble(pdf: pd.DataFrame, nullval: int) -> tuple | None:
-    """Reduce side: padded (ys+2, xs+2) array for one target tile, or
-    None for centerless (off-grid) groups."""
+def _assemble(pdf: pd.DataFrame, nullval: int, radius: int = 1) -> tuple | None:
+    """Reduce side: padded (ys+2R, xs+2R) array for one target tile,
+    or None for centerless (off-grid) groups."""
+    R = int(radius)
     center = pdf[(pdf["dy"] == 0) & (pdf["dx"] == 0)]
     if center.empty:
         return None
     c = center.iloc[0]
     ys, xs = int(c["fysize"]), int(c["fxsize"])
-    padded = np.full((ys + 2, xs + 2), nullval, dtype=np.int64)
+    padded = np.full((ys + 2 * R, xs + 2 * R), nullval, dtype=np.int64)
     for r in pdf.itertuples(index=False):
         v = np.frombuffer(bytes(r.frag), "<u2").astype(np.int64).reshape(
             int(r.fysize), int(r.fxsize)
         )
         # fragment emitted with offset (dy,dx) relative to its SOURCE:
         # source sits at (-dy,-dx) from this tile, so dy=+1 fragments
-        # (from the tile above) fill the top pad row, dy=-1 the bottom
-        rs = slice(1, 1 + ys) if r.dy == 0 else (
-            slice(0, 1) if r.dy == 1 else slice(ys + 1, ys + 2))
-        cs = slice(1, 1 + xs) if r.dx == 0 else (
-            slice(0, 1) if r.dx == 1 else slice(xs + 1, xs + 2))
+        # (from the tile above) fill the top pad rows, dy=-1 the bottom
+        rs = slice(R, R + ys) if r.dy == 0 else (
+            slice(0, R) if r.dy == 1 else slice(R + ys, 2 * R + ys))
+        cs = slice(R, R + xs) if r.dx == 0 else (
+            slice(0, R) if r.dx == 1 else slice(R + xs, 2 * R + xs))
         padded[rs, cs] = v
     return int(c["band"]), int(c["tile_row"]), int(c["tile_col"]), ys, xs, padded
 
 
-def _window_views(padded: np.ndarray):
-    """The nine shifted (ys, xs) views of a padded array."""
-    ys, xs = padded.shape[0] - 2, padded.shape[1] - 2
-    return [padded[i:i + ys, j:j + xs] for i in range(3) for j in range(3)]
+def _window_views(padded: np.ndarray, radius: int = 1):
+    """The (2R+1)^2 shifted (ys, xs) views of a padded array."""
+    k = 2 * int(radius) + 1
+    ys, xs = padded.shape[0] - (k - 1), padded.shape[1] - (k - 1)
+    return [padded[i:i + ys, j:j + xs] for i in range(k) for j in range(k)]
 
 
 def _horn(padded: np.ndarray, nullval: int, fx: float, fy: float):
@@ -191,16 +206,16 @@ def _horn(padded: np.ndarray, nullval: int, fx: float, fy: float):
     return v, gx, gy, allv
 
 
-def focal_stats(tiles: DataFrame, nullval: int = 0) -> DataFrame:
-    """Per-pixel 3x3 focal count/sum/min/max over VALID (non-null)
-    window pixels, defined at valid centers (the window includes the
-    center). -1 where the center is null. One shuffle (the halo
-    exchange); the kernel is nine shifted-view reductions, no Python
-    per pixel."""
-    frags = _emit_fragments(tiles)
+def focal_stats(tiles: DataFrame, nullval: int = 0, radius: int = 1) -> DataFrame:
+    """Per-pixel (2R+1)x(2R+1) focal count/sum/min/max over VALID
+    (non-null) window pixels, defined at valid centers (the window
+    includes the center). -1 where the center is null. One shuffle
+    (the halo exchange, halo width R); the kernel is (2R+1)^2
+    shifted-view reductions, no Python per pixel."""
+    frags = _emit_fragments(tiles, radius=radius)
 
     def work(pdf: pd.DataFrame) -> pd.DataFrame:
-        got = _assemble(pdf, nullval)
+        got = _assemble(pdf, nullval, radius=radius)
         if got is None:
             return pd.DataFrame(
                 columns=["band", "tile_row", "tile_col", "ysize", "xsize",
@@ -211,14 +226,14 @@ def focal_stats(tiles: DataFrame, nullval: int = 0) -> DataFrame:
         tot = np.zeros((ys, xs), np.int64)
         mn = np.full((ys, xs), np.iinfo(np.int64).max)
         mx = np.full((ys, xs), np.iinfo(np.int64).min)
-        pv = _window_views(padded)
-        vv = _window_views(vpad)
+        pv = _window_views(padded, radius)
+        vv = _window_views(vpad, radius)
         for p, v in zip(pv, vv):
             cnt += v
             tot += np.where(v, p, 0)
             mn = np.minimum(mn, np.where(v, p, np.iinfo(np.int64).max))
             mx = np.maximum(mx, np.where(v, p, np.iinfo(np.int64).min))
-        cvalid = vv[4]  # center view of the validity pad
+        cvalid = vv[len(vv) // 2]  # center view of the validity pad
         out = [np.where(cvalid, a, -1).ravel() for a in (cnt, tot, mn, mx)]
         return pd.DataFrame([{
             "band": band, "tile_row": tr, "tile_col": tc,

@@ -75,7 +75,7 @@ def _collect_grids(df, cols):
     return grids
 
 
-def _brute_focal(grid):
+def _brute_focal(grid, R=1):
     ys, xs = grid.shape
     cnt = np.full(grid.shape, -1, np.int64)
     tot = np.full(grid.shape, -1, np.int64)
@@ -85,7 +85,7 @@ def _brute_focal(grid):
         for c in range(xs):
             if grid[r, c] == NULL:
                 continue
-            w = grid[max(0, r - 1):r + 2, max(0, c - 1):c + 2]
+            w = grid[max(0, r - R):r + R + 1, max(0, c - R):c + R + 1]
             v = w[w != NULL]
             cnt[r, c] = v.size
             tot[r, c] = v.sum()
@@ -126,6 +126,29 @@ def test_focal_stats_matches_whole_raster(spark, packed):
     np.testing.assert_array_equal(got["f_sum"], tot)
     np.testing.assert_array_equal(got["f_min"], mn)
     np.testing.assert_array_equal(got["f_max"], mx)
+
+
+@pytest.mark.parametrize("packed", [False, True])
+def test_focal_stats_radius2(spark, packed):
+    # 5x5 windows: the halo is now R-row/col strips and RxR corners;
+    # the ragged 5-row/6-col last tiles exercise the R=2 edge cases
+    grid = _make_raster(np.random.default_rng(41))
+    got = _collect_grids(
+        focal_stats(_tiles_df(spark, grid, packed), nullval=NULL, radius=2),
+        ["f_count", "f_sum", "f_min", "f_max"],
+    )
+    cnt, tot, mn, mx = _brute_focal(grid, R=2)
+    np.testing.assert_array_equal(got["f_count"], cnt)
+    np.testing.assert_array_equal(got["f_sum"], tot)
+    np.testing.assert_array_equal(got["f_min"], mn)
+    np.testing.assert_array_equal(got["f_max"], mx)
+
+
+def test_focal_radius_exceeding_tile_raises(spark):
+    grid = _make_raster(np.random.default_rng(43))
+    with pytest.raises(Exception, match="halo radius"):
+        focal_stats(_tiles_df(spark, grid, True), nullval=NULL,
+                    radius=6).collect()
 
 
 def test_focal_layouts_agree(spark):
