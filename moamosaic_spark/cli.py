@@ -69,6 +69,10 @@ def get_parser() -> argparse.ArgumentParser:
     p.add_argument("--resample", default="near",
                    choices=["near", "bilinear", "average"],
                    help="resampling method for --xres/--yres")
+    p.add_argument("--derived", action="append", default=None,
+                   choices=["hillshade", "terrain", "basins"],
+                   help="also write gdaldem-style derived products "
+                        "(repeatable) under OUT/<product>")
     p.add_argument("--monitorjson", default=None)
     p.add_argument("--master", default=None, help="Spark master override (local runs)")
     return p
@@ -182,6 +186,16 @@ def main(argv: list[str] | None = None) -> None:
         else:
             res = do_mosaic(spark, fp, blocks, cfg)
             write_mosaic(res, args.out)
+
+    if args.derived:
+        if args.batches > 1:
+            parser.error("--derived requires the single-run path "
+                         "(not --batches)")
+        from .mosaic import write_derived
+
+        with mon.ctx("derived"):
+            counts = write_derived(res, args.out, list(dict.fromkeys(args.derived)))
+        print(json.dumps({"derived": counts}))
 
     if args.monitorjson:
         mon.dump_json(args.monitorjson)

@@ -555,3 +555,65 @@ def _write_mosaic_sinks(result: MosaicResult, path: str, partitions: int | None)
             "overwrite"
         ).parquet(f"{path}/overviews")
     result.stats.coalesce(1).write.mode("overwrite").parquet(f"{path}/stats")
+
+
+def write_derived(
+    result: MosaicResult, path: str, products: list[str] | tuple[str, ...]
+) -> dict:
+    """gdaldem-style derived products from a mosaic result, each
+    written as an ordered partitioned table under ``path/<name>``:
+
+    - ``hillshade``: Horn shade 0..255 per pixel (functions/focal.py)
+    - ``terrain``: quantized percent slope + D8 flow direction arrays
+    - ``basins``: per-cell watershed labels (gid, basin, dist) from
+      pointer-doubling flow routing (functions/hydro.py)
+
+    All three derive from ONE terrain/halo computation where possible;
+    returns {product: row_count}."""
+    from .functions.focal import hillshade, terrain
+    from .functions.hydro import d8_edges, flow_basins
+
+    g = result.grid
+    t = result.tiles
+    if "level" in t.columns:
+        t = t.where(F.col("level") == 0)
+    tiles = t.select("band", "tile_row", "tile_col", "ysize", "xsize", "pixels")
+
+    unknown = set(products) - {"hillshade", "terrain", "basins"}
+    if unknown:
+        raise ValueError(f"unknown derived products: {sorted(unknown)}")
+
+    out: dict = {}
+    terr = None
+    if {"terrain", "basins"} & set(products):
+        terr = terrain(
+            tiles, xres=g.x_res, yres=g.y_res, nullval=int(g.nullval)
+        ).localCheckpoint(eager=False)
+
+    spark = tiles.sparkSession
+
+    def sink(df, name, order):
+        df.repartitionByRange(*order).sortWithinPartitions(*order).write.mode(
+            "overwrite"
+        ).parquet(f"{path}/{name}")
+        # count from the written files — re-counting df would re-run
+        # the whole derived computation
+        out[name] = spark.read.parquet(f"{path}/{name}").count()
+
+    key = ["band", "tile_row", "tile_col"]
+    for p in products:
+        if p == "hillshade":
+            sink(hillshade(tiles, xres=g.x_res, yres=g.y_res,
+                           nullval=int(g.nullval)), p, key)
+        elif p == "terrain":
+            sink(terr, p, key)
+        elif p == "basins":
+            # blocksize from the tile relation: under the remainder-
+            # absorbing tiling every tile in row 0 is exactly
+            # blocksize tall (only the LAST row absorbs the remainder)
+            bs = int(t.where(F.col("tile_row") == 0)
+                     .agg(F.max("ysize")).collect()[0][0])
+            edges = d8_edges(terr, g_ncols=int(g.ncols), blocksize=bs)
+            sink(flow_basins(edges).where(F.col("is_cell")).select(
+                "band", "gid", "basin", "dist"), p, ["band", "gid"])
+    return out

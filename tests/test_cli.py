@@ -120,3 +120,47 @@ def test_cli_relayout_batches_exclusive(staged):
             "--footprints", str(staged / "fp"), "--blocks", str(staged / "blocks"),
             "-o", str(staged / "x"), "--relayout-table", "t", "--batches", "3",
         ])
+
+
+def test_cli_derived_products(spark, staged):
+    """--derived writes gdaldem-style products; hillshade must equal a
+    direct hillshade over the written tiles, basins must partition the
+    defined cells."""
+    from moamosaic_spark.functions.focal import hillshade
+
+    out = str(staged / "out_derived")
+    main([
+        "--footprints", str(staged / "fp"), "--blocks", str(staged / "blocks"),
+        "-o", out, "-b", "64", "--src-blocksize", "64", "--no-overviews",
+        "--derived", "hillshade", "--derived", "terrain",
+        "--derived", "basins",
+    ])
+    tiles = spark.read.parquet(f"{out}/tiles").select(
+        "band", "tile_row", "tile_col", "ysize", "xsize", "pixels")
+    want = {
+        (r.band, r.tile_row, r.tile_col): np.asarray(r.pixels, np.int64)
+        for r in hillshade(tiles, xres=10.0, yres=10.0, nullval=0).collect()
+    }
+    got = {
+        (r.band, r.tile_row, r.tile_col): np.asarray(r.pixels, np.int64)
+        for r in spark.read.parquet(f"{out}/hillshade").collect()
+    }
+    assert set(got) == set(want)
+    for k in want:
+        np.testing.assert_array_equal(got[k], want[k])
+    terr = spark.read.parquet(f"{out}/terrain")
+    assert {"slope_q", "d8"} <= set(terr.columns) and terr.count() > 0
+    basins = spark.read.parquet(f"{out}/basins")
+    n_def = terr.selectExpr(
+        "sum(size(filter(d8, x -> x != -1))) AS n").collect()[0].n
+    assert basins.count() == n_def
+
+
+def test_cli_derived_rejects_batches(staged):
+    with pytest.raises(SystemExit):
+        main([
+            "--footprints", str(staged / "fp"),
+            "--blocks", str(staged / "blocks"),
+            "-o", str(staged / "x"), "-b", "64", "--batches", "2",
+            "--derived", "hillshade",
+        ])
