@@ -21,7 +21,8 @@ Option mapping (reference option -> here):
                         (+ --xres/--yres same-CRS rescale)
     --monitorjson    -> --monitorjson
 Extras: --strategy/--cell-size-px/--salt (join physical strategy),
---kernel, --merge-policy, --batches/--resume (lineage checkpointing).
+--kernel, --merge-policy, --batches/--resume (lineage checkpointing),
+--derived hillshade|terrain|basins (gdaldem-style product tables).
 """
 
 from __future__ import annotations
