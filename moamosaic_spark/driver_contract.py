@@ -1245,7 +1245,8 @@ def q_focal_checksums(spark: SparkSession, sf_dir: str) -> DataFrame:
     gidx, wsum = _focal_gidx(gnc), _focal_wsum(gnc)
     vs, vc = F.filter(F.col("f_sum"), lambda x: x != -1), F.filter(
         F.col("f_count"), lambda x: x != -1)
-    # one select over ONE halo exchange — both arrays reduce in place
+    vq = F.filter(F.col("f_ssq"), lambda x: x != -1)
+    # one select over ONE halo exchange — all arrays reduce in place
     return out.select(
         "band", "tile_row", "tile_col",
         F.size(vs).cast("long").alias("n_def"),
@@ -1253,6 +1254,7 @@ def q_focal_checksums(spark: SparkSession, sf_dir: str) -> DataFrame:
         wsum("f_count").alias("wsum_cnt"),
         F.aggregate(vs, F.lit(0).cast("long"), lambda a, x: a + x).alias("sum_sum"),
         wsum("f_sum").alias("wsum_sum"),
+        F.aggregate(vq, F.lit(0).cast("long"), lambda a, x: a + x).alias("sum_ssq"),
         F.array_min(vs).cast("long").alias("min_sum"),
         F.array_max(vs).cast("long").alias("max_sum"),
     ).where(F.col("n_def") > 0)
@@ -1269,6 +1271,7 @@ n9 AS (
 fs AS (
   SELECT n.r, n.c,
          count(*) AS f_cnt, sum(n.val) AS f_sum,
+         sum(n.val * n.val) AS f_ssq,
          min(n.val) AS f_min, max(n.val) AS f_max
   FROM n9 n JOIN merged ctr ON ctr.r = n.r AND ctr.c = n.c
   GROUP BY n.r, n.c
@@ -1281,6 +1284,7 @@ SELECT 1 AS band,
        CAST(sum(f.f_cnt * (f.r * g.g_ncols + f.c)) AS BIGINT) AS wsum_cnt,
        CAST(sum(f.f_sum) AS BIGINT) AS sum_sum,
        CAST(sum(f.f_sum * (f.r * g.g_ncols + f.c)) AS BIGINT) AS wsum_sum,
+       CAST(sum(f.f_ssq) AS BIGINT) AS sum_ssq,
        CAST(min(f.f_sum) AS BIGINT) AS min_sum,
        CAST(max(f.f_sum) AS BIGINT) AS max_sum
 FROM fs f, nb, grid g
@@ -1301,6 +1305,7 @@ def q_focal5_checksums(spark: SparkSession, sf_dir: str) -> DataFrame:
     wsum = _focal_wsum(gnc)
     vs = F.filter(F.col("f_sum"), lambda x: x != -1)
     vc = F.filter(F.col("f_count"), lambda x: x != -1)
+    vq = F.filter(F.col("f_ssq"), lambda x: x != -1)
     return out.select(
         "band", "tile_row", "tile_col",
         F.size(vs).cast("long").alias("n_def"),
@@ -1308,6 +1313,7 @@ def q_focal5_checksums(spark: SparkSession, sf_dir: str) -> DataFrame:
         wsum("f_count").alias("wsum_cnt"),
         F.aggregate(vs, F.lit(0).cast("long"), lambda a, x: a + x).alias("sum_sum"),
         wsum("f_sum").alias("wsum_sum"),
+        F.aggregate(vq, F.lit(0).cast("long"), lambda a, x: a + x).alias("sum_ssq"),
         F.array_min(vs).cast("long").alias("min_sum"),
         F.array_max(vs).cast("long").alias("max_sum"),
     ).where(F.col("n_def") > 0)
@@ -1323,7 +1329,8 @@ n25 AS (
 ),
 fs AS (
   SELECT n.r, n.c,
-         count(*) AS f_cnt, sum(n.val) AS f_sum
+         count(*) AS f_cnt, sum(n.val) AS f_sum,
+         sum(n.val * n.val) AS f_ssq
   FROM n25 n JOIN merged ctr ON ctr.r = n.r AND ctr.c = n.c
   GROUP BY n.r, n.c
 )
@@ -1335,6 +1342,7 @@ SELECT 1 AS band,
        CAST(sum(f.f_cnt * (f.r * g.g_ncols + f.c)) AS BIGINT) AS wsum_cnt,
        CAST(sum(f.f_sum) AS BIGINT) AS sum_sum,
        CAST(sum(f.f_sum * (f.r * g.g_ncols + f.c)) AS BIGINT) AS wsum_sum,
+       CAST(sum(f.f_ssq) AS BIGINT) AS sum_ssq,
        CAST(min(f.f_sum) AS BIGINT) AS min_sum,
        CAST(max(f.f_sum) AS BIGINT) AS max_sum
 FROM fs f, nb, grid g

@@ -39,8 +39,8 @@ from pyspark.sql import DataFrame, functions as F
 
 FOCAL_STATS_SCHEMA = (
     "band int, tile_row int, tile_col int, ysize int, xsize int, "
-    "f_count array<long>, f_sum array<long>, f_min array<long>, "
-    "f_max array<long>"
+    "f_count array<long>, f_sum array<long>, f_ssq array<long>, "
+    "f_min array<long>, f_max array<long>"
 )
 
 FOCAL_APPLY_SCHEMA = (
@@ -207,7 +207,8 @@ def _horn(padded: np.ndarray, nullval: int, fx: float, fy: float):
 
 
 def focal_stats(tiles: DataFrame, nullval: int = 0, radius: int = 1) -> DataFrame:
-    """Per-pixel (2R+1)x(2R+1) focal count/sum/min/max over VALID
+    """Per-pixel (2R+1)x(2R+1) focal count/sum/sum-of-squares/min/max
+    over VALID
     (non-null) window pixels, defined at valid centers (the window
     includes the center). -1 where the center is null. One shuffle
     (the halo exchange, halo width R); the kernel is (2R+1)^2
@@ -219,11 +220,12 @@ def focal_stats(tiles: DataFrame, nullval: int = 0, radius: int = 1) -> DataFram
         if got is None:
             return pd.DataFrame(
                 columns=["band", "tile_row", "tile_col", "ysize", "xsize",
-                         "f_count", "f_sum", "f_min", "f_max"])
+                         "f_count", "f_sum", "f_ssq", "f_min", "f_max"])
         band, tr, tc, ys, xs, padded = got
         vpad = padded != nullval
         cnt = np.zeros((ys, xs), np.int64)
         tot = np.zeros((ys, xs), np.int64)
+        ssq = np.zeros((ys, xs), np.int64)
         mn = np.full((ys, xs), np.iinfo(np.int64).max)
         mx = np.full((ys, xs), np.iinfo(np.int64).min)
         pv = _window_views(padded, radius)
@@ -231,15 +233,17 @@ def focal_stats(tiles: DataFrame, nullval: int = 0, radius: int = 1) -> DataFram
         for p, v in zip(pv, vv):
             cnt += v
             tot += np.where(v, p, 0)
+            ssq += np.where(v, p * p, 0)
             mn = np.minimum(mn, np.where(v, p, np.iinfo(np.int64).max))
             mx = np.maximum(mx, np.where(v, p, np.iinfo(np.int64).min))
         cvalid = vv[len(vv) // 2]  # center view of the validity pad
-        out = [np.where(cvalid, a, -1).ravel() for a in (cnt, tot, mn, mx)]
+        out = [np.where(cvalid, a, -1).ravel()
+               for a in (cnt, tot, ssq, mn, mx)]
         return pd.DataFrame([{
             "band": band, "tile_row": tr, "tile_col": tc,
             "ysize": ys, "xsize": xs,
-            "f_count": out[0], "f_sum": out[1],
-            "f_min": out[2], "f_max": out[3],
+            "f_count": out[0], "f_sum": out[1], "f_ssq": out[2],
+            "f_min": out[3], "f_max": out[4],
         }])
 
     return frags.groupBy("band", "tile_row", "tile_col").applyInPandas(

@@ -79,6 +79,7 @@ def _brute_focal(grid, R=1):
     ys, xs = grid.shape
     cnt = np.full(grid.shape, -1, np.int64)
     tot = np.full(grid.shape, -1, np.int64)
+    ssq = np.full(grid.shape, -1, np.int64)
     mn = np.full(grid.shape, -1, np.int64)
     mx = np.full(grid.shape, -1, np.int64)
     for r in range(ys):
@@ -89,9 +90,10 @@ def _brute_focal(grid, R=1):
             v = w[w != NULL]
             cnt[r, c] = v.size
             tot[r, c] = v.sum()
+            ssq[r, c] = (v * v).sum()
             mn[r, c] = v.min()
             mx[r, c] = v.max()
-    return cnt, tot, mn, mx
+    return cnt, tot, ssq, mn, mx
 
 
 def _brute_hillshade(grid, fx, fy):
@@ -119,11 +121,12 @@ def test_focal_stats_matches_whole_raster(spark, packed):
     tiles = _tiles_df(spark, grid, packed)
     got = _collect_grids(
         focal_stats(tiles, nullval=NULL),
-        ["f_count", "f_sum", "f_min", "f_max"],
+        ["f_count", "f_sum", "f_ssq", "f_min", "f_max"],
     )
-    cnt, tot, mn, mx = _brute_focal(grid)
+    cnt, tot, ssq, mn, mx = _brute_focal(grid)
     np.testing.assert_array_equal(got["f_count"], cnt)
     np.testing.assert_array_equal(got["f_sum"], tot)
+    np.testing.assert_array_equal(got["f_ssq"], ssq)
     np.testing.assert_array_equal(got["f_min"], mn)
     np.testing.assert_array_equal(got["f_max"], mx)
 
@@ -135,9 +138,10 @@ def test_focal_stats_radius2(spark, packed):
     grid = _make_raster(np.random.default_rng(41))
     got = _collect_grids(
         focal_stats(_tiles_df(spark, grid, packed), nullval=NULL, radius=2),
-        ["f_count", "f_sum", "f_min", "f_max"],
+        ["f_count", "f_sum", "f_ssq", "f_min", "f_max"],
     )
-    cnt, tot, mn, mx = _brute_focal(grid, R=2)
+    cnt, tot, ssq, mn, mx = _brute_focal(grid, R=2)
+    np.testing.assert_array_equal(got["f_ssq"], ssq)
     np.testing.assert_array_equal(got["f_count"], cnt)
     np.testing.assert_array_equal(got["f_sum"], tot)
     np.testing.assert_array_equal(got["f_min"], mn)

@@ -108,3 +108,45 @@ def test_unconverged_raises(spark):
     edges = d8_edges(terr, g_ncols=grid.shape[1], blocksize=BS)
     with pytest.raises(RuntimeError, match="did not converge"):
         flow_basins(edges, max_rounds=1)
+
+
+def test_basins_multiband_independent(spark):
+    """Two bands with different rasters: basins resolve per band and
+    never mix (band rides every join key in the chain)."""
+    from pyspark.sql.types import (
+        BinaryType, IntegerType, StructField, StructType,
+    )
+
+    total = (sum(TILE_ROWS), sum(TILE_COLS))
+    g1 = (np.arange(total[1], dtype=np.int64)[None, :] + 1).repeat(
+        total[0], axis=0)          # flows W
+    g2 = g1[:, ::-1].copy()        # flows E
+    rows = []
+    for band, grid in ((1, g1), (2, g2)):
+        y = 0
+        for tr, ys in enumerate(TILE_ROWS):
+            x = 0
+            for tc, xs in enumerate(TILE_COLS):
+                rows.append((band, tr, tc, ys, xs,
+                             grid[y:y + ys, x:x + xs].astype("<u2").tobytes()))
+                x += xs
+            y += ys
+    schema = StructType([
+        StructField("band", IntegerType()),
+        StructField("tile_row", IntegerType()),
+        StructField("tile_col", IntegerType()),
+        StructField("ysize", IntegerType()),
+        StructField("xsize", IntegerType()),
+        StructField("pixels", BinaryType()),
+    ])
+    tiles = spark.createDataFrame(rows, schema)
+    ncols = total[1]
+    terr = terrain(tiles, xres=10.0, yres=10.0, nullval=NULL)
+    basins = flow_basins(d8_edges(terr, g_ncols=ncols, blocksize=BS))
+    got = {(r.band, r.gid): (r.basin, r.dist)
+           for r in basins.where("is_cell").collect()}
+    for band, grid in ((1, g1), (2, g2)):
+        _, d8 = _brute_terrain(grid, 80.0, 80.0)
+        exp = _brute_basins(d8)
+        sub = {g: v for (b, g), v in got.items() if b == band}
+        assert sub == exp, f"band {band}"
