@@ -1448,16 +1448,18 @@ def q_terrain_checksums(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).where(F.col("n_def") > 0)
 
 
-def _d8_ctes() -> str:
-    """CTE block (n9 -> w -> n8 -> d8) shared by the terrain and basin
-    oracles: per-pixel D8 code with the identical eff semantics and
-    scan-order tie-break as functions/focal.terrain."""
+def _d8_ctes(src: str = "merged") -> str:
+    """CTE block (n9 -> w -> n8 -> d8) shared by the terrain, basin
+    and accumulation oracles: per-pixel D8 code with the identical
+    eff semantics and scan-order tie-break as functions/focal.terrain.
+    ``src`` names the pixel relation (a restricted CTE for subgrid
+    queries)."""
     from .functions.focal import D8_DIAG_W, D8_FLAT
 
     return f"""
 n9 AS (
   SELECT m.r - dr.i AS r, m.c - dc.i AS c, dr.i AS wy, dc.i AS wx, m.val
-  FROM merged m,
+  FROM {src} m,
        generate_series(-1, 1) dr(i),
        generate_series(-1, 1) dc(i)
 ),
@@ -1707,6 +1709,97 @@ SELECT CAST(basin AS BIGINT) AS basin,
        CAST(sum(gid % 1000003) AS BIGINT) AS wsum_gid
 FROM final
 GROUP BY basin
+"""
+
+
+ACC_TILES = 2  # flow-accumulation query runs on the 2x2-tile subgrid
+
+
+def q_flow_accumulation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Flow accumulation (upstream cell count) via the distributed
+    Euler tour + list ranking (functions/hydro.flow_accumulation) —
+    the O(log)-round form of a subtree-sum, which plain pointer
+    doubling cannot express. Runs on the 512^2 top-left subgrid so
+    the oracle's independent ancestor-path enumeration (a recursive
+    CTE materializing every (cell, ancestor) hop — Theta(sum of path
+    lengths), fine at fixture scale, exactly what the Euler tour
+    avoids at 100 TB) stays tractable. Output: per-tile rollups of
+    acc over real cells, position-gated."""
+    from .functions.focal import terrain
+    from .functions.hydro import d8_edges, flow_accumulation
+    from .plans.grid import global_pixel_index
+
+    res = _mosaic_result_cached(sf_dir, spark)
+    gnc = int(res.grid.ncols)
+    sub = _level0_tiles(res).where(
+        (F.col("tile_row") < ACC_TILES) & (F.col("tile_col") < ACC_TILES)
+    )
+    terr = terrain(
+        sub, xres=float(res.grid.x_res), yres=float(res.grid.y_res),
+        nullval=int(res.grid.nullval),
+    )
+    edges = d8_edges(terr, g_ncols=gnc, blocksize=BLOCKSIZE)
+    acc = flow_accumulation(edges).where(F.col("is_cell"))
+    r = (F.col("gid") / gnc).cast("long")
+    c = F.col("gid") % gnc
+    return acc.select(
+        "band", "gid", "acc",
+        F.floor(r / BLOCKSIZE).cast("int").alias("tile_row"),
+        F.floor(c / BLOCKSIZE).cast("int").alias("tile_col"),
+    ).groupBy("band", "tile_row", "tile_col").agg(
+        F.count("*").cast("long").alias("n_cells"),
+        F.sum("acc").cast("long").alias("sum_acc"),
+        F.sum(F.col("acc") * F.col("gid")).cast("long").alias("wsum_acc"),
+        F.max("acc").cast("long").alias("max_acc"),
+    )
+
+
+def _flow_accumulation_sql() -> str:
+    lim = ACC_TILES * BLOCKSIZE
+    return f"""{_sql_prologue()},
+msub AS (
+  SELECT r, c, val FROM merged WHERE r < {lim} AND c < {lim}
+),{_d8_ctes(src="msub")},
+ed AS MATERIALIZED (
+  SELECT d.r * g.g_ncols + d.c AS gid,
+         CASE d.d8
+           WHEN 8 THEN d.r * g.g_ncols + d.c
+           WHEN 0 THEN (d.r - 1) * g.g_ncols + d.c
+           WHEN 1 THEN (d.r - 1) * g.g_ncols + (d.c + 1)
+           WHEN 2 THEN d.r * g.g_ncols + (d.c + 1)
+           WHEN 3 THEN (d.r + 1) * g.g_ncols + (d.c + 1)
+           WHEN 4 THEN (d.r + 1) * g.g_ncols + d.c
+           WHEN 5 THEN (d.r + 1) * g.g_ncols + (d.c - 1)
+           WHEN 6 THEN d.r * g.g_ncols + (d.c - 1)
+           ELSE (d.r - 1) * g.g_ncols + (d.c - 1)
+         END AS dst
+  FROM d8 d, grid g
+),
+anc AS (
+  -- every (cell, ancestor) hop along its sink path: unique paths in a
+  -- functional forest, so UNION ALL needs no dedup
+  WITH RECURSIVE walk(u, a) AS (
+    SELECT gid, dst FROM ed WHERE dst != gid
+    UNION ALL
+    SELECT w.u, e.dst
+    FROM walk w JOIN ed e ON e.gid = w.a AND e.dst != e.gid
+  )
+  SELECT u, a FROM walk
+),
+acc AS (
+  SELECT e.gid, 1 + coalesce(n.n, 0) AS acc
+  FROM ed e
+  LEFT JOIN (SELECT a, count(*) AS n FROM anc GROUP BY a) n ON n.a = e.gid
+)
+SELECT 1 AS band,
+       CAST(floor(a.gid / g.g_ncols / {BLOCKSIZE}) AS INT) AS tile_row,
+       CAST(floor((a.gid % g.g_ncols) * 1.0 / {BLOCKSIZE}) AS INT) AS tile_col,
+       CAST(count(*) AS BIGINT) AS n_cells,
+       CAST(sum(a.acc) AS BIGINT) AS sum_acc,
+       CAST(sum(a.acc * a.gid) AS BIGINT) AS wsum_acc,
+       CAST(max(a.acc) AS BIGINT) AS max_acc
+FROM acc a, grid g
+GROUP BY 1, 2, 3
 """
 
 
@@ -3133,6 +3226,7 @@ def queries() -> dict:
         "hillshade_checksums": q_hillshade_checksums,
         "terrain_checksums": q_terrain_checksums,
         "flow_basins": q_flow_basins,
+        "flow_accumulation": q_flow_accumulation,
         "basin_zonal_stats": q_basin_zonal_stats,
         "tile_knn_sources": q_tile_knn_sources,
         "doc_token_stats": q_doc_token_stats,
@@ -3197,6 +3291,7 @@ def oracle_sql() -> dict:
         "hillshade_checksums": _hillshade_checksums_sql(),
         "terrain_checksums": _terrain_checksums_sql(),
         "flow_basins": _flow_basins_sql(),
+        "flow_accumulation": _flow_accumulation_sql(),
         "basin_zonal_stats": _basin_zonal_sql(),
         "tile_knn_sources": _tile_knn_sql(),
         "doc_token_stats": SQL_DOC_TOKEN_STATS,

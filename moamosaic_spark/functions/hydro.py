@@ -133,3 +133,115 @@ def basin_summary(basins: DataFrame) -> DataFrame:
         F.sum("dist").alias("sum_dist"),
         F.sum(F.col("gid") % F.lit(1_000_003)).alias("wsum_gid"),
     )
+
+
+def flow_accumulation(edges: DataFrame, max_rounds: int = 48) -> DataFrame:
+    """Upstream cell count (including self) per cell — the
+    ``r.watershed``/``gdaldem`` flow-accumulation product — in
+    O(log tour-length) shuffle rounds.
+
+    Subtree sizes over a functional forest cannot be pointer-doubled
+    directly (jumps skip the intermediate nodes that must receive
+    contributions), so this builds the classic PARALLEL form: a
+    distributed EULER TOUR of each drainage tree (two arcs per tree
+    edge, successor pointers from first-child / next-sibling order),
+    then LIST-RANKS the tour by reusing flow_basins' pointer-doubling
+    machinery on the arc successor list. For a non-root cell u,
+    rank(enter_u) - rank(leave_u) = 2*size(u) - 1; for a root, size =
+    (arcs in its tour)/2 + 1. Every stage is a plain join/window —
+    one shuffle each — plus the O(log) ranking rounds.
+
+    Input: (band, gid, dst) as produced by d8_edges. Output: (band,
+    gid, acc, is_cell) with acc = number of cells whose water passes
+    through gid (self included); virtual outlets carry is_cell=False
+    (their acc is the outlet's total throughput)."""
+    from pyspark.sql import Window
+
+    # tree edges child -> parent (sink self-loops are roots, not edges)
+    te = edges.where(F.col("dst") != F.col("gid")).select(
+        "band", "gid", F.col("dst").alias("parent")
+    )
+    cells = edges.select("band", "gid")
+    # roots: sinks (self-loop cells) + virtual outlets (a dst with no
+    # own edge row)
+    sinks = edges.where(F.col("dst") == F.col("gid")).select("band", "gid")
+    outlets = (
+        edges.select("band", F.col("dst").alias("gid")).distinct()
+        .join(cells, ["band", "gid"], "left_anti")
+    )
+    roots = sinks.unionByName(outlets)
+
+    w = Window.partitionBy("band", "parent").orderBy("gid")
+    sib = te.select(
+        "band", "gid", "parent",
+        F.row_number().over(w).alias("ord"),
+        F.lead("gid").over(w).alias("next_sib"),
+    )
+    first_child = sib.where(F.col("ord") == 1).select(
+        "band", F.col("parent").alias("gid"), F.col("gid").alias("fc")
+    )
+    node = (
+        sib.join(first_child, ["band", "gid"], "left")
+        .join(roots.withColumn("parent_is_root", F.lit(True))
+              .select("band", F.col("gid").alias("parent"), "parent_is_root"),
+              ["band", "parent"], "left")
+    )
+    two = F.lit(2).cast("long")
+    enter = node.select(
+        "band",
+        (two * F.col("gid")).alias("gid"),
+        F.when(F.col("fc").isNotNull(), two * F.col("fc"))
+        .otherwise(two * F.col("gid") + 1).alias("dst"),
+    )
+    leave = node.select(
+        "band",
+        (two * F.col("gid") + 1).alias("gid"),
+        F.when(F.col("next_sib").isNotNull(), two * F.col("next_sib"))
+        .otherwise(
+            F.when(F.col("parent_is_root").isNotNull(),
+                   two * F.col("gid") + 1)          # terminal: absorbing
+            .otherwise(two * F.col("parent") + 1)
+        ).alias("dst"),
+    )
+    arcs = enter.unionByName(leave)
+    rank = flow_basins(arcs, max_rounds=max_rounds)
+
+    u_of = (F.col("gid") / 2).cast("long")
+    d_e = rank.where(F.col("gid") % 2 == 0).select(
+        "band", u_of.alias("gid"), F.col("dist").alias("d_enter"))
+    d_l = rank.where(F.col("gid") % 2 == 1).select(
+        "band", u_of.alias("gid"), F.col("dist").alias("d_leave"),
+        F.col("basin").alias("tour"))
+    acc_nonroot = d_e.join(d_l, ["band", "gid"]).select(
+        "band", "gid",
+        ((F.col("d_enter") - F.col("d_leave") + 1) / 2)
+        .cast("long").alias("acc"),
+    )
+
+    # roots: total arcs of the tree ending at each terminal arc; the
+    # terminal is leave(w) for a last child w whose parent is the root
+    tree_arcs = rank.groupBy("band", "basin").agg(F.count("*").alias("n_arcs"))
+    term_root = (
+        te.select("band", (two * F.col("gid") + 1).alias("basin"),
+                  F.col("parent").alias("root"))
+    )
+    acc_root_sized = tree_arcs.join(term_root, ["band", "basin"]).select(
+        "band", F.col("root").alias("gid"),
+        (F.col("n_arcs") / 2).cast("long").alias("thru"),
+    )
+    # a sink CELL counts itself (+1); a virtual outlet is pure
+    # throughput (it is not a cell)
+    acc_root = (
+        roots.join(acc_root_sized, ["band", "gid"], "left")
+        .join(cells.withColumn("c", F.lit(True)), ["band", "gid"], "left")
+        .select(
+            "band", "gid",
+            (F.coalesce(F.col("thru"), F.lit(0))
+             + F.when(F.col("c").isNotNull(), 1).otherwise(0))
+            .cast("long").alias("acc"),
+        )
+    )
+    out = acc_nonroot.unionByName(acc_root)
+    return out.join(
+        cells.withColumn("is_cell", F.lit(True)), ["band", "gid"], "left"
+    ).select("band", "gid", "acc", F.coalesce("is_cell", F.lit(False)).alias("is_cell"))

@@ -150,3 +150,64 @@ def test_basins_multiband_independent(spark):
         exp = _brute_basins(d8)
         sub = {g: v for (b, g), v in got.items() if b == band}
         assert sub == exp, f"band {band}"
+
+
+from moamosaic_spark.functions.hydro import flow_accumulation  # noqa: E402
+
+
+def _brute_acc(d8, ncols):
+    """acc[gid] = upstream cells incl. self; virtual outlets get the
+    total throughput without the +1 (they are not cells)."""
+    basins = _brute_basins(d8)
+    hop = {}
+    for r, c in zip(*np.nonzero(d8 != -1)):
+        code = d8[r, c]
+        if code == D8_FLAT:
+            continue
+        dy, dx = D8_DIRS[code]
+        hop[r * ncols + c] = (r + dy) * ncols + (c + dx)
+    acc = {g: 1 for g in basins}
+    outlets = {}
+    for g, (_, dist) in sorted(basins.items(), key=lambda kv: -kv[1][1]):
+        p = hop.get(g)
+        if p is None:
+            continue
+        if p in acc:
+            acc[p] += acc[g]
+        else:
+            outlets[p] = outlets.get(p, 0) + acc[g]
+    return acc, outlets
+
+
+@pytest.mark.parametrize("seed", [23, 29])
+def test_flow_accumulation_matches_brute(spark, seed):
+    grid = _make_raster(np.random.default_rng(seed))
+    ncols = grid.shape[1]
+    tiles = _tiles_df(spark, grid, packed=True)
+    terr = terrain(tiles, xres=10.0, yres=10.0, nullval=NULL)
+    edges = d8_edges(terr, g_ncols=ncols, blocksize=BS)
+    got = {(r.gid, r.is_cell): r.acc for r in flow_accumulation(edges).collect()}
+    _, d8 = _brute_terrain(grid, 80.0, 80.0)
+    acc, outlets = _brute_acc(d8, ncols)
+    assert {g: a for (g, ic), a in got.items() if ic} == acc
+    assert {g: a for (g, ic), a in got.items() if not ic} == outlets
+
+
+def test_flow_accumulation_long_chain(spark):
+    # west-flowing rows: acc(r, c) = number of defined cells at or
+    # east of c in that row; the outlet at c=0 collects the whole row
+    total = (sum(TILE_ROWS), sum(TILE_COLS))
+    grid = (np.arange(total[1], dtype=np.int64)[None, :] + 1).repeat(
+        total[0], axis=0)
+    ncols = grid.shape[1]
+    tiles = _tiles_df(spark, grid, packed=True)
+    terr = terrain(tiles, xres=10.0, yres=10.0, nullval=NULL)
+    edges = d8_edges(terr, g_ncols=ncols, blocksize=BS)
+    got = {r.gid: (r.acc, r.is_cell)
+           for r in flow_accumulation(edges).collect()}
+    ys, xs = grid.shape
+    for rr in range(1, ys - 1):
+        for cc in range(1, xs - 1):
+            assert got[rr * ncols + cc] == (xs - 1 - cc, True)
+        # outlet just west of the defined region drains the whole row
+        assert got[rr * ncols + 0] == (xs - 2, False)
