@@ -544,9 +544,12 @@ def run_basin_scale(spark) -> dict:
     )
 
     from moamosaic_spark.functions.focal import D8_DIRS, D8_FLAT, terrain
-    from moamosaic_spark.functions.hydro import basin_summary, d8_edges, flow_basins
+    from moamosaic_spark.functions.hydro import (
+        basin_summary, d8_edges, flow_accumulation, flow_basins,
+    )
 
-    N, BS_ = 2048, 256
+    N = int(os.environ.get("SPARK_GRAFT_BASIN_N", "2048"))
+    BS_ = 256
     yy, xx = np.mgrid[0:N, 0:N].astype(np.float64)
     surf = (
         3000
@@ -613,13 +616,43 @@ def run_basin_scale(spark) -> dict:
     )
     if not ok:
         raise AssertionError("basin labels/dists differ from numpy doubling truth")
-    tiles.unpersist(); edges.unpersist(); basins.unpersist()
+
+    # ---- flow accumulation (Euler tour + list ranking), same edges
+    t0 = time.time()
+    accdf = flow_accumulation(edges).persist()
+    accdf.count()
+    acc_s = time.time() - t0
+    # truth: vectorized reverse-topological accumulation by dist level
+    hop = np.full(N * N, -1, np.int64)
+    flow_idx = gid[flowing]
+    hop[flow_idx] = flow_idx + off[flat_d8[flowing]]
+    accv = np.zeros(N * N, np.int64)
+    accv[defined] = 1
+    for d in range(int(dist.max()), 0, -1):
+        sel = defined & (dist == d)
+        np.add.at(accv, hop[sel], accv[sel])
+    apdf = accdf.where("is_cell").select("gid", "acc").toPandas()
+    apdf = apdf.sort_values("gid").reset_index(drop=True)
+    if not ((apdf["gid"].to_numpy() == gid[defined]).all()
+            and (apdf["acc"].to_numpy() == accv[defined]).all()):
+        raise AssertionError("flow accumulation differs from numpy truth")
+    outl = {int(r.gid): int(r.acc) for r in accdf.where("NOT is_cell").collect()}
+    exp_outl = {int(g): int(accv[g]) for g in np.unique(hop[hop >= 0])
+                if not defined[g]}
+    if outl != exp_outl:
+        raise AssertionError("outlet throughput differs from numpy truth")
+    max_acc = int(apdf["acc"].max())
+
+    tiles.unpersist(); edges.unpersist(); basins.unpersist(); accdf.unpersist()
     return {
         "cells": int(n_cells),
         "basins": int(n_basins),
         "terrain_seconds": round(terrain_s, 3),
         "basins_seconds": round(basins_s, 3),
         "cells_per_sec": round(n_cells / basins_s, 1),
+        "accumulation_seconds": round(acc_s, 3),
+        "acc_cells_per_sec": round(n_cells / acc_s, 1),
+        "max_accumulation": max_acc,
         "all_labels_asserted": True,
     }
 
