@@ -1350,6 +1350,51 @@ GROUP BY 1, 2, 3
 """
 
 
+def q_focal_majority_checksums(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """3x3 modal filter over the stitched mosaic — mode over valid
+    window values, ties to the SMALLEST value; the oracle replays the
+    tie-break literally as first(val ORDER BY cnt DESC, val)."""
+    from .functions.focal import focal_majority
+
+    res = _mosaic_result_cached(sf_dir, spark)
+    out = focal_majority(_level0_tiles(res), nullval=int(res.grid.nullval))
+    return _focal_reduce(
+        out, "pixels", int(res.grid.ncols),
+        ("n_def", "sum_mode", "wsum_mode", "min_mode", "max_mode"),
+    )
+
+
+def _focal_majority_sql() -> str:
+    return f"""{_sql_prologue()},
+n9 AS (
+  SELECT m.r - dr.i AS r, m.c - dc.i AS c, m.val
+  FROM merged m,
+       generate_series(-1, 1) dr(i),
+       generate_series(-1, 1) dc(i)
+),
+cn AS (
+  SELECT n.r, n.c, n.val, count(*) AS cnt
+  FROM n9 n JOIN merged ctr ON ctr.r = n.r AND ctr.c = n.c
+  GROUP BY n.r, n.c, n.val
+),
+md AS (
+  SELECT r, c, first(val ORDER BY cnt DESC, val) AS mode
+  FROM cn
+  GROUP BY r, c
+)
+SELECT 1 AS band,
+       CAST(least(floor(m.r * 1.0 / {BLOCKSIZE}), nb.nb_r - 1) AS INT) AS tile_row,
+       CAST(least(floor(m.c * 1.0 / {BLOCKSIZE}), nb.nb_c - 1) AS INT) AS tile_col,
+       CAST(count(*) AS BIGINT) AS n_def,
+       CAST(sum(m.mode) AS BIGINT) AS sum_mode,
+       CAST(sum(m.mode * (m.r * g.g_ncols + m.c)) AS BIGINT) AS wsum_mode,
+       CAST(min(m.mode) AS BIGINT) AS min_mode,
+       CAST(max(m.mode) AS BIGINT) AS max_mode
+FROM md m, nb, grid g
+GROUP BY 1, 2, 3
+"""
+
+
 def q_hillshade_checksums(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Horn-method hillshade (the ``gdaldem hillshade`` analog,
     functions/focal.hillshade) over the stitched mosaic through the
@@ -3223,6 +3268,7 @@ def queries() -> dict:
         "region_outlines": q_region_outlines,
         "focal_checksums": q_focal_checksums,
         "focal5_checksums": q_focal5_checksums,
+        "focal_majority_checksums": q_focal_majority_checksums,
         "hillshade_checksums": q_hillshade_checksums,
         "terrain_checksums": q_terrain_checksums,
         "flow_basins": q_flow_basins,
@@ -3288,6 +3334,7 @@ def oracle_sql() -> dict:
         "region_outlines": _region_outlines_sql(),
         "focal_checksums": _focal_checksums_sql(),
         "focal5_checksums": _focal5_checksums_sql(),
+        "focal_majority_checksums": _focal_majority_sql(),
         "hillshade_checksums": _hillshade_checksums_sql(),
         "terrain_checksums": _terrain_checksums_sql(),
         "flow_basins": _flow_basins_sql(),

@@ -369,3 +369,56 @@ def terrain(
     return frags.groupBy("band", "tile_row", "tile_col").applyInPandas(
         work, TERRAIN_SCHEMA
     )
+
+
+MAJ_SENT = 1 << 20  # sorts after any uint16 value
+
+
+def focal_majority(
+    tiles: DataFrame, nullval: int = 0, radius: int = 1
+) -> DataFrame:
+    """Modal (majority) filter — the classification-cleanup analog of
+    a GDAL majority/sieve pass: per pixel, the most frequent VALID
+    value in the (2R+1)^2 window (center included); ties break to the
+    SMALLEST value (exactly replayable in SQL as
+    first(val ORDER BY cnt DESC, val)); -1 at null centers.
+
+    Kernel: stack the shifted views, mask invalid to a sentinel that
+    sorts last, np.sort along the window axis, then one vectorized
+    run-length scan — ascending order makes the first maximal run the
+    smallest tied value, so strict > IS the tie-break. No Python per
+    pixel."""
+    frags = _emit_fragments(tiles, radius=radius)
+
+    def work(pdf: pd.DataFrame) -> pd.DataFrame:
+        got = _assemble(pdf, nullval, radius=radius)
+        if got is None:
+            return pd.DataFrame(
+                columns=["band", "tile_row", "tile_col",
+                         "ysize", "xsize", "pixels"])
+        band, tr, tc, ys, xs, padded = got
+        vpad = padded != nullval
+        vals = np.stack(_window_views(padded, radius))
+        valid = np.stack(_window_views(vpad, radius))
+        vals = np.where(valid, vals, MAJ_SENT)
+        vals.sort(axis=0)
+        best_val = vals[0].copy()
+        best_run = np.ones((ys, xs), np.int64)
+        cur = np.ones((ys, xs), np.int64)
+        for i in range(1, vals.shape[0]):
+            eq = vals[i] == vals[i - 1]
+            cur = np.where(eq, cur + 1, 1)
+            take = (vals[i] != MAJ_SENT) & (cur > best_run)
+            best_run = np.where(take, cur, best_run)
+            best_val = np.where(take, vals[i], best_val)
+        k = valid.shape[0]
+        cvalid = valid[k // 2]
+        out = np.where(cvalid, best_val, -1)
+        return pd.DataFrame([{
+            "band": band, "tile_row": tr, "tile_col": tc,
+            "ysize": ys, "xsize": xs, "pixels": out.ravel(),
+        }])
+
+    return frags.groupBy("band", "tile_row", "tile_col").applyInPandas(
+        work, FOCAL_APPLY_SCHEMA
+    )

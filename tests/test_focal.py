@@ -260,3 +260,46 @@ def test_focal_single_shuffle_plan(spark):
     plan = focal_stats(_tiles_df(spark, grid, True))._jdf.queryExecution(
     ).executedPlan().toString()
     assert plan.count("Exchange") == 1, plan
+
+
+from moamosaic_spark.functions.focal import focal_majority  # noqa: E402
+
+
+def _brute_majority(grid, R=1):
+    from collections import Counter
+
+    ys, xs = grid.shape
+    out = np.full(grid.shape, -1, np.int64)
+    for r in range(ys):
+        for c in range(xs):
+            if grid[r, c] == NULL:
+                continue
+            w = grid[max(0, r - R):r + R + 1, max(0, c - R):c + R + 1]
+            cnt = Counter(int(v) for v in w.ravel() if v != NULL)
+            best = max(cnt.items(), key=lambda kv: (kv[1], -kv[0]))
+            out[r, c] = best[0]
+    return out
+
+
+@pytest.mark.parametrize("packed", [False, True])
+def test_focal_majority_matches_brute(spark, packed):
+    # values in 1..5 force constant count ties -> the smallest-value
+    # tie-break is what this gates, plus the halo
+    rng = np.random.default_rng(47)
+    total = (sum(TILE_ROWS), sum(TILE_COLS))
+    grid = rng.integers(1, 6, size=total).astype(np.int64)
+    grid[rng.random(total) < 0.15] = NULL
+    got = _collect_grids(
+        focal_majority(_tiles_df(spark, grid, packed), nullval=NULL),
+        ["pixels"])["pixels"]
+    np.testing.assert_array_equal(got, _brute_majority(grid))
+
+
+def test_focal_majority_radius2(spark):
+    rng = np.random.default_rng(53)
+    total = (sum(TILE_ROWS), sum(TILE_COLS))
+    grid = rng.integers(1, 4, size=total).astype(np.int64)
+    got = _collect_grids(
+        focal_majority(_tiles_df(spark, grid, True), nullval=NULL, radius=2),
+        ["pixels"])["pixels"]
+    np.testing.assert_array_equal(got, _brute_majority(grid, R=2))
