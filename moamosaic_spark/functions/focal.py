@@ -422,3 +422,27 @@ def focal_majority(
     return frags.groupBy("band", "tile_row", "tile_col").applyInPandas(
         work, FOCAL_APPLY_SCHEMA
     )
+
+
+def focal_mean_stddev(stats: DataFrame) -> DataFrame:
+    """Derive per-pixel focal mean and stddev arrays from a
+    focal_stats result — pure JVM zip_with over the partial arrays
+    (mean = sum/count; var = ssq/count - mean^2 clamped at 0, the
+    same negative-rounding guard as the whole-image stats,
+    operators/stats.py). -1.0 where undefined."""
+    def z(a, b, f):
+        return F.zip_with(F.col(a), F.col(b), f)
+
+    mean = z("f_sum", "f_count",
+             lambda s, n: F.when(n > 0, s / n).otherwise(F.lit(-1.0)))
+    return stats.withColumn("f_mean", mean).withColumn(
+        "f_stddev",
+        F.zip_with(
+            z("f_ssq", "f_count",
+              lambda q, n: F.when(n > 0, q / n).otherwise(F.lit(-1.0))),
+            F.col("f_mean"),
+            lambda m2, m: F.when(
+                m >= 0, F.sqrt(F.greatest(m2 - m * m, F.lit(0.0)))
+            ).otherwise(F.lit(-1.0)),
+        ),
+    )

@@ -303,3 +303,30 @@ def test_focal_majority_radius2(spark):
         focal_majority(_tiles_df(spark, grid, True), nullval=NULL, radius=2),
         ["pixels"])["pixels"]
     np.testing.assert_array_equal(got, _brute_majority(grid, R=2))
+
+
+def test_focal_mean_stddev_derivation(spark):
+    from moamosaic_spark.functions.focal import focal_mean_stddev
+
+    grid = _make_raster(np.random.default_rng(59))
+    got = focal_mean_stddev(
+        focal_stats(_tiles_df(spark, grid, True), nullval=NULL))
+    total = (sum(TILE_ROWS), sum(TILE_COLS))
+    mean = np.full(total, -2.0)
+    sd = np.full(total, -2.0)
+    for r in got.collect():
+        y0, x0 = sum(TILE_ROWS[:r.tile_row]), sum(TILE_COLS[:r.tile_col])
+        mean[y0:y0 + r.ysize, x0:x0 + r.xsize] = np.asarray(
+            r.f_mean).reshape(r.ysize, r.xsize)
+        sd[y0:y0 + r.ysize, x0:x0 + r.xsize] = np.asarray(
+            r.f_stddev).reshape(r.ysize, r.xsize)
+    ys, xs = grid.shape
+    for y in range(ys):
+        for x in range(xs):
+            if grid[y, x] == NULL:
+                assert mean[y, x] == -1.0 and sd[y, x] == -1.0
+                continue
+            w = grid[max(0, y - 1):y + 2, max(0, x - 1):x + 2]
+            v = w[w != NULL].astype(float)
+            assert abs(mean[y, x] - v.mean()) < 1e-12
+            assert abs(sd[y, x] - v.std()) < 1e-12
