@@ -1096,6 +1096,76 @@ FROM read_parquet('{FX.truth_path("region_labels")}')
 """
 
 
+ISO_T = 100  # iso-contour threshold over the merged mosaic values
+
+
+def _merged_truth_grid():
+    """Numpy replica of the oracle's `merged` CTE (val = local column
+    index, arg_max priority over the 5x5 derived rasters) — the input
+    the iso-contour truth minter thresholds. Deliberately built from
+    the SPEC constants, never from engine output."""
+    import numpy as np
+
+    sz = (N_GRID - 1) * R_STRIDE + R_SIZE
+    full = np.zeros((sz, sz), np.int32)
+    prio = np.full((sz, sz), -1, np.int32)
+    vals = np.tile(np.arange(R_SIZE, dtype=np.int32), (R_SIZE, 1))
+    for k in range(N_GRID * N_GRID):
+        r0 = (k // N_GRID) * R_STRIDE
+        c0 = (k % N_GRID) * R_STRIDE
+        win = full[r0:r0 + R_SIZE, c0:c0 + R_SIZE]
+        pw = prio[r0:r0 + R_SIZE, c0:c0 + R_SIZE]
+        sel = (vals != 0) & (k > pw)
+        win[sel] = vals[sel]
+        pw[sel] = k
+    return full
+
+
+def q_iso_contours(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Iso-contours of the stitched mosaic at threshold ISO_T — the
+    binary-level ``gdal_contour`` analog: threshold the tiles to a
+    0/1 mask JVM-side, then extract every region's boundary rings
+    with the distributed crack tracer (functions/outlines.py). The
+    mask's stripes cross every horizontal tile seam of the 984^2
+    grid, so this gates threshold + halo + ring stitching end to end.
+    Oracle = the independent Python crack-follower over a numpy
+    replica of `merged` (tools/mint_outline_truth.py), minted to
+    parquet."""
+    from .functions.outlines import region_outlines
+    from .pixels import unpack_u2
+
+    res = _mosaic_result_cached(sf_dir, spark)
+    t = _level0_tiles(res)
+    px = F.col("pixels")
+    if dict(t.dtypes).get("pixels") == "binary":
+        px = unpack_u2(px)
+    thresh = t.select(
+        "tile_row", "tile_col", "ysize", "xsize",
+        F.transform(px, lambda v: F.when(v >= ISO_T, 1).otherwise(0))
+        .alias("pixels"),
+    )
+    return region_outlines(thresh, res.grid, BLOCKSIZE).select(
+        "region_id",
+        F.col("ring_idx").cast("int").alias("ring_idx"),
+        F.col("is_hole").cast("int").alias("is_hole"),
+        F.col("n_vertices").cast("int").alias("n_vertices"),
+        F.col("perim").cast("long").alias("perim"),
+        "ring_hash",
+    )
+
+
+def _iso_contours_sql() -> str:
+    from . import fixtures as FX
+
+    return f"""
+SELECT CAST(region_id AS BIGINT) AS region_id,
+       CAST(ring_idx AS INT) AS ring_idx, CAST(is_hole AS INT) AS is_hole,
+       CAST(n_vertices AS INT) AS n_vertices, CAST(perim AS BIGINT) AS perim,
+       ring_hash
+FROM read_parquet('{FX.truth_path("iso_contours")}')
+"""
+
+
 def q_region_outlines(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Distributed boundary-ring tracing (functions/outlines.py — the
     ring half of the gdal_polygonize analog): rasterize the fixture on
@@ -3266,6 +3336,7 @@ def queries() -> dict:
         "zonal_stats": q_zonal_stats,
         "region_labels": q_region_labels,
         "region_outlines": q_region_outlines,
+        "iso_contours": q_iso_contours,
         "focal_checksums": q_focal_checksums,
         "focal5_checksums": q_focal5_checksums,
         "focal_majority_checksums": q_focal_majority_checksums,
@@ -3332,6 +3403,7 @@ def oracle_sql() -> dict:
         "zonal_stats": _zonal_stats_sql(),
         "region_labels": _region_labels_sql(),
         "region_outlines": _region_outlines_sql(),
+        "iso_contours": _iso_contours_sql(),
         "focal_checksums": _focal_checksums_sql(),
         "focal5_checksums": _focal5_checksums_sql(),
         "focal_majority_checksums": _focal_majority_sql(),

@@ -135,3 +135,62 @@ def mint_region_outlines() -> None:
 
 if __name__ == "__main__":
     mint_region_outlines()
+
+
+def iso_truth_rows() -> list[dict]:
+    """Iso-contour truth (q_iso_contours): threshold the numpy merged
+    replica at DC.ISO_T, BFS the 4-connected mask regions, trace each
+    region's rings with the same crack-follower. region_id = min
+    global pixel index, matching the engine's convention."""
+    from collections import deque
+
+    from moamosaic_spark import driver_contract as DC
+
+    full = DC._merged_truth_grid()
+    mask = full >= DC.ISO_T
+    sz = full.shape[0]
+    vis = mask.copy()
+    rows = []
+    regions = []
+    for r0 in range(sz):
+        for c0 in range(sz):
+            if not vis[r0, c0]:
+                continue
+            q = deque([(r0, c0)])
+            vis[r0, c0] = False
+            cells = []
+            while q:
+                rr, cc = q.popleft()
+                cells.append((rr, cc))
+                for dr, dc in ((1, 0), (-1, 0), (0, 1), (0, -1)):
+                    nr, nc = rr + dr, cc + dc
+                    if 0 <= nr < sz and 0 <= nc < sz and vis[nr, nc]:
+                        vis[nr, nc] = False
+                        q.append((nr, nc))
+            regions.append((min(r * sz + c for r, c in cells), cells))
+    for rid, cells in regions:
+        for g in trace_rings(cells, full.shape):
+            rows.append({"region_id": rid, **g})
+    rows.sort(key=lambda r: (r["region_id"], r["ring_idx"]))
+    return rows
+
+
+def mint_iso_contours() -> None:
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from moamosaic_spark import fixtures as FX
+
+    rows = iso_truth_rows()
+    schema = pa.schema([
+        ("region_id", pa.int64()), ("ring_idx", pa.int32()),
+        ("is_hole", pa.int32()), ("n_vertices", pa.int32()),
+        ("perim", pa.int64()), ("start_r", pa.int64()),
+        ("start_c", pa.int64()), ("ring_hash", pa.string()),
+    ])
+    path = FX.truth_path("iso_contours")
+    os.makedirs(os.path.dirname(path), exist_ok=True)
+    tmp = path + ".tmp"
+    pq.write_table(pa.Table.from_pylist(rows, schema=schema), tmp)
+    os.replace(tmp, path)
+    print(f"  wrote {path} ({len(rows)} rows)")
