@@ -1218,22 +1218,22 @@ def _level0_tiles(res):
     return t.where(F.col("level") == 0) if "level" in t.columns else t
 
 
-def _focal_gidx(g_ncols: int):
+def _focal_gidx(g_ncols: int, blocksize: int = BLOCKSIZE):
     """Global pixel index of element ``i`` of a tile's row-major array
     — the position-sensitive checksum weight (plans/grid.py holds the
     single tiling-contract implementation)."""
     from .plans.grid import global_pixel_index
 
     def gidx(i):
-        return global_pixel_index(i, BLOCKSIZE, g_ncols)
+        return global_pixel_index(i, blocksize, g_ncols)
 
     return gidx
 
 
-def _focal_wsum(g_ncols: int):
+def _focal_wsum(g_ncols: int, blocksize: int = BLOCKSIZE):
     """Column factory: position-weighted sum of an array column with
     -1 = undefined — all JVM-side higher-order functions."""
-    gidx = _focal_gidx(g_ncols)
+    gidx = _focal_gidx(g_ncols, blocksize)
 
     def wsum(col: str):
         return F.aggregate(
@@ -1244,7 +1244,8 @@ def _focal_wsum(g_ncols: int):
     return wsum
 
 
-def _focal_reduce(out: DataFrame, col: str, g_ncols: int, names: tuple) -> DataFrame:
+def _focal_reduce(out: DataFrame, col: str, g_ncols: int, names: tuple,
+                  blocksize: int = BLOCKSIZE) -> DataFrame:
     """Reduce a per-pixel array column (-1 = undefined) to per-tile
     (count, sum, position-weighted sum, min, max)."""
     valid = F.filter(F.col(col), lambda x: x != -1)
@@ -1253,7 +1254,7 @@ def _focal_reduce(out: DataFrame, col: str, g_ncols: int, names: tuple) -> DataF
         "band", "tile_row", "tile_col",
         F.size(valid).cast("long").alias(n_def),
         F.aggregate(valid, F.lit(0).cast("long"), lambda acc, x: acc + x).alias(s),
-        _focal_wsum(g_ncols)(col).alias(w),
+        _focal_wsum(g_ncols, blocksize)(col).alias(w),
         F.array_min(valid).cast("long").alias(mn),
         F.array_max(valid).cast("long").alias(mx),
     ).where(F.col(n_def) > 0)
@@ -1536,6 +1537,108 @@ SELECT 1 AS band,
        CAST(min(h.shade) AS BIGINT) AS min_shade,
        CAST(max(h.shade) AS BIGINT) AS max_shade
 FROM hs h, nb, grid g
+GROUP BY 1, 2, 3
+"""
+
+
+OV_LVL = 4  # overview level for the pyramid-hillshade query
+
+
+def q_hillshade_overview_checksums(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hillshade over the LEVEL-4 OVERVIEW pyramid — the focal family
+    composing with the multi-resolution machinery: 64px overview
+    tiles (4x4 grid, real halo seams), pixel size 4x the base so
+    xres/yres scale with the level. The oracle decimates `merged`
+    with the strided lvl//2-offset rule (W2) and replays the same
+    IEEE-ordered float pipeline on the decimated grid."""
+    from .functions.focal import hillshade
+
+    res = _mosaic_result_cached(sf_dir, spark)
+    ov = res.overviews.where(F.col("level") == OV_LVL).select(
+        "band", "tile_row", "tile_col", "ysize", "xsize", "pixels"
+    )
+    out = hillshade(
+        ov,
+        xres=float(res.grid.x_res) * OV_LVL,
+        yres=float(res.grid.y_res) * OV_LVL,
+        nullval=int(res.grid.nullval),
+    )
+    ov_ncols = (int(res.grid.ncols) - OV_LVL // 2 - 1) // OV_LVL + 1
+    ov_bs = BLOCKSIZE // OV_LVL
+    return _focal_reduce(
+        out, "pixels", ov_ncols,
+        ("n_def", "sum_shade", "wsum_shade", "min_shade", "max_shade"),
+        blocksize=ov_bs,
+    )
+
+
+def _hillshade_overview_sql() -> str:
+    from .functions.focal import HS_LX, HS_LY, HS_LZ
+
+    lvl = OV_LVL
+    off = lvl // 2
+    fx = 8.0 * RES * lvl
+    bs = BLOCKSIZE // lvl
+    return f"""{_sql_prologue()},
+ov AS (
+  SELECT (r - {off}) // {lvl} AS r, (c - {off}) // {lvl} AS c, val
+  FROM merged
+  WHERE r >= {off} AND c >= {off}
+    AND (r - {off}) % {lvl} = 0 AND (c - {off}) % {lvl} = 0
+),
+ovg AS (
+  SELECT ((g_nrows - {off} - 1) // {lvl}) + 1 AS o_nrows,
+         ((g_ncols - {off} - 1) // {lvl}) + 1 AS o_ncols
+  FROM grid
+),
+ovnb AS (
+  SELECT o_nrows, o_ncols,
+         greatest(1, CAST(floor((o_nrows - {bs // 4}) * 1.0 / {bs}) AS INT) + 1) AS nb_r,
+         greatest(1, CAST(floor((o_ncols - {bs // 4}) * 1.0 / {bs}) AS INT) + 1) AS nb_c
+  FROM ovg
+),
+n9 AS (
+  SELECT m.r - dr.i AS r, m.c - dc.i AS c, dr.i AS wy, dc.i AS wx, m.val
+  FROM ov m,
+       generate_series(-1, 1) dr(i),
+       generate_series(-1, 1) dc(i)
+),
+w AS (
+  SELECT r, c,
+         sum(CASE WHEN wy = -1 AND wx = -1 THEN val END) AS tl,
+         sum(CASE WHEN wy = -1 AND wx =  0 THEN val END) AS tm,
+         sum(CASE WHEN wy = -1 AND wx =  1 THEN val END) AS tr,
+         sum(CASE WHEN wy =  0 AND wx = -1 THEN val END) AS ml,
+         sum(CASE WHEN wy =  0 AND wx =  1 THEN val END) AS mr,
+         sum(CASE WHEN wy =  1 AND wx = -1 THEN val END) AS bl,
+         sum(CASE WHEN wy =  1 AND wx =  0 THEN val END) AS bm,
+         sum(CASE WHEN wy =  1 AND wx =  1 THEN val END) AS br
+  FROM n9
+  GROUP BY r, c
+  HAVING count(*) = 9
+),
+gxy AS (
+  SELECT r, c,
+         CAST((tr + 2 * mr + br) - (tl + 2 * ml + bl) AS DOUBLE) / {fx!r} AS gx,
+         CAST((bl + 2 * bm + br) - (tl + 2 * tm + tr) AS DOUBLE) / {fx!r} AS gy
+  FROM w
+),
+hs AS (
+  SELECT r, c,
+         CAST(floor(255.0 * greatest(
+             ({HS_LZ!r} - {HS_LX!r} * gx - {HS_LY!r} * gy)
+             / sqrt(1.0 + gx * gx + gy * gy), 0.0) + 0.5) AS BIGINT) AS shade
+  FROM gxy
+)
+SELECT 1 AS band,
+       CAST(least(floor(h.r * 1.0 / {bs}), nb.nb_r - 1) AS INT) AS tile_row,
+       CAST(least(floor(h.c * 1.0 / {bs}), nb.nb_c - 1) AS INT) AS tile_col,
+       CAST(count(*) AS BIGINT) AS n_def,
+       CAST(sum(h.shade) AS BIGINT) AS sum_shade,
+       CAST(sum(h.shade * (h.r * g.o_ncols + h.c)) AS BIGINT) AS wsum_shade,
+       CAST(min(h.shade) AS BIGINT) AS min_shade,
+       CAST(max(h.shade) AS BIGINT) AS max_shade
+FROM hs h, ovnb nb, ovg g
 GROUP BY 1, 2, 3
 """
 
@@ -3341,6 +3444,7 @@ def queries() -> dict:
         "focal5_checksums": q_focal5_checksums,
         "focal_majority_checksums": q_focal_majority_checksums,
         "hillshade_checksums": q_hillshade_checksums,
+        "hillshade_overview_checksums": q_hillshade_overview_checksums,
         "terrain_checksums": q_terrain_checksums,
         "flow_basins": q_flow_basins,
         "flow_accumulation": q_flow_accumulation,
@@ -3408,6 +3512,7 @@ def oracle_sql() -> dict:
         "focal5_checksums": _focal5_checksums_sql(),
         "focal_majority_checksums": _focal_majority_sql(),
         "hillshade_checksums": _hillshade_checksums_sql(),
+        "hillshade_overview_checksums": _hillshade_overview_sql(),
         "terrain_checksums": _terrain_checksums_sql(),
         "flow_basins": _flow_basins_sql(),
         "flow_accumulation": _flow_accumulation_sql(),
