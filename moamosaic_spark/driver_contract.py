@@ -313,21 +313,28 @@ def _nonnull(col):
     return F.filter(col, lambda x: x != 0)
 
 
-def q_mosaic_tile_checksums(spark: SparkSession, sf_dir: str) -> DataFrame:
-    from .pixels import unpack_u2
-
-    res = _mosaic_result_cached(sf_dir, spark)
-    # tiles ride packed (u2); decode at the checksum boundary only
-    nn = _nonnull(unpack_u2(F.col("pixels")))
-    return res.tiles.where(F.col("px_count") > 0).select(
+def _tile_checksums_from_partials(tiles: DataFrame) -> DataFrame:
+    """Per-tile (n_valid, sum_val, min_val, max_val) straight from the
+    stitch kernel's single-pass stats partials (operators/stitch.py
+    _base_row: count/sum/min/max over non-null canvas pixels) — the
+    payload is never re-decoded or re-aggregated (guide §1.2: don't
+    recompute what one pass already produced). Exactness: pixel values
+    are uint16, so px_sum (float64) is an exact integer far below 2^53
+    for any tile size the engine emits; the casts below are lossless."""
+    return tiles.where(F.col("px_count") > 0).select(
         "band",
         "tile_row",
         "tile_col",
         F.col("px_count").cast("long").alias("n_valid"),
-        F.aggregate(nn, F.lit(0).cast("long"), lambda a, x: a + x).alias("sum_val"),
-        F.array_min(nn).cast("int").alias("min_val"),
-        F.array_max(nn).cast("int").alias("max_val"),
+        F.col("px_sum").cast("long").alias("sum_val"),
+        F.col("px_min").cast("int").alias("min_val"),
+        F.col("px_max").cast("int").alias("max_val"),
     )
+
+
+def q_mosaic_tile_checksums(spark: SparkSession, sf_dir: str) -> DataFrame:
+    res = _mosaic_result_cached(sf_dir, spark)
+    return _tile_checksums_from_partials(res.tiles)
 
 
 BLEND_FEATHER = 64
@@ -356,19 +363,8 @@ def q_mosaic_blend_checksums(spark: SparkSession, sf_dir: str) -> DataFrame:
     in exact int64 and rounds via (2*wv + w) // (2*w), so DuckDB
     replays the blend BIT-IDENTICALLY with integer SQL — no float
     sum-order or rounding-convention divergence."""
-    from .pixels import unpack_u2
-
     res = _blend_result_cached(sf_dir, spark)
-    nn = _nonnull(unpack_u2(F.col("pixels")))
-    return res.tiles.where(F.col("px_count") > 0).select(
-        "band",
-        "tile_row",
-        "tile_col",
-        F.col("px_count").cast("long").alias("n_valid"),
-        F.aggregate(nn, F.lit(0).cast("long"), lambda a, x: a + x).alias("sum_val"),
-        F.array_min(nn).cast("int").alias("min_val"),
-        F.array_max(nn).cast("int").alias("max_val"),
-    )
+    return _tile_checksums_from_partials(res.tiles)
 
 
 def _blend_checksums_sql() -> str:
@@ -448,20 +444,16 @@ def q_mosaic_resampled_checksums(spark: SparkSession, sf_dir: str) -> DataFrame:
     fp = derived_footprints(spark, sf_dir)
     blocks = derived_blocks(fp)
     nfp, nblocks = resample_blocks(fp, blocks, RS_RES, RS_RES, src_blocksize=SRC_BS)
+    # check_projections=False: every virtual footprint is planned onto
+    # the SAME target grid by construction (plan_rescaled_footprints),
+    # so the agreement scan would only re-run the resample planning
+    # chain to prove a tautology (guide §1.2: drop work you throw away)
     cfg = MosaicConfig(
-        blocksize=BLOCKSIZE, src_blocksize=SRC_BS, with_overviews=False
+        blocksize=BLOCKSIZE, src_blocksize=SRC_BS, with_overviews=False,
+        check_projections=False,
     )
     res = do_mosaic(spark, nfp, nblocks, cfg)
-    nn = _nonnull(F.col("pixels"))
-    return res.tiles.where(F.col("px_count") > 0).select(
-        "band",
-        "tile_row",
-        "tile_col",
-        F.col("px_count").cast("long").alias("n_valid"),
-        F.aggregate(nn, F.lit(0).cast("long"), lambda a, x: a + x).alias("sum_val"),
-        F.array_min(nn).cast("int").alias("min_val"),
-        F.array_max(nn).cast("int").alias("max_val"),
-    )
+    return _tile_checksums_from_partials(res.tiles)
 
 
 def _resampled_checksums_sql() -> str:
@@ -541,20 +533,15 @@ def _warped_checksums(spark: SparkSession, sf_dir: str, dst_epsg: int,
         fp, blocks, f"EPSG:{dst_epsg}", out_res, out_res,
         src_blocksize=SRC_BS, method="near",
     )
+    # check_projections=False: plan_warped_footprints emits every
+    # virtual footprint on the SAME dst CRS/resolution by construction;
+    # the agreement scan would only re-run the warp planning map twice
     cfg = MosaicConfig(
-        blocksize=BLOCKSIZE, src_blocksize=SRC_BS, with_overviews=False
+        blocksize=BLOCKSIZE, src_blocksize=SRC_BS, with_overviews=False,
+        check_projections=False,
     )
     res = do_mosaic(spark, nfp, nblocks, cfg)
-    nn = _nonnull(F.col("pixels"))
-    return res.tiles.where(F.col("px_count") > 0).select(
-        "band",
-        "tile_row",
-        "tile_col",
-        F.col("px_count").cast("long").alias("n_valid"),
-        F.aggregate(nn, F.lit(0).cast("long"), lambda a, x: a + x).alias("sum_val"),
-        F.array_min(nn).cast("int").alias("min_val"),
-        F.array_max(nn).cast("int").alias("max_val"),
-    )
+    return _tile_checksums_from_partials(res.tiles)
 
 
 def q_mosaic_warped_checksums(spark: SparkSession, sf_dir: str) -> DataFrame:

@@ -34,8 +34,7 @@ from __future__ import annotations
 from typing import Callable
 
 import numpy as np
-import pandas as pd
-from pyspark.sql import DataFrame, functions as F
+from pyspark.sql import Column, DataFrame, functions as F
 
 FOCAL_STATS_SCHEMA = (
     "band int, tile_row int, tile_col int, ysize int, xsize int, "
@@ -55,33 +54,40 @@ TERRAIN_SCHEMA = (
 
 
 FRAG_SCHEMA = (
-    "band int, tile_row int, tile_col int, dy int, dx int, "
+    "band int, tile_row int, tile_col int, dy int, dx int, frow int, "
     "fysize int, fxsize int, frag binary"
 )
 
 
 def _emit_fragments(tiles: DataFrame, radius: int = 1) -> DataFrame:
-    """Map side of the halo exchange: 9 addressed fragments per tile,
-    for an arbitrary window ``radius`` (halo width = R pixels).
+    """Map side of the halo exchange: 9 addressed fragment REGIONS per
+    tile, for an arbitrary window ``radius`` (halo width = R pixels).
 
-    Split by access pattern, not by habit: the 3 CONTIGUOUS fragments
-    (full payload to self, top/bottom R-row strips) are a pure JVM
-    projection — substr slices + explode, no Python and no Arrow
-    crossing for the heavy payload before the shuffle. The strided
-    fragments (left/right R-column strips, 4 RxR corners) go through
-    one mapInPandas whose output is O(R * perimeter) (numpy's strided
-    slice is O(output); a JVM substr-per-row lambda re-copies the
-    whole payload from the row per element — measured ~2 GB of memcpy
-    per 1024^2 tile). array<int> input is packed to the wire layout
-    (u2 binary) first, JVM-side.
+    ALL fragments are pure JVM projections (guide §4.1: don't ship the
+    heavy payload across the Python boundary to slice its edges):
+
+    * the 3 CONTIGUOUS regions (full payload to self, top/bottom R-row
+      strips) are one substr each;
+    * the 6 STRIDED regions (left/right R-column strips, 4 RxR
+      corners) are emitted ONE ROW PER SOURCE ROW — explode over the
+      row range, then a single codegen'd substr of the 2R-byte slice,
+      with ``frow`` carrying the row offset inside the region. This is
+      linear in the strip bytes; the old per-element HOF variant
+      re-copied the whole payload per element, and the mapInPandas
+      variant that replaced it shipped every tile's full payload
+      through Arrow both ways just to keep O(perimeter) output.
+
+    array<int> input is packed to the wire layout (u2 binary) first,
+    JVM-side.
 
     A fragment row (band, tr, tc, dy, dx, ...) is addressed TO tile
     (tr, tc) and was emitted BY tile (tr - dy, tc - dx); the assembler
-    places it purely from (dy, dx). Fragments addressed off the grid
-    edge form centerless groups the reduce side drops — no grid-extent
-    lookup is needed on the map side. Requires radius <= every tile
-    dimension (blocksize >= radius; checked in the strip emitter) —
-    a wider halo would need pixels from two tiles away.
+    places it purely from (dy, dx, frow). Fragments addressed off the
+    grid edge form centerless groups the reduce side drops — no
+    grid-extent lookup is needed on the map side. Requires radius <=
+    every tile dimension (blocksize >= radius; guarded on the full
+    payload fragment) — a wider halo would need pixels from two tiles
+    away.
     """
     from ..pixels import pack_u2, pixels_are_binary
 
@@ -101,86 +107,201 @@ def _emit_fragments(tiles: DataFrame, radius: int = 1) -> DataFrame:
     xs2 = xs * 2  # bytes per row (u2)
     r_ = F.lit(R)
 
-    def frag(dy, dx, fy, fx, data):
+    def frag_s(dy, dx, frow, fy, fx, data):
+        frow_c = frow if isinstance(frow, Column) else F.lit(frow)
+        fy_c = fy if isinstance(fy, Column) else F.lit(fy)
+        fx_c = fx if isinstance(fx, Column) else F.lit(fx)
+        dy_c = dy if isinstance(dy, Column) else F.lit(dy)
+        dx_c = dx if isinstance(dx, Column) else F.lit(dx)
         return F.struct(
-            F.lit(dy).alias("dy"), F.lit(dx).alias("dx"),
-            fy.cast("int").alias("fysize"), fx.cast("int").alias("fxsize"),
+            dy_c.cast("int").alias("dy"), dx_c.cast("int").alias("dx"),
+            frow_c.cast("int").alias("frow"),
+            fy_c.cast("int").alias("fysize"), fx_c.cast("int").alias("fxsize"),
             data.alias("frag"),
         )
 
+    # radius guard rides the always-present self fragment: assert_true
+    # yields NULL when the predicate holds, so coalesce routes through
+    # it without changing the payload
+    guard = F.coalesce(
+        F.assert_true(
+            (ys >= R) & (xs >= R),
+            F.concat(
+                F.lit(f"halo radius {R} exceeds tile dimensions "),
+                ys.cast("string"), F.lit("x"), xs.cast("string"),
+            ),
+        ).cast("binary"),
+        px,
+    )
     # contiguous slices of THIS tile that the neighbor at (+dy,+dx)
     # pads with: whole payload, last R rows, first R rows
     three = F.array(
-        frag(0, 0, ys, xs, px),
-        frag(1, 0, r_, xs, px.substr((ys - R) * xs2 + 1, xs2 * R)),
-        frag(-1, 0, r_, xs, px.substr(F.lit(1), xs2 * R)),
+        frag_s(0, 0, 0, ys, xs, guard),
+        frag_s(1, 0, 0, r_, xs, px.substr((ys - R) * xs2 + 1, xs2 * R)),
+        frag_s(-1, 0, 0, r_, xs, px.substr(F.lit(1), xs2 * R)),
     )
     f = F.col("f")
-    jvm = src.select(
-        "band", "tile_row", "tile_col", F.explode(three).alias("f")
-    ).select(
+    proj = [
         "band",
         (F.col("tile_row") + f.dy).cast("int").alias("tile_row"),
         (F.col("tile_col") + f.dx).cast("int").alias("tile_col"),
-        f.dy.alias("dy"), f.dx.alias("dx"),
+        f.dy.alias("dy"), f.dx.alias("dx"), f.frow.alias("frow"),
         f.fysize.alias("fysize"), f.fxsize.alias("fxsize"),
         f.frag.alias("frag"),
+    ]
+    jvm = src.select(
+        "band", "tile_row", "tile_col", F.explode(three).alias("f")
+    ).select(*proj)
+
+    # strided regions, one output row per source row: side strips span
+    # every row; the top/bottom R-row bands additionally feed the four
+    # corners (their slices are the SAME substr as the side strips).
+    # TWO-LEVEL slicing (the unpack_u2 lesson): exploding the full
+    # payload once per source row would drag O(tile) bytes through the
+    # generate per emitted row (O(tile * rows) churn — observed as GC
+    # death at 1024^2 tiles); instead cut the payload into contiguous
+    # KROWS-row bands first (fan-out ~16, one substr each), then slice
+    # rows off the small band payload — two linear passes total.
+    KROWS = 64
+    nb = F.ceil(ys / KROWS).cast("int")
+    bt = F.col("bi") * KROWS
+    bn = F.least(F.lit(KROWS), ys - bt)
+    bands_rel = src.select(
+        "band", "tile_row", "tile_col", "ysize", "xsize",
+        F.explode(F.sequence(F.lit(0), nb - 1)).alias("bi"),
+        "pixels",
+    ).select(
+        "band", "tile_row", "tile_col", "ysize", "xsize",
+        bt.alias("bt"), bn.alias("bn"),
+        px.substr(bt * xs2 + 1, bn * xs2).alias("bpx"),
     )
-
-    def strips(batches):
-        for pdf in batches:
-            out = []
-            for r in pdf.itertuples(index=False):
-                a = np.frombuffer(bytes(r.pixels), "<u2").reshape(
-                    int(r.ysize), int(r.xsize))
-                if min(a.shape) < R:
-                    raise ValueError(
-                        f"halo radius {R} exceeds tile dimensions {a.shape}"
-                    )
-                views = {
-                    (0, 1): a[:, -R:], (0, -1): a[:, :R],
-                    (1, 1): a[-R:, -R:], (1, -1): a[-R:, :R],
-                    (-1, 1): a[:R, -R:], (-1, -1): a[:R, :R],
-                }
-                for (dy, dx), v in views.items():
-                    out.append({
-                        "band": int(r.band),
-                        "tile_row": int(r.tile_row) + dy,
-                        "tile_col": int(r.tile_col) + dx,
-                        "dy": dy, "dx": dx,
-                        "fysize": v.shape[0], "fxsize": v.shape[1],
-                        "frag": np.ascontiguousarray(v).tobytes(),
-                    })
-            if out:
-                yield pd.DataFrame(out)
-
-    py = src.mapInPandas(strips, FRAG_SCHEMA)
-    return jvm.unionByName(py)
-
-
-def _assemble(pdf: pd.DataFrame, nullval: int, radius: int = 1) -> tuple | None:
-    """Reduce side: padded (ys+2R, xs+2R) array for one target tile,
-    or None for centerless (off-grid) groups."""
-    R = int(radius)
-    center = pdf[(pdf["dy"] == 0) & (pdf["dx"] == 0)]
-    if center.empty:
-        return None
-    c = center.iloc[0]
-    ys, xs = int(c["fysize"]), int(c["fxsize"])
-    padded = np.full((ys + 2 * R, xs + 2 * R), nullval, dtype=np.int64)
-    for r in pdf.itertuples(index=False):
-        v = np.frombuffer(bytes(r.frag), "<u2").astype(np.int64).reshape(
-            int(r.fysize), int(r.fxsize)
+    j = F.col("j")
+    rr = F.col("bt") + j
+    right = F.col("bpx").substr((j * xs + xs - R) * 2 + 1, F.lit(2 * R))
+    left = F.col("bpx").substr(j * xs * 2 + 1, F.lit(2 * R))
+    sides = F.array(
+        frag_s(0, F.lit(1), rr, 1, R, right),
+        frag_s(0, F.lit(-1), rr, 1, R, left),
+        F.when(rr >= ys - R, frag_s(1, F.lit(1), rr - (ys - R), 1, R, right)),
+        F.when(rr >= ys - R, frag_s(1, F.lit(-1), rr - (ys - R), 1, R, left)),
+        F.when(rr < R, frag_s(-1, F.lit(1), rr, 1, R, right)),
+        F.when(rr < R, frag_s(-1, F.lit(-1), rr, 1, R, left)),
+    )
+    strips = (
+        bands_rel.select(
+            "band", "tile_row", "tile_col", "ysize", "xsize", "bt", "bn", "bpx",
+            F.explode(F.sequence(F.lit(0), F.col("bn") - 1)).alias("j"),
         )
-        # fragment emitted with offset (dy,dx) relative to its SOURCE:
-        # source sits at (-dy,-dx) from this tile, so dy=+1 fragments
-        # (from the tile above) fill the top pad rows, dy=-1 the bottom
-        rs = slice(R, R + ys) if r.dy == 0 else (
-            slice(0, R) if r.dy == 1 else slice(R + ys, 2 * R + ys))
-        cs = slice(R, R + xs) if r.dx == 0 else (
-            slice(0, R) if r.dx == 1 else slice(R + xs, 2 * R + xs))
-        padded[rs, cs] = v
-    return int(c["band"]), int(c["tile_row"]), int(c["tile_col"]), ys, xs, padded
+        .select(
+            "band", "tile_row", "tile_col",
+            F.explode(F.filter(sides, lambda x: x.isNotNull())).alias("f"),
+        )
+        .select(*proj)
+    )
+    return jvm.unionByName(strips)
+
+
+_STRIP_BASES = {
+    # (dy, dx) -> region top-left in the padded array, as functions of
+    # (R, ys, xs). dy=+1 fragments come from the tile ABOVE (they fill
+    # the top pad band), dy=-1 from below; same for dx.
+    0: lambda R, n: R,
+    1: lambda R, n: 0,
+    -1: lambda R, n: R + n,
+}
+
+
+def _assemble_arrow(tbl, nullval: int, radius: int = 1) -> tuple | None:
+    """Reduce side: padded (ys+2R, xs+2R) array for one target tile
+    from an Arrow fragment group, or None for centerless (off-grid)
+    groups. Single-row strip fragments of each region are pasted with
+    one vectorized gather/scatter per (dy, dx) — no per-row Python."""
+    R = int(radius)
+    cols = {
+        c: tbl.column(c).to_numpy()
+        for c in ("dy", "dx", "frow", "fysize", "fxsize")
+    }
+    frag = tbl.column("frag").combine_chunks()
+    offs = np.frombuffer(
+        frag.buffers()[1], dtype=np.int32, count=len(frag) + 1,
+        offset=frag.offset * 4,
+    ) // 2
+    dbuf = frag.buffers()[2]
+    vals = (
+        np.frombuffer(dbuf, dtype="<u2")
+        if dbuf is not None
+        else np.array([], dtype="<u2")
+    )
+    dy, dx, frow = cols["dy"], cols["dx"], cols["frow"]
+    center = np.flatnonzero((dy == 0) & (dx == 0))
+    if center.size == 0:
+        return None
+    c0 = int(center[0])
+    ys, xs = int(cols["fysize"][c0]), int(cols["fxsize"][c0])
+    padded = np.full((ys + 2 * R, xs + 2 * R), nullval, dtype=np.int64)
+    # contiguous block fragments (dx == 0): paste individually
+    for i in np.flatnonzero(dx == 0):
+        fy, fx = int(cols["fysize"][i]), int(cols["fxsize"][i])
+        r0 = _STRIP_BASES[int(dy[i])](R, ys) + int(frow[i])
+        padded[r0: r0 + fy, R: R + fx] = (
+            vals[offs[i]: offs[i + 1]].astype(np.int64).reshape(fy, fx)
+        )
+    # strided 1xR strip rows: one gather + one scatter per region
+    for dy_ in (0, 1, -1):
+        for dx_ in (1, -1):
+            sel = np.flatnonzero((dy == dy_) & (dx == dx_))
+            if sel.size == 0:
+                continue
+            idx = offs[sel][:, None] + np.arange(R)[None, :]
+            r0 = _STRIP_BASES[dy_](R, ys)
+            c0_ = _STRIP_BASES[dx_](R, xs)
+            padded[r0 + frow[sel], c0_: c0_ + R] = vals[idx].astype(np.int64)
+    return ys, xs, padded
+
+
+def _focal_arrow_map(frags: DataFrame, out_schema: str, nullval: int,
+                     radius: int, compute):
+    """groupBy(band, tile) applyInArrow wrapper shared by the focal
+    kernels: assembles the padded tile and hands it to
+    ``compute(ys, xs, padded) -> list[np.ndarray]`` (one array per
+    array field of ``out_schema``, in order, after the five key/shape
+    fields); outputs are emitted as zero-copy Arrow ListArrays — no
+    pandas object-column churn (guide §4.2)."""
+    import pyarrow as pa
+
+    from pyspark.sql.pandas.types import to_arrow_schema
+    from pyspark.sql.types import _parse_datatype_string
+
+    arrow_schema = to_arrow_schema(_parse_datatype_string(out_schema))
+
+    def work(key, tbl):
+        got = _assemble_arrow(tbl, nullval, radius=radius)
+        if got is None:
+            return arrow_schema.empty_table()
+        band, tr, tc = (int(k.as_py() if hasattr(k, "as_py") else k) for k in key)
+        ys, xs, padded = got
+        outs = compute(ys, xs, padded)
+        head = {"band": band, "tile_row": tr, "tile_col": tc,
+                "ysize": ys, "xsize": xs}
+        arrs = []
+        i = 0
+        for field in arrow_schema:
+            if field.name in head:
+                arrs.append(pa.array([head[field.name]], field.type))
+            else:
+                v = outs[i]
+                i += 1
+                arrs.append(
+                    pa.ListArray.from_arrays(
+                        pa.array([0, v.size], pa.int32()),
+                        pa.array(v.ravel(), field.type.value_type),
+                    )
+                )
+        return pa.Table.from_arrays(arrs, schema=arrow_schema)
+
+    return frags.groupBy("band", "tile_row", "tile_col").applyInArrow(
+        work, out_schema
+    )
 
 
 def _window_views(padded: np.ndarray, radius: int = 1):
@@ -215,13 +336,7 @@ def focal_stats(tiles: DataFrame, nullval: int = 0, radius: int = 1) -> DataFram
     shifted-view reductions, no Python per pixel."""
     frags = _emit_fragments(tiles, radius=radius)
 
-    def work(pdf: pd.DataFrame) -> pd.DataFrame:
-        got = _assemble(pdf, nullval, radius=radius)
-        if got is None:
-            return pd.DataFrame(
-                columns=["band", "tile_row", "tile_col", "ysize", "xsize",
-                         "f_count", "f_sum", "f_ssq", "f_min", "f_max"])
-        band, tr, tc, ys, xs, padded = got
+    def compute(ys, xs, padded):
         vpad = padded != nullval
         cnt = np.zeros((ys, xs), np.int64)
         tot = np.zeros((ys, xs), np.int64)
@@ -237,18 +352,9 @@ def focal_stats(tiles: DataFrame, nullval: int = 0, radius: int = 1) -> DataFram
             mn = np.minimum(mn, np.where(v, p, np.iinfo(np.int64).max))
             mx = np.maximum(mx, np.where(v, p, np.iinfo(np.int64).min))
         cvalid = vv[len(vv) // 2]  # center view of the validity pad
-        out = [np.where(cvalid, a, -1).ravel()
-               for a in (cnt, tot, ssq, mn, mx)]
-        return pd.DataFrame([{
-            "band": band, "tile_row": tr, "tile_col": tc,
-            "ysize": ys, "xsize": xs,
-            "f_count": out[0], "f_sum": out[1], "f_ssq": out[2],
-            "f_min": out[3], "f_max": out[4],
-        }])
+        return [np.where(cvalid, a, -1) for a in (cnt, tot, ssq, mn, mx)]
 
-    return frags.groupBy("band", "tile_row", "tile_col").applyInPandas(
-        work, FOCAL_STATS_SCHEMA
-    )
+    return _focal_arrow_map(frags, FOCAL_STATS_SCHEMA, nullval, radius, compute)
 
 
 # light vector for hillshade: azimuth 315deg / altitude 45deg resolved
@@ -283,26 +389,14 @@ def hillshade(
     fx = 8.0 * float(xres) / float(zfactor)
     fy = 8.0 * float(yres) / float(zfactor)
 
-    def work(pdf: pd.DataFrame) -> pd.DataFrame:
-        got = _assemble(pdf, nullval)
-        if got is None:
-            return pd.DataFrame(
-                columns=["band", "tile_row", "tile_col",
-                         "ysize", "xsize", "pixels"])
-        band, tr, tc, ys, xs, padded = got
+    def compute(ys, xs, padded):
         _, gx, gy, allv = _horn(padded, nullval, fx, fy)
         num = HS_LZ - HS_LX * gx - HS_LY * gy
         den = np.sqrt(1.0 + gx * gx + gy * gy)
         shade = np.floor(255.0 * np.maximum(num / den, 0.0) + 0.5)
-        out = np.where(allv, shade.astype(np.int64), -1)
-        return pd.DataFrame([{
-            "band": band, "tile_row": tr, "tile_col": tc,
-            "ysize": ys, "xsize": xs, "pixels": out.ravel(),
-        }])
+        return [np.where(allv, shade.astype(np.int64), -1)]
 
-    return frags.groupBy("band", "tile_row", "tile_col").applyInPandas(
-        work, FOCAL_APPLY_SCHEMA
-    )
+    return _focal_arrow_map(frags, FOCAL_APPLY_SCHEMA, nullval, 1, compute)
 
 
 # D8 neighbor scan order (the tie-break order): N, NE, E, SE, S, SW, W,
@@ -338,13 +432,7 @@ def terrain(
     fx = 8.0 * float(xres) / float(zfactor)
     fy = 8.0 * float(yres) / float(zfactor)
 
-    def work(pdf: pd.DataFrame) -> pd.DataFrame:
-        got = _assemble(pdf, nullval)
-        if got is None:
-            return pd.DataFrame(
-                columns=["band", "tile_row", "tile_col",
-                         "ysize", "xsize", "slope_q", "d8"])
-        band, tr, tc, ys, xs, padded = got
+    def compute(ys, xs, padded):
         v, gx, gy, allv = _horn(padded, nullval, fx, fy)
         cc = v[4]
         slope = np.floor(SLOPE_Q * np.sqrt(gx * gx + gy * gy) + 0.5)
@@ -359,16 +447,12 @@ def terrain(
             best_eff = np.where(take, eff, best_eff)
             best_dir = np.where(take, k, best_dir)
         d8 = np.where(best_eff > 0.0, best_dir, D8_FLAT)
-        return pd.DataFrame([{
-            "band": band, "tile_row": tr, "tile_col": tc,
-            "ysize": ys, "xsize": xs,
-            "slope_q": np.where(allv, slope.astype(np.int64), -1).ravel(),
-            "d8": np.where(allv, d8, -1).ravel(),
-        }])
+        return [
+            np.where(allv, slope.astype(np.int64), -1),
+            np.where(allv, d8, -1),
+        ]
 
-    return frags.groupBy("band", "tile_row", "tile_col").applyInPandas(
-        work, TERRAIN_SCHEMA
-    )
+    return _focal_arrow_map(frags, TERRAIN_SCHEMA, nullval, 1, compute)
 
 
 MAJ_SENT = 1 << 20  # sorts after any uint16 value
@@ -390,13 +474,7 @@ def focal_majority(
     pixel."""
     frags = _emit_fragments(tiles, radius=radius)
 
-    def work(pdf: pd.DataFrame) -> pd.DataFrame:
-        got = _assemble(pdf, nullval, radius=radius)
-        if got is None:
-            return pd.DataFrame(
-                columns=["band", "tile_row", "tile_col",
-                         "ysize", "xsize", "pixels"])
-        band, tr, tc, ys, xs, padded = got
+    def compute(ys, xs, padded):
         vpad = padded != nullval
         vals = np.stack(_window_views(padded, radius))
         valid = np.stack(_window_views(vpad, radius))
@@ -413,15 +491,9 @@ def focal_majority(
             best_val = np.where(take, vals[i], best_val)
         k = valid.shape[0]
         cvalid = valid[k // 2]
-        out = np.where(cvalid, best_val, -1)
-        return pd.DataFrame([{
-            "band": band, "tile_row": tr, "tile_col": tc,
-            "ysize": ys, "xsize": xs, "pixels": out.ravel(),
-        }])
+        return [np.where(cvalid, best_val, -1)]
 
-    return frags.groupBy("band", "tile_row", "tile_col").applyInPandas(
-        work, FOCAL_APPLY_SCHEMA
-    )
+    return _focal_arrow_map(frags, FOCAL_APPLY_SCHEMA, nullval, radius, compute)
 
 
 def focal_mean_stddev(stats: DataFrame) -> DataFrame:

@@ -63,12 +63,18 @@ def flow_basins(
     the synthetic absorbing rows (virtual outlets are not raster
     cells and are excluded from rollups).
 
-    Each round: active ⋈ full-state on (band, ptr == gid) — ONE
-    shuffle — then a single count() decides convergence. Rows whose
-    ptr has reached a sink RETIRE out of the loop (their mapping never
-    changes again), so only the shrinking active set is re-joined and
-    re-checkpointed each round; retired parts are checkpointed once.
-    Same flat-plan discipline as the dedup connected-components loop."""
+    Each round: TWO chained active ⋈ full-state hops on (band,
+    ptr == gid) — two shuffles — then ONE checkpoint and ONE emptiness
+    probe decide convergence. Fusing two hops per checkpoint (the same
+    trick as connected_components' fused star alternations,
+    dedup.py) halves the checkpoint + probe count: per-round driver
+    latency dominates when the graph is small relative to the cluster,
+    and a second hop through the SAME state is always valid (a hop
+    from an absorbed target is the identity), so overshooting costs
+    nothing. Rows whose ptr has reached a sink RETIRE out of the loop
+    (their mapping never changes again), so only the shrinking active
+    set is re-joined and re-checkpointed each round; retired parts are
+    checkpointed once."""
     from functools import reduce
 
     # nodes that appear as dst but have no own edge (virtual outlets
@@ -93,7 +99,7 @@ def flow_basins(
     settled = [state.where(F.col("done"))]
     active = state.where(~F.col("done"))
 
-    for _ in range(max_rounds):
+    for _ in range((max_rounds + 1) // 2):
         if active.isEmpty():
             break
         lookup = reduce(lambda a, b: a.union(b), settled + [active]).select(
@@ -103,13 +109,21 @@ def flow_basins(
             F.col("dist").alias("dist2"),
             F.col("done").alias("done2"),
         )
-        nxt = active.join(lookup, ["band", "ptr"]).select(
-            "band", "gid",
-            F.col("ptr2").alias("ptr"),
-            (F.col("dist") + F.col("dist2")).alias("dist"),
-            F.col("done2").alias("done"),
-            "is_cell",
-        ).localCheckpoint(eager=True)
+
+        def hop(st):
+            # one doubling hop: jump to the CURRENT pointer of the
+            # target. Hopping a row whose target is absorbed is the
+            # identity (dist2 = 0, ptr2 = self), so two hops through
+            # one lookup never overshoot past the sink.
+            return st.join(lookup, ["band", "ptr"]).select(
+                "band", "gid",
+                F.col("ptr2").alias("ptr"),
+                (F.col("dist") + F.col("dist2")).alias("dist"),
+                F.col("done2").alias("done"),
+                "is_cell",
+            )
+
+        nxt = hop(hop(active)).localCheckpoint(eager=True)
         settled.append(nxt.where(F.col("done")))
         active = nxt.where(~F.col("done"))
     else:

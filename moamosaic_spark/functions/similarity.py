@@ -148,15 +148,23 @@ def neardup_pairs(
         *[pr.alias(f"_p{i}") for i, pr in enumerate(projs)],
     )
 
-    # SLIM candidate generation: the grid-replicated join and the
-    # pair-dedup shuffle carry only ids + projections — never the
-    # vectors (a pair matching in several of the 2^j grids would
-    # otherwise shuffle its vector payload once per grid; measured 70x
-    # slower at 2k vectors / loose threshold).
-    proj_cols = [f"_p{d}" for d in range(n_grid_dims)]
-    slim = base.select("vec_id", *proj_cols)
-
-    # one row per shifted grid g in {0,1}^j: cell_d = floor((p_d + g_d*d_max)/cell_w)
+    # IN-BUCKET exact re-rank (guide §4.2: distribution and shuffles in
+    # Spark, bulk math in native code): each vector ships ONCE per
+    # shifted grid — (id, vector, norm) keyed by its cell tuple — and a
+    # grouped Arrow kernel scores every in-cell pair with one blocked
+    # float64 GEMM, emitting ONLY pairs at/above the threshold. The
+    # candidate set is never materialized as rows: the previous plan
+    # (slim candidate join -> pair dedup -> two joins to re-attach
+    # vectors -> interpreted per-element dot) evaluated the O(n_cell^2)
+    # candidate mass through interpreted higher-order functions —
+    # measured 9.7 s for 2k vectors at threshold 0.5 vs ~1 s for the
+    # in-bucket GEMM, and at loose thresholds (where candidates
+    # approach all-pairs) the gap grows with n^2. Shuffle volume is
+    # 2^j * (id + vec + norm) per side — strictly less than before
+    # (which also shuffled the candidate id-pairs). The exact-recall
+    # argument is unchanged: every qualifying pair shares a full cell
+    # tuple in >= 1 shifted grid, and the kernel scores ALL in-cell
+    # pairs with the exact cosine.
     grids = []
     for g in range(2 ** n_grid_dims):
         cells = [
@@ -166,51 +174,69 @@ def neardup_pairs(
             for d in range(n_grid_dims)
         ]
         grids.append(F.struct(F.lit(g).alias("_g"), *cells))
-    keyed = slim.select(
-        "vec_id", *proj_cols, F.explode(F.array(*grids)).alias("_k")
-    ).select("vec_id", *proj_cols, "_k.*")
+    keyed = base.select(
+        F.col("vec_id").cast("long").alias("vec_id"), "vec", "_n",
+        F.explode(F.array(*grids)).alias("_k"),
+    ).select("vec_id", "vec", "_n", "_k.*")
 
     join_keys = ["_g"] + [f"_c{d}" for d in range(n_grid_dims)]
-    a = keyed.select(
-        *join_keys, F.col("vec_id").alias("id_a"),
-        *[F.col(p).alias(f"{p}_a") for p in proj_cols],
-    )
-    b = keyed.select(
-        *join_keys, F.col("vec_id").alias("id_b"),
-        *[F.col(p).alias(f"{p}_b") for p in proj_cols],
-    )
-    cand = a.join(b, on=join_keys, how="inner").where(F.col("id_a") < F.col("id_b"))
-    # exact-safe residual: qualifying pairs satisfy |p_a - p_b| <= d_max
-    # in EVERY projected dim (projection distance <= vector distance).
-    # Filter with the PADDED bound so the same ulp pad that protects the
-    # cell bucketing also covers rounding in the computed projections —
-    # a pair at exactly the threshold whose projection gap overshoots
-    # d_max by a few ulps must survive to the exact re-rank.
-    for p in proj_cols:
-        cand = cand.where(
-            F.abs(F.col(f"{p}_a") - F.col(f"{p}_b")) <= F.lit(d_pad)
-        )
-    cand = cand.select("id_a", "id_b").dropDuplicates(["id_a", "id_b"])
+    thr = float(threshold)
 
-    # exact re-rank: attach vectors (+ precomputed norms) per pair once
-    va = base.select(
-        F.col("vec_id").alias("id_a"), F.col("vec").alias("_va"),
-        F.col("_n").alias("_na"),
-    )
-    vb = base.select(
-        F.col("vec_id").alias("id_b"), F.col("vec").alias("_vb"),
-        F.col("_n").alias("_nb"),
-    )
-    scored = (
-        cand.join(va, on="id_a").join(vb, on="id_b")
-        .select(
-            "id_a", "id_b",
-            (dot(F.col("_va"), F.col("_vb")) / (F.col("_na") * F.col("_nb"))).alias(
-                "cos_sim"
-            ),
+    def score_cell(key, tbl):
+        import numpy as np
+        import pyarrow as pa
+
+        ids = tbl.column("vec_id").to_numpy()
+        nrm = tbl.column("_n").to_numpy()
+        v = tbl.column("vec").combine_chunks()
+        offs = v.offsets.to_numpy()
+        vals = v.values.to_numpy(zero_copy_only=False)
+        n = len(ids)
+        empty = pa.table({
+            "id_a": pa.array([], pa.int64()),
+            "id_b": pa.array([], pa.int64()),
+            "cos_sim": pa.array([], pa.float64()),
+        })
+        if n < 2:
+            return empty
+        widths = np.diff(offs)
+        if not (widths == widths[0]).all():
+            raise ValueError("ragged embedding dimensions within one cell")
+        mat = np.ascontiguousarray(
+            vals[offs[0]: offs[-1]].reshape(n, int(widths[0])), dtype=np.float64
         )
+        # sort by id so id_a < id_b is exactly the upper triangle
+        order = np.argsort(ids, kind="stable")
+        ids, nrm, mat = ids[order], nrm[order], mat[order]
+        out_a, out_b, out_c = [], [], []
+        B = 2048  # row block: bounds the (B, n) score panel
+        for s in range(0, n, B):
+            e = min(s + B, n)
+            gpan = mat[s:e] @ mat.T
+            with np.errstate(divide="ignore", invalid="ignore"):
+                cpan = gpan / np.outer(nrm[s:e], nrm)
+                hit = cpan >= thr  # NaN -> False, +Inf -> True (JVM-equal)
+            ri, cj = np.nonzero(hit)
+            keep = cj > (ri + s)  # strict upper triangle
+            ri, cj = ri[keep], cj[keep]
+            out_a.append(ids[ri + s])
+            out_b.append(ids[cj])
+            out_c.append(cpan[ri, cj])
+        id_a = np.concatenate(out_a) if out_a else np.array([], np.int64)
+        id_b = np.concatenate(out_b) if out_b else np.array([], np.int64)
+        cs = np.concatenate(out_c) if out_c else np.array([], np.float64)
+        return pa.table({
+            "id_a": pa.array(id_a, pa.int64()),
+            "id_b": pa.array(id_b, pa.int64()),
+            "cos_sim": pa.array(cs, pa.float64()),
+        })
+
+    pairs = keyed.groupBy(*join_keys).applyInArrow(
+        score_cell, "id_a long, id_b long, cos_sim double"
     )
-    return scored.where(F.col("cos_sim") >= F.lit(float(threshold)))
+    # a pair found in several shifted grids scores identically in each
+    # (same float expression on the same inputs) — keep one copy
+    return pairs.dropDuplicates(["id_a", "id_b"])
 
 
 def lsh_topk(

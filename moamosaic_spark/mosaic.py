@@ -26,7 +26,7 @@ from dataclasses import dataclass, field
 from pyspark.sql import DataFrame, SparkSession, functions as F
 
 from .plans import grid as gridmod
-from .plans.grid import OutputGrid, make_output_grid, make_tile_relation, overview_levels
+from .plans.grid import OutputGrid, make_tile_relation, overview_levels
 from .plans.spatial_join import assign_inputs
 from .operators.stitch import make_stitch_fn
 from .operators.stats import finalize_stats
@@ -89,28 +89,55 @@ class MosaicResult:
     stitched: DataFrame = field(repr=False, default=None)
 
 
-def validate_projections(footprints: DataFrame) -> None:
-    """P6/P7 — all inputs must agree on projection and pixel size, and be
-    grid-aligned to the first input (reference reproj.py:72-127).
-    One tiny aggregate over the dim table; raises MoaProjectionError.
-    """
-    first = F.min_by(F.struct("projection", "x_res", "y_res", "x0", "y0"), F.col("priority"))
-    row = footprints.agg(
+def _summary_row(footprints: DataFrame, with_fingerprint: bool = False):
+    """ONE aggregate over the footprint dim table carrying everything
+    do_mosaic needs up front: P6/P7 agreement counts, the
+    priority-first struct, the A1 extent, and (optionally) the relayout
+    fingerprint — one driver round trip where validate + grid +
+    fingerprint used to be three (guide §5: collects are full driver
+    round trips; batch them)."""
+    first = F.min_by(
+        F.struct(
+            "projection", "x_res", "y_res", "x0", "y0",
+            "n_bands", "nullval", "dtype",
+        ),
+        F.col("priority"),
+    )
+    aggs = [
         F.countDistinct("projection").alias("n_proj"),
         F.countDistinct("x_res").alias("n_xres"),
         F.countDistinct("y_res").alias("n_yres"),
         first.alias("first"),
-    ).collect()[0]
+        F.min(F.col("x0")).alias("x_min"),
+        F.max(F.col("x0") + F.col("ncols") * F.col("x_res")).alias("x_max"),
+        F.min(F.col("y0") - F.col("nrows") * F.col("y_res")).alias("y_min"),
+        F.max(F.col("y0")).alias("y_max"),
+    ]
+    if with_fingerprint:
+        from .sources.relayout import fingerprint_agg_cols
+
+        aggs.extend(fingerprint_agg_cols())
+    return footprints.agg(*aggs).collect()[0]
+
+
+def _require_first(row):
     if row["first"] is None:
         raise ValueError(
             "no media footprints found — the documents table has no media "
             "spans (or the footprints table is empty)"
         )
+    return row["first"]
+
+
+def _check_projection_row(footprints: DataFrame, row) -> None:
+    """P6/P7 checks over a collected summary row + the one residual
+    alignment scan (which needs the first input's origin, so it cannot
+    fold into the same aggregate)."""
+    f = _require_first(row)
     if row["n_proj"] > 1:
         raise MoaProjectionError("Projection mis-match between inputs")
     if row["n_xres"] > 1 or row["n_yres"] > 1:
         raise MoaProjectionError("Pixel size mis-match between inputs")
-    f = row["first"]
     # isAligned (reproj.py:117-127): |round(d/res) - d/res| < 1e-4
     def misaligned(coord, origin, res):
         factor = F.abs(F.col(coord) - F.lit(origin)) / F.lit(res)
@@ -121,6 +148,33 @@ def validate_projections(footprints: DataFrame) -> None:
     ).limit(1).count()
     if bad:
         raise MoaProjectionError("Grid mis-alignment between inputs")
+
+
+def _grid_from_summary(row, nullval: float | None) -> OutputGrid:
+    """OutputGrid from a collected summary row — the same int(round())
+    derivation as plans.grid.make_output_grid (A1)."""
+    f = _require_first(row)
+    x_res, y_res = float(f["x_res"]), float(f["y_res"])
+    return OutputGrid(
+        x_min=float(row["x_min"]),
+        y_max=float(row["y_max"]),
+        x_res=x_res,
+        y_res=y_res,
+        ncols=int(round((row["x_max"] - row["x_min"]) / x_res)),
+        nrows=int(round((row["y_max"] - row["y_min"]) / y_res)),
+        n_bands=int(f["n_bands"]),
+        nullval=float(f["nullval"]) if nullval is None else float(nullval),
+        dtype=str(f["dtype"]),
+        projection=str(f["projection"]),
+    )
+
+
+def validate_projections(footprints: DataFrame) -> None:
+    """P6/P7 — all inputs must agree on projection and pixel size, and be
+    grid-aligned to the first input (reference reproj.py:72-127).
+    One tiny aggregate over the dim table; raises MoaProjectionError.
+    """
+    _check_projection_row(footprints, _summary_row(footprints))
 
 
 def validate_blocks(footprints: DataFrame, blocks: DataFrame) -> None:
@@ -183,57 +237,74 @@ def _contributor_chunks(assignments: DataFrame, blocks: DataFrame, src_bs: int) 
     # shuffle (the predicate/projection-pushdown analog of the reference's
     # windowed ReadAsArray, mosaic.py:264): chunks straddling a tile edge
     # would otherwise ship ~2x their useful bytes to the stitch stage.
+    #
+    # Clip by ACCESS PATTERN (the focal emitter's lesson, guide §1.2):
+    #   * row-range clip — rows are contiguous in the row-major payload,
+    #     so it is ONE substr/slice per chunk; always applied.
+    #   * column clip — strided. A thin kept strip (width <= half the
+    #     chunk) is emitted as one ROW PER SOURCE ROW, each a single
+    #     codegen'd substr/slice: linear in the strip bytes, no
+    #     interpreted per-element lambda (the previous hex-join bridge
+    #     measured ~5 MB/s — 200x below memcpy). Wide chunks keep their
+    #     full width (clipping a few edge columns would rebuild the
+    #     whole chunk to save almost nothing) and the stitch kernel's
+    #     existing clamp (operators/stitch.py _fold_arrow_group) drops
+    #     the spare columns on paste. Measured on the bench corpus:
+    #     216 MB shipped vs 210 MB under the full per-pixel clip (+3%)
+    #     at ~5x less clip CPU.
     rt = F.greatest(F.col("b_top"), F.col("top1"))
     rb = F.least(F.col("b_top") + F.col("b_ysize"), F.col("bottom1"))
     cl = F.greatest(F.col("b_left"), F.col("left1"))
     cr = F.least(F.col("b_left") + F.col("b_xsize"), F.col("right1"))
     from .pixels import pixels_are_binary
 
-    if pixels_are_binary(blocks):
-        # u2 layout: per-row byte slices (2 B/px), recombined through a
-        # single hex join + unhex — linear, still whole-stage JVM.
-        clipped = F.unhex(
-            F.array_join(
-                F.transform(
-                    F.sequence(rt - F.col("b_top"), rb - F.col("b_top") - 1),
-                    lambda r: F.hex(
-                        F.col("pixels").substr(
-                            (r * F.col("b_xsize") + (cl - F.col("b_left"))) * 2 + 1,
-                            (cr - cl) * 2,
-                        )
-                    ),
-                ),
-                "",
-            )
+    binary = pixels_are_binary(blocks)
+    cols_untouched = (cl == F.col("b_left")) & (cr == F.col("b_left") + F.col("b_xsize"))
+    col_clip = ~cols_untouched & ((cr - cl) * 2 <= F.col("b_xsize"))
+    if binary:
+        row_clipped = F.col("pixels").substr(
+            (rt - F.col("b_top")) * F.col("b_xsize") * 2 + 1,
+            (rb - rt) * F.col("b_xsize") * 2,
         )
     else:
-        clipped = F.flatten(
-            F.transform(
-                F.sequence(rt - F.col("b_top"), rb - F.col("b_top") - 1),
-                lambda r: F.slice(
-                    F.col("pixels"),
-                    r * F.col("b_xsize") + (cl - F.col("b_left")) + 1,
-                    cr - cl,
-                ),
-            )
+        row_clipped = F.slice(
+            F.col("pixels"),
+            (rt - F.col("b_top")) * F.col("b_xsize") + 1,
+            (rb - rt) * F.col("b_xsize"),
         )
-    # interior chunks (the vast majority) pass through untouched — the
-    # row-by-row slice rebuild only runs for chunks straddling a window edge
+    # interior chunks (the vast majority at production tile sizes) pass
+    # through untouched; row-only clips are one contiguous slice
     untouched = (
         (rt == F.col("b_top"))
         & (rb == F.col("b_top") + F.col("b_ysize"))
-        & (cl == F.col("b_left"))
-        & (cr == F.col("b_left") + F.col("b_xsize"))
+        & cols_untouched
     )
-    return (
-        joined.where((rb > rt) & (cr > cl))
-        .withColumn("pixels", F.when(untouched, F.col("pixels")).otherwise(clipped))
-        .withColumn("b_ysize", rb - rt)
-        .withColumn("b_xsize", cr - cl)
-        .withColumn("b_top", rt)
-        .withColumn("b_left", cl)
-        .drop("top1", "left1", "bottom1", "right1")
+    alive = joined.where((rb > rt) & (cr > cl))
+    # one withColumns: every expression binds to the ORIGINAL chunk
+    # geometry columns (sequential withColumn would rebind cl/cr to
+    # already-replaced b_left/b_xsize)
+    main = alive.where(~col_clip).withColumns({
+        "pixels": F.when(untouched, F.col("pixels")).otherwise(row_clipped),
+        "b_ysize": rb - rt,
+        "b_top": rt,
+    }).drop("top1", "left1", "bottom1", "right1")
+    strips = alive.where(col_clip).select(
+        "*", F.explode(F.sequence(rt, rb - 1)).alias("_sr")
     )
+    src_off = (F.col("_sr") - F.col("b_top")) * F.col("b_xsize") + (cl - F.col("b_left"))
+    strip_px = (
+        F.col("pixels").substr(src_off * 2 + 1, (cr - cl) * 2)
+        if binary
+        else F.slice(F.col("pixels"), src_off + 1, cr - cl)
+    )
+    strips = strips.withColumns({
+        "pixels": strip_px,
+        "b_xsize": cr - cl,
+        "b_left": cl,
+        "b_ysize": F.lit(1),
+        "b_top": F.col("_sr"),
+    }).drop("top1", "left1", "bottom1", "right1", "_sr")
+    return main.unionByName(strips)
 
 
 def _null_tile_rows(
@@ -326,27 +397,39 @@ def do_mosaic(
     from .session import ensure_workers_can_import
 
     ensure_workers_can_import(spark)
+    routable = config.relayout_table is not None and config.stitch_salt == 1
+    # ONE summary collect covers validation + grid derivation + the
+    # relayout fingerprint; only the alignment scan needs a second job
+    row = (
+        _summary_row(footprints, with_fingerprint=routable)
+        if (config.check_projections or grid is None or routable)
+        else None
+    )
     if config.check_projections:
-        validate_projections(footprints)
+        _check_projection_row(footprints, row)
     if config.check_blocks:
         validate_blocks(footprints, blocks)
 
-    if config.relayout_table is not None and config.stitch_salt == 1:
+    if routable:
         # storage-side fast path: stitch off the bucketed relayout when
         # the table carries exactly this corpus; (re)build it when not.
         # Returns None only when routing cannot apply (explicit grid
         # mismatch) — then the direct dataflow below runs as usual.
-        from .sources.relayout import mosaic_via_relayout
+        from .sources.relayout import footprints_fingerprint, mosaic_via_relayout
 
         res = mosaic_via_relayout(
             spark, footprints, blocks, config,
             grid=grid, tile_row_range=tile_row_range, tile_keys=tile_keys,
+            fingerprint=footprints_fingerprint(footprints, row=row),
+            grid_hint=(
+                _grid_from_summary(row, config.nullval) if grid is None else None
+            ),
         )
         if res is not None:
             return res
 
     if grid is None:
-        grid = make_output_grid(footprints, config.nullval)
+        grid = _grid_from_summary(row, config.nullval)
     levels = (
         overview_levels(grid.nrows, grid.ncols, config.min_overview_size)
         if config.with_overviews

@@ -173,7 +173,11 @@ def _assemble_window(
 ) -> np.ndarray:
     """Fill the bounded source window [sy_lo..sy_hi] x [sx_lo..sx_hi]
     (inclusive) from the covering source chunks, nullval elsewhere —
-    shared by the same-CRS resample and the cross-CRS warp kernels."""
+    shared by the same-CRS resample and the cross-CRS warp kernels.
+    Chunks arrive in either engine layout: packed u2 bytes decode
+    zero-copy with np.frombuffer (the blocks table is never unpacked
+    JVM-side — guide §4.2: decode at the native kernel, not through
+    interpreted per-pixel expressions), int arrays as before."""
     win = np.full((sy_hi - sy_lo + 1, sx_hi - sx_lo + 1), nullval, dtype=np.int32)
     for r in rows:
         bt, bl = int(r.b_top), int(r.b_left)
@@ -182,7 +186,12 @@ def _assemble_window(
         x0c, x1c = max(bl, sx_lo), min(bl + bxs, sx_hi + 1)
         if y1c <= y0c or x1c <= x0c:
             continue
-        chunk = np.asarray(r.pixels, dtype=np.int32).reshape(bys, bxs)
+        p = r.pixels
+        chunk = (
+            np.frombuffer(p, dtype="<u2").astype(np.int32)
+            if isinstance(p, (bytes, bytearray))
+            else np.asarray(p, dtype=np.int32)
+        ).reshape(bys, bxs)
         win[y0c - sy_lo: y1c - sy_lo, x0c - sx_lo: x1c - sx_lo] = chunk[
             y0c - bt: y1c - bt, x0c - bl: x1c - bl
         ]
@@ -409,13 +418,12 @@ def _split_covered(t: DataFrame) -> tuple[DataFrame, DataFrame]:
 
 
 def _as_array_blocks(blocks: DataFrame) -> DataFrame:
-    """The reprojection kernels consume int-array pixel chunks; a u2
-    binary blocks table (pixels.py) is unpacked JVM-side at entry.
-    (The mosaic path itself stays in the packed layout end-to-end.)"""
-    from .pixels import pixels_are_binary, unpack_u2
-
-    if pixels_are_binary(blocks):
-        return blocks.withColumn("pixels", unpack_u2(F.col("pixels")))
+    """Both engine pixel layouts pass through UNCHANGED: the window
+    assembler (_assemble_window) decodes packed u2 bytes zero-copy with
+    np.frombuffer inside the kernel, so a binary blocks table keeps its
+    2 B/px layout through the chunk join (half the shuffle bytes) and
+    never pays the interpreted JVM per-pixel decode that the previous
+    unpack-at-entry did (measured ~1 s/Mpx)."""
     return blocks
 
 

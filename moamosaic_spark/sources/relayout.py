@@ -29,22 +29,36 @@ from ..plans.spatial_join import assign_inputs
 from ..schema import STITCH_SCHEMA
 
 
-def footprints_fingerprint(footprints: DataFrame) -> str:
-    """Order-independent fingerprint of a footprint catalog: row count
-    plus the sum of a per-row md5 prefix over every geometry- and
-    priority-bearing column. One tiny aggregate over the dim table;
-    lets do_mosaic prove a relayout table holds EXACTLY the corpus it
-    was asked to mosaic before trusting the stored layout."""
+def fingerprint_agg_cols() -> list:
+    """The two aggregate columns of the catalog fingerprint, exposed so
+    do_mosaic can fold them into its single footprint-summary pass
+    (one collect for validation + extent + fingerprint instead of
+    three — guide §5: the driver should do almost no data work, and
+    every collect is a full driver round trip)."""
     cols = [
         "media_ref", "priority", "x0", "y0", "x_res", "y_res",
         "ncols", "nrows", "n_bands", "dtype", "nullval", "projection",
     ]
     h = F.md5(F.concat_ws("|", *[F.col(c).cast("string") for c in cols]))
-    row = footprints.agg(
-        F.count("*").alias("n"),
-        F.sum(F.conv(F.substring(h, 1, 14), 16, 10).cast("decimal(38,0)")).alias("s"),
-    ).collect()[0]
-    return f"{row['n']}:{row['s']}"
+    return [
+        F.count("*").alias("_fp_n"),
+        F.sum(
+            F.conv(F.substring(h, 1, 14), 16, 10).cast("decimal(38,0)")
+        ).alias("_fp_s"),
+    ]
+
+
+def footprints_fingerprint(footprints: DataFrame, row=None) -> str:
+    """Order-independent fingerprint of a footprint catalog: row count
+    plus the sum of a per-row md5 prefix over every geometry- and
+    priority-bearing column. One tiny aggregate over the dim table
+    (or zero, when the caller hands in an already-collected summary
+    ``row`` carrying the fingerprint_agg_cols aliases); lets do_mosaic
+    prove a relayout table holds EXACTLY the corpus it was asked to
+    mosaic before trusting the stored layout."""
+    if row is None:
+        row = footprints.agg(*fingerprint_agg_cols()).collect()[0]
+    return f"{row['_fp_n']}:{row['_fp_s']}"
 
 
 def relayout_to_table(
@@ -54,16 +68,23 @@ def relayout_to_table(
     table: str,
     config: MosaicConfig | None = None,
     n_buckets: int = 64,
+    grid: OutputGrid | None = None,
+    fingerprint: str | None = None,
 ) -> OutputGrid:
     """Materialize the tile-aligned work relation as a bucketed table
     (pays the wide shuffle once). Also stores the output grid + config
-    in ``<table>_meta`` so later stitches reconstruct the exact plan."""
+    in ``<table>_meta`` so later stitches reconstruct the exact plan.
+    ``grid``/``fingerprint`` let a caller that already aggregated the
+    footprint dim table (do_mosaic's summary pass) skip re-collecting
+    it."""
     config = config or MosaicConfig()
-    fingerprint = footprints_fingerprint(footprints)
+    if fingerprint is None:
+        fingerprint = footprints_fingerprint(footprints)
     from ..session import ensure_workers_can_import
 
     ensure_workers_can_import(spark)
-    grid = make_output_grid(footprints, config.nullval)
+    if grid is None:
+        grid = make_output_grid(footprints, config.nullval)
     tiles = make_tile_relation(spark, grid, config.blocksize)
     assignments = assign_inputs(
         tiles, footprints, grid,
@@ -294,6 +315,8 @@ def mosaic_via_relayout(
     grid: OutputGrid | None = None,
     tile_row_range: tuple[int, int] | None = None,
     tile_keys: DataFrame | None = None,
+    fingerprint: str | None = None,
+    grid_hint: OutputGrid | None = None,
 ) -> MosaicResult | None:
     """do_mosaic's storage-side routing (config.relayout_table).
 
@@ -303,9 +326,17 @@ def mosaic_via_relayout(
     eager, every later call is the zero-Exchange repeated-run path.
     Returns None when routing cannot apply (caller pinned an explicit
     grid the table was not built for — the direct dataflow handles it;
-    an auto-build would derive its own grid and silently diverge)."""
+    an auto-build would derive its own grid and silently diverge).
+    ``fingerprint``/``grid_hint`` are pre-aggregated values from
+    do_mosaic's single footprint-summary pass (grid_hint is the grid
+    the summary DERIVED, as opposed to ``grid``, which the caller
+    PINNED)."""
     table = config.relayout_table
-    fp = footprints_fingerprint(footprints)
+    fp = (
+        fingerprint
+        if fingerprint is not None
+        else footprints_fingerprint(footprints)
+    )
     usable = False
     if _table_accessible(spark, table):
         m = _load_meta(spark, table)
@@ -322,6 +353,7 @@ def mosaic_via_relayout(
         relayout_to_table(
             spark, footprints, blocks, table, config,
             n_buckets=config.relayout_buckets,
+            grid=grid_hint, fingerprint=fp,
         )
     return stitch_from_relayout(
         spark, table, config, tile_row_range=tile_row_range, tile_keys=tile_keys
