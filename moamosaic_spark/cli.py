@@ -88,6 +88,10 @@ def main(argv: list[str] | None = None) -> None:
         parser.error("--relayout-table and --batches are exclusive "
                      "(use incremental_mosaic_stream(relayout_table=) "
                      "for batched runs over a relayout)")
+    if args.derived and args.batches > 1:
+        # validated up front: the old post-run check threw away a
+        # potentially hours-long batched mosaic before erroring
+        parser.error("--derived requires the single-run path (not --batches)")
     from .mosaic import MosaicConfig, do_mosaic, write_mosaic
     from .monitoring import Monitoring
     from .session import get_spark
@@ -189,9 +193,6 @@ def main(argv: list[str] | None = None) -> None:
             write_mosaic(res, args.out)
 
     if args.derived:
-        if args.batches > 1:
-            parser.error("--derived requires the single-run path "
-                         "(not --batches)")
         from .mosaic import write_derived
 
         with mon.ctx("derived"):

@@ -87,6 +87,11 @@ class MosaicResult:
     stats: DataFrame        # per-band finalized stats
     assignments: DataFrame  # the spatial-join output (J1 relation)
     stitched: DataFrame = field(repr=False, default=None)
+    # the tiling blocksize the result was built with — consumers that
+    # need global pixel ids (write_derived's basins product) must use
+    # THIS, not a shape inferred from tiles: a raster one tile-row tall
+    # absorbs the remainder into row 0, so max(ysize) underestimates it
+    blocksize: int | None = None
 
 
 def _summary_row(footprints: DataFrame, with_fingerprint: bool = False):
@@ -601,6 +606,7 @@ def do_mosaic(
         stats=stats,
         assignments=assignments,
         stitched=stitched,
+        blocksize=config.blocksize,
     )
 
 
@@ -691,11 +697,17 @@ def write_derived(
         elif p == "terrain":
             sink(terr, p, key)
         elif p == "basins":
-            # blocksize from the tile relation: under the remainder-
-            # absorbing tiling every tile in row 0 is exactly
-            # blocksize tall (only the LAST row absorbs the remainder)
-            bs = int(t.where(F.col("tile_row") == 0)
-                     .agg(F.max("ysize")).collect()[0][0])
+            # configured blocksize, threaded through MosaicResult: a
+            # shape inferred from row-0 tiles is wrong for rasters one
+            # tile-row tall (the absorbed remainder makes row 0 taller/
+            # shorter than the configured blocksize, silently skewing
+            # every global pixel id). Inference remains only as a
+            # fallback for hand-built results.
+            if result.blocksize is not None:
+                bs = int(result.blocksize)
+            else:
+                bs = int(t.where(F.col("tile_row") == 0)
+                         .agg(F.max("ysize")).collect()[0][0])
             edges = d8_edges(terr, g_ncols=int(g.ncols), blocksize=bs)
             sink(flow_basins(edges).where(F.col("is_cell")).select(
                 "band", "gid", "basin", "dist"), p, ["band", "gid"])

@@ -706,7 +706,14 @@ def warp_blocks(
     sbs = int(src_blocksize)
     ox, oy = float(out_xres), float(out_yres)
 
-    vfp = plan_warped_footprints(footprints, dst_crs, out_xres, out_yres)
+    # lazy checkpoint: the planned footprints are a tiny dim table that
+    # MANY consumers re-evaluate (grid summary, broadcast build, chunk
+    # relation, margin synthesis) — without it each action re-runs the
+    # corner-transform Python stage (guide §5: localCheckpoint cheaply
+    # cuts repeated lineage)
+    vfp = plan_warped_footprints(
+        footprints, dst_crs, out_xres, out_yres
+    ).localCheckpoint(eager=False)
     meta = vfp.select(
         "media_ref", "n_bands", "x0", "y0", "ncols", "nrows", "nullval",
         *[n for n, _ in _WARPED_FP_EXTRA],
@@ -781,7 +788,9 @@ def warp_blocks(
                 outs.append(out)
             yield pd.concat(outs)
 
-    tb = t.mapInPandas(bounds, bounds_fields)
+    # same: the bounds relation feeds covered AND margin AND the join —
+    # three subtrees that would each re-run the per-chunk transform map
+    tb = t.mapInPandas(bounds, bounds_fields).localCheckpoint(eager=False)
     covered, margin = _split_covered(tb)
     joined = _join_source_chunks(covered, blocks, sbs)
 

@@ -98,7 +98,15 @@ def relayout_to_table(
         spark.sql(f"DROP TABLE IF EXISTS {t}")
         _drop_stale_location(spark, t)
     (
-        work.write.mode("overwrite")
+        # repartition on the bucket key first: without it every write
+        # task holds rows of most buckets and emits one file per
+        # (task, bucket) pair — hundreds of tiny files whose create/
+        # commit overhead dominates the build and whose open overhead
+        # taxes every later bucketed scan (guide §6: small files hurt
+        # twice). Hash-partitioned n_buckets ways, each task writes
+        # exactly its own bucket: n_buckets files total.
+        work.repartition(n_buckets, "band", "tile_row", "tile_col")
+        .write.mode("overwrite")
         .bucketBy(n_buckets, "band", "tile_row", "tile_col")
         .sortBy("band", "tile_row", "tile_col")
         .saveAsTable(table)
@@ -257,9 +265,12 @@ def relayout_append(
     work = _contributor_chunks(
         assignments, blocks, int(m.get("src_blocksize", 256))
     )
+    nb = int(m.get("n_buckets", 64))
     (
-        work.write.mode("append")
-        .bucketBy(int(m.get("n_buckets", 64)), "band", "tile_row", "tile_col")
+        # same one-file-per-bucket discipline as relayout_to_table
+        work.repartition(nb, "band", "tile_row", "tile_col")
+        .write.mode("append")
+        .bucketBy(nb, "band", "tile_row", "tile_col")
         .sortBy("band", "tile_row", "tile_col")
         .saveAsTable(table)
     )
@@ -460,4 +471,5 @@ def stitch_from_relayout(
             "tile_row", "tile_col", "media_ref", "priority"
         ).distinct(),
         stitched=stitched,
+        blocksize=blocksize,
     )

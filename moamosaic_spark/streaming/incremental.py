@@ -118,9 +118,10 @@ def _update_derived_focal(spark, out_path, touched, config, grid) -> int:
         inp, xres=float(grid.x_res), yres=float(grid.y_res),
         nullval=int(grid.nullval),
     )
-    out = hs.join(ring, ["tile_row", "tile_col"], "left_semi").withColumn(
+    recomputed = hs.join(ring, ["tile_row", "tile_col"], "left_semi").withColumn(
         "part", F.pmod(F.col("tile_row"), F.lit(int(config.sink_parts)))
     )
+    out = recomputed
     if existing is not None:
         keep = existing.join(
             ring, on=["tile_row", "tile_col"], how="left_anti"
@@ -134,7 +135,12 @@ def _update_derived_focal(spark, out_path, touched, config, grid) -> int:
         .partitionBy("part")
         .parquet(path)
     )
-    return out.count()
+    # report RECOMPUTED hillshade tiles only: the union above also
+    # carries the untouched rows of rewritten `part=` partitions, which
+    # would overstate the per-batch derived work
+    return out.join(
+        ring.select("tile_row", "tile_col"), ["tile_row", "tile_col"], "left_semi"
+    ).count()
 
 
 def process_batch(
