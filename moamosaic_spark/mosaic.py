@@ -284,17 +284,17 @@ def _contributor_chunks(assignments: DataFrame, blocks: DataFrame, src_bs: int) 
         & (rb == F.col("b_top") + F.col("b_ysize"))
         & cols_untouched
     )
-    alive = joined.where((rb > rt) & (cr > cl))
-    # one withColumns: every expression binds to the ORIGINAL chunk
-    # geometry columns (sequential withColumn would rebind cl/cr to
-    # already-replaced b_left/b_xsize)
-    main = alive.where(~col_clip).withColumns({
-        "pixels": F.when(untouched, F.col("pixels")).otherwise(row_clipped),
-        "b_ysize": rb - rt,
-        "b_top": rt,
-    }).drop("top1", "left1", "bottom1", "right1")
-    strips = alive.where(col_clip).select(
-        "*", F.explode(F.sequence(rt, rb - 1)).alias("_sr")
+    # ONE subtree: a conditional generate fans thin-strip chunks out to
+    # their per-row slices (_sr = source row) and passes every other
+    # chunk through once (_sr null) — a where/union split here would
+    # duplicate the whole join subtree (blocks scanned and joined twice
+    # per action; observed in the physical plan)
+    alive = joined.where((rb > rt) & (cr > cl)).select(
+        "*",
+        F.explode(
+            F.when(col_clip, F.sequence(rt, rb - 1))
+            .otherwise(F.array(F.lit(None).cast("int")))
+        ).alias("_sr"),
     )
     src_off = (F.col("_sr") - F.col("b_top")) * F.col("b_xsize") + (cl - F.col("b_left"))
     strip_px = (
@@ -302,14 +302,22 @@ def _contributor_chunks(assignments: DataFrame, blocks: DataFrame, src_bs: int) 
         if binary
         else F.slice(F.col("pixels"), src_off + 1, cr - cl)
     )
-    strips = strips.withColumns({
-        "pixels": strip_px,
-        "b_xsize": cr - cl,
-        "b_left": cl,
-        "b_ysize": F.lit(1),
-        "b_top": F.col("_sr"),
-    }).drop("top1", "left1", "bottom1", "right1", "_sr")
-    return main.unionByName(strips)
+    is_strip = F.col("_sr").isNotNull()
+    # one withColumns: every expression binds to the ORIGINAL chunk
+    # geometry columns (sequential withColumn would rebind cl/cr to
+    # already-replaced b_left/b_xsize)
+    return (
+        alive.withColumns({
+            "pixels": F.when(
+                is_strip, strip_px
+            ).otherwise(F.when(untouched, F.col("pixels")).otherwise(row_clipped)),
+            "b_xsize": F.when(is_strip, cr - cl).otherwise(F.col("b_xsize")),
+            "b_left": F.when(is_strip, cl).otherwise(F.col("b_left")),
+            "b_ysize": F.when(is_strip, F.lit(1)).otherwise(rb - rt),
+            "b_top": F.when(is_strip, F.col("_sr")).otherwise(rt),
+        })
+        .drop("top1", "left1", "bottom1", "right1", "_sr")
+    )
 
 
 def _null_tile_rows(
