@@ -31,7 +31,6 @@ higher-order functions (filter/aggregate), never per-row Python.
 
 from __future__ import annotations
 
-from typing import Callable
 
 import numpy as np
 from pyspark.sql import Column, DataFrame, functions as F
