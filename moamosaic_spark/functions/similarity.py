@@ -140,7 +140,11 @@ def neardup_pairs(
     base = (
         embeddings.select(F.col(id_col).alias("vec_id"), v.alias("vec"))
         .withColumn("_n", norm(F.col("vec")))
-        .withColumn("u", F.transform("vec", lambda x: x / F.col("_n")))
+        # try_divide: a zero-norm vector normalizes to nulls (ANSI
+        # division would error the whole query); its cell keys go null,
+        # it groups with the other degenerate vectors, and the kernel's
+        # NaN cosine (0/0) fails every threshold — no pairs, no crash
+        .withColumn("u", F.transform("vec", lambda x: F.try_divide(x, F.col("_n"))))
     )
     projs = [_unit_projection(F.col("u"), p, dim) for p in range(n_grid_dims)]
     base = base.select(
