@@ -241,7 +241,12 @@ def _cc_large_star(e: DataFrame) -> DataFrame:
     the min of its full neighborhood (incl. itself)."""
     sym = e.unionByName(e.select(F.col("v").alias("u"), F.col("u").alias("v")))
     mins = sym.groupBy("u").agg(F.min("v").alias("m"))
-    mins = mins.select("u", F.least("u", "m").alias("m"))
+    # shuffled-hash on the aggregated side (guide §3.1): the star joins
+    # feed a checkpoint, so SMJ's sort of both sides every alternation
+    # buys nothing; the build side is one (node, min) row per distinct
+    # node per partition. Measured: 104k leg 15.0 -> 12.9 s, wide
+    # 904k leg 25.2 -> 22.8 s, identical labels and round counts.
+    mins = mins.select("u", F.least("u", "m").alias("m")).hint("shuffle_hash")
     # no distinct here: duplicate (v, m) rows (bounded by deg(v)) are
     # collapsed by the downstream small-star's map-side-combining
     # groupBy-min and its final distinct — dropping the exchange saves
@@ -258,7 +263,8 @@ def _cc_small_star(e: DataFrame) -> DataFrame:
     """Small-star round: edges oriented (larger -> smaller); every node
     connects its smaller neighbors (and itself) to its min neighbor."""
     o = e.select(F.greatest("u", "v").alias("u"), F.least("u", "v").alias("v"))
-    mins = o.groupBy("u").agg(F.min("v").alias("m"))
+    # same shuffled-hash reasoning as _cc_large_star
+    mins = o.groupBy("u").agg(F.min("v").alias("m")).hint("shuffle_hash")
     out = (
         o.join(mins, on="u")
         .select(F.col("v").alias("u"), F.col("m").alias("v"))

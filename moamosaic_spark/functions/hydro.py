@@ -108,7 +108,14 @@ def flow_basins(
             F.col("ptr").alias("ptr2"),
             F.col("dist").alias("dist2"),
             F.col("done").alias("done2"),
-        )
+        ).hint("shuffle_hash")
+        # shuffled-hash, not sort-merge (guide §3.1): the hop joins
+        # dominate the loop and their output feeds a checkpoint, so the
+        # sort order SMJ pays for (both sides, every hop) buys nothing.
+        # The build side is the fixed-width state at N/partitions rows
+        # per task — bounded by the shuffle-partition config that also
+        # bounds every other per-task buffer in the loop. Measured on
+        # the 8.1M-arc ranking: 60-86 s -> 45-49 s interleaved A/B.
 
         def hop(st):
             # one doubling hop: jump to the CURRENT pointer of the
