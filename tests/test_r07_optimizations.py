@@ -92,6 +92,36 @@ def test_neardup_pairs_zero_norm_vectors(spark):
     assert not any(5 in p or 6 in p for p in got), f"zero-norm vector paired: {got}"
 
 
+def test_flow_accumulation_paths_agree(spark):
+    """flow_accumulation routes trees by size: in-memory kernel for
+    bounded trees, Euler tour + list ranking for oversized ones. Both
+    paths (and the mixed routing) must produce identical rows."""
+    from pyspark.sql import functions as F
+
+    from moamosaic_spark.functions.hydro import flow_accumulation
+
+    # two trees: a 40-cell chain into a virtual outlet (gid 1000, no
+    # own edge row) and a 3-level binary-ish tree rooted at a sink
+    rows = [(1, i, i + 1) for i in range(39)] + [(1, 39, 1000)]
+    rows += [(1, 100, 100)]  # sink root
+    rows += [(1, 101, 100), (1, 102, 100), (1, 103, 101), (1, 104, 101),
+             (1, 105, 102), (1, 106, 103)]
+    edges = spark.createDataFrame(rows, "band int, gid long, dst long")
+
+    def rowset(df):
+        return {(r.band, r.gid, r.acc, r.is_cell) for r in df.collect()}
+
+    inmem = rowset(flow_accumulation(edges))  # default: all in-memory
+    euler = rowset(flow_accumulation(edges, max_inmem_tree=0))  # all Euler
+    mixed = rowset(flow_accumulation(edges, max_inmem_tree=10))  # chain big, tree small
+    assert inmem == euler == mixed
+    by_gid = {g: a for (_, g, a, _) in inmem}
+    assert by_gid[0] == 1 and by_gid[39] == 40  # chain head / foot
+    assert by_gid[1000] == 40                   # outlet throughput
+    assert by_gid[100] == 7                     # sink root counts itself
+    assert by_gid[101] == 4 and by_gid[102] == 2 and by_gid[106] == 1
+
+
 def test_relayout_writes_one_file_per_bucket(spark, tmp_path):
     """The bucketed write repartitions on the bucket hash first, so each
     task holds exactly one bucket: at most n_buckets data files (fewer
