@@ -273,12 +273,56 @@ def _cc_small_star(e: DataFrame) -> DataFrame:
     return out.where(F.col("u") != F.col("v")).distinct()
 
 
+def _cc_driver_side(e: DataFrame) -> DataFrame:
+    """Union-find over a COLLECTED edge set (bounded by the caller's
+    ``small_graph_edges`` threshold — a few MB at most): same
+    (doc_id, component-min cluster_id) contract as the distributed
+    loop, without its per-round checkpoint + probe latency. Small
+    duplicate graphs are the common case for per-batch / per-partition
+    dedup, where the distributed loop's ~10 driver rounds cost more
+    than the whole graph."""
+    from pyspark.sql import types as T
+
+    rows = e.collect()
+    parent: dict = {}
+
+    def find(x):
+        root = x
+        while parent.get(root, root) != root:
+            root = parent[root]
+        while parent.get(x, x) != x:
+            parent[x], x = root, parent[x]
+        return root
+
+    nodes = set()
+    for r in rows:
+        u, v = r["u"], r["v"]
+        nodes.add(u)
+        nodes.add(v)
+        ru, rv = find(u), find(v)
+        if ru != rv:
+            parent[ru] = rv
+    comp_min: dict = {}
+    for nd in nodes:
+        rt = find(nd)
+        if rt not in comp_min or nd < comp_min[rt]:
+            comp_min[rt] = nd
+    id_type = e.schema["u"].dataType
+    schema = T.StructType([
+        T.StructField("doc_id", id_type),
+        T.StructField("cluster_id", id_type),
+    ])
+    data = [(nd, comp_min[find(nd)]) for nd in sorted(nodes)]
+    return e.sparkSession.createDataFrame(data, schema)
+
+
 def connected_components(
     edges: DataFrame,
     src: str = "doc_a",
     dst: str = "doc_b",
     max_iterations: int = 25,
     stats: dict | None = None,
+    small_graph_edges: int = 65_536,
 ) -> DataFrame:
     """Connected components over an undirected edge relation in pure
     DataFrame algebra — the step that turns pairwise duplicate evidence
@@ -303,7 +347,15 @@ def connected_components(
     be any orderable type (long, string).
 
     ``stats`` (optional dict) receives {"iterations": n} — the bench
-    and tests assert the O(log n) bound.
+    and tests assert the O(log n) bound; the driver-side fast path
+    reports 0.
+
+    Size-adaptive (the same hot/cold split as stitch salting and
+    flow_accumulation's tree routing): an edge set at or below
+    ``small_graph_edges`` after dedup — a few MB collected — is solved
+    driver-side with union-find in one pass instead of ~10 checkpointed
+    shuffle rounds whose driver latency dwarfs the data. Larger graphs
+    (including every bench CC leg) take the distributed loop unchanged.
     """
     e = (
         edges.select(F.col(src).alias("u"), F.col(dst).alias("v"))
@@ -345,6 +397,10 @@ def connected_components(
     # dominates when components are small relative to the cluster
     # (the dedup_clusters_scale leg is round-latency-bound).
     sig = _sig(e)
+    if sig[0] <= small_graph_edges:
+        if stats is not None:
+            stats["iterations"] = 0
+        return _cc_driver_side(e)
     n_iter = 0
     converged = False
     while n_iter < max_iterations:

@@ -92,6 +92,41 @@ def test_neardup_pairs_zero_norm_vectors(spark):
     assert not any(5 in p or 6 in p for p in got), f"zero-norm vector paired: {got}"
 
 
+def test_connected_components_paths_agree(spark):
+    """connected_components routes small edge sets to a driver-side
+    union-find; labels must match the distributed star-contraction
+    exactly (component-min cluster ids), for long and string ids."""
+    from pyspark.sql import functions as F
+
+    from moamosaic_spark.functions.dedup import connected_components
+
+    # chains + a star + an order-scrambled component
+    rows = [(i, i + 1) for i in range(0, 29)]          # chain 0..29
+    rows += [(100, 100 + i) for i in range(1, 20)]     # star at 100
+    rows += [(507, 503), (501, 507), (509, 501)]       # scrambled
+    e = spark.createDataFrame(rows, "doc_a long, doc_b long")
+
+    def labels(df):
+        return {(r.doc_id, r.cluster_id) for r in df.collect()}
+
+    st_small, st_big = {}, {}
+    small = labels(connected_components(e, stats=st_small))
+    big = labels(connected_components(e, stats=st_big, small_graph_edges=0))
+    assert small == big
+    assert st_small["iterations"] == 0 and st_big["iterations"] > 0
+    got = dict(small)
+    assert all(got[i] == 0 for i in range(30))
+    assert all(got[100 + i] == 100 for i in range(20))
+    assert got[509] == got[507] == got[503] == got[501] == 501
+
+    # string ids through the fast path
+    es = spark.createDataFrame(
+        [("b", "a"), ("c", "b"), ("x", "y")], "doc_a string, doc_b string"
+    )
+    got_s = dict(labels(connected_components(es)))
+    assert got_s == {"a": "a", "b": "a", "c": "a", "x": "x", "y": "x"}
+
+
 def test_flow_accumulation_paths_agree(spark):
     """flow_accumulation routes trees by size: in-memory kernel for
     bounded trees, Euler tour + list ranking for oversized ones. Both
